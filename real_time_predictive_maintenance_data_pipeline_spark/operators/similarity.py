@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Baseline: brute-force cosine top-k — O(n·q·d) but shuffle-free until
+the final top-k (TakeOrderedAndProject / per-group window). Scale path:
+BucketedRandomProjectionLSH pruning, which buckets on random
+hyperplane projections so only same-bucket candidates are scored.
+
+Both paths keep vectors as native arrays with higher-order-function
+math (``functions.vectors``) — MLlib Vector conversion happens only at
+the LSH boundary, where MLlib requires it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import as_double, cosine
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must carry (query_id_col, vec_col). The query side is
+    broadcast (queries ≪ corpus in every ANN workload); candidate scoring
+    is a map-side cross product — no shuffle — and the per-query top-k is
+    one window over query_id. Self-matches (same id) are excluded.
+    Returns (query_id, vec_id, score, rank) with score 4-dp rounded.
+    """
+    corpus = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("__corpus_vec")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double(vec_col).alias("__query_vec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__query_vec"), F.col("__corpus_vec")), 4).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return scored.select(
+        query_id_col, id_col, "score", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (embedding near-dup detection).
+
+    Brute force O(n²) — correct baseline and the oracle for the LSH
+    variant. At 100 TB use ``lsh_similar_pairs`` instead.
+    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b, 4-dp rounded.
+    """
+    d = embeddings.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    a = d.select(F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"))
+    b = d.select(F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _to_mllib_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn("__features", array_to_vector(as_double(vec_col)))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """Approximate nearest neighbors via BucketedRandomProjectionLSH.
+
+    Euclidean-LSH pruning; on normalized vectors Euclidean order ==
+    cosine order. Returns (vec_id, dist) for ~k approximate neighbors.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors
+
+    feats = _to_mllib_vectors(embeddings, vec_col).select(id_col, "__features")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__features",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(feats)
+    neigh = model.approxNearestNeighbors(
+        feats, Vectors.dense([float(x) for x in query_vec]), k, distCol="dist"
+    )
+    return neigh.select(id_col, F.round("dist", 4).alias("dist"))
+
+
+def lsh_similar_pairs(
+    embeddings: DataFrame,
+    max_l2_dist: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """Approximate all-pairs within L2 distance via LSH self-join —
+    the linear-ish scale path replacing ``cosine_pairs`` at 100 TB."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    feats = _to_mllib_vectors(embeddings, vec_col).select(id_col, "__features")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__features",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_l2_dist, distCol="dist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("vec_a"),
+            F.col(f"datasetB.{id_col}").alias("vec_b"),
+            F.round("dist", 4).alias("dist"),
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+    )

@@ -1,0 +1,6 @@
+from .registry import Query, all_queries, get_query, register  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every catalog module so registration side-effects run."""
+    from . import llm, relational, telemetry  # noqa: F401

@@ -1,0 +1,289 @@
+"""LLM-data-pipeline query catalog: dedup, similarity search, text
+analysis, multimodal columns (charter §"beyond the reference").
+
+Runs over the `documents` / `embeddings` fixture tables. SQL-expressible
+semantics carry a DuckDB oracle; LSH/ML-backed ops are rows-only here
+with accuracy assertions in tests/ (recall vs the exact baselines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER)                AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+       ROUND(list_reduce(list_prepend(0, list_transform(string_split(text, ' '),
+                 w -> length(w))), (a, b) -> a + b) * 1.0
+             / len(string_split(text, ' ')), 4)                     AS avg_token_len,
+       n_chars
+FROM documents
+""",
+    tags=("text",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — per-row, shuffle-free."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.size(T.distinct_tokens("text")).alias("n_distinct"),
+        T.avg_token_len("text").alias("avg_token_len"),
+        "n_chars",
+    )
+
+
+@register(
+    "doc_quality",
+    oracle="""
+SELECT doc_id, lang,
+       ROUND(0.5 * LEAST(1.0, len(string_split(text, ' ')) / 50.0)
+           + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' '))), 4) AS quality
+FROM documents
+""",
+    tags=("text",),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length + repetitiveness composite in [0,1]."""
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", T.quality_score("text").alias("quality"))
+
+
+@register(
+    "doc_langid",
+    oracle="""
+SELECT lang,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the', 'a', 'of', 'and', 'to'))) >= 1
+            THEN 'en' ELSE 'und' END AS lang_guess,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+""",
+    tags=("text",),
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword vote) vs the labeled lang column."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", T.langid_guess("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          w -> CAST(ascii(w) * 31 + length(w) AS BIGINT))),
+         (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+FROM documents
+""",
+    tags=("text",),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash document fingerprint."""
+    return _docs(spark, sf_dir).select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+""",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha2(text) (shuffle carries digests,
+    not documents)."""
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS words
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.words, b.words)) * 1.0
+             / len(list_distinct(list_concat(a.words, b.words))), 4) AS jaccard
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.words, b.words)) * 1.0
+            / len(list_distinct(list_concat(a.words, b.words))), 4) >= 0.9
+""",
+    bench=True,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs, lang-blocked (quadratic
+    within block only)."""
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
+
+
+@register("dedup_minhash_lsh", oracle=None, bench=True, tags=("dedup", "approx"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH near-dup candidates (approx Jaccard ≥ 0.9). Rows-only
+    check; recall vs the exact jaccard pairs is asserted in tests."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.9).select(
+        "doc_a", "doc_b"
+    )
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (64-bit) for every document — deterministic,
+    JVM-side expression; pair-generation covered in tests."""
+    return D.simhash_signatures(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_embedding_pairs",
+    oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+""",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force baseline; LSH
+    variant is `sim_lsh_pairs`)."""
+    return S.cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, q.qv), 4) AS score
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, score,
+       ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rank
+FROM scored ORDER BY score DESC, vec_id LIMIT 10
+""",
+    bench=True,
+    tags=("similarity",),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec 0 (brute-force ANN baseline)."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(e, q, k=10).select("vec_id", "score", "rank")
+
+
+@register(
+    "sim_knn_batch",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding, q.qv), 4) AS score
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+)
+SELECT * FROM (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+    bench=True,
+    tags=("similarity",),
+)
+def sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN: top-3 neighbors for each of 20 query vectors.
+    Query side broadcast; scoring is map-side; one window shuffle."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.brute_force_topk(e, q, k=3)
+
+
+@register("sim_ann_lsh", oracle=None, tags=("similarity", "approx"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via BucketedRandomProjectionLSH (scale path).
+    Rows-only; recall vs brute force asserted in tests."""
+    e = _embs(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.lsh_topk(e, list(qv), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_binary_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       ascii(text)                                  AS first_byte
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload plumbing: encode → BinaryType column → byte stats
+    (JVM-side; the Python decode path is `mm_feature_extract`)."""
+    d = M.attach_binary_payload(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.ascii("text").alias("first_byte"),
+    )
+
+
+@register("mm_feature_extract", oracle=None, tags=("multimodal",))
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (decode step is a deterministic stub — no media codecs in container)."""
+    d = M.attach_binary_payload(_docs(spark, sf_dir))
+    return M.extract_features(d)

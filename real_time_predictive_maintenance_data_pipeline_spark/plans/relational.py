@@ -1,0 +1,1024 @@
+"""Relational query catalog (SURVEY.md §2.2 surface).
+
+The reference implements no relational operators (its only SQL is
+``SELECT *`` at phase2-iot-kinesis.yaml:61); this module is the engine's
+general query surface, expressed 100 % in idiomatic DataFrame API so
+Catalyst gets full pushdown / pruning / join-reordering freedom. Every
+query here has a DuckDB oracle and follows the parity conventions in
+``registry.py`` (identical aliases, 4-decimal rounds, dates as strings,
+timestamps as Unix micros).
+
+Scale stance (100 TB): fact-fact joins (lineitem⋈orders) shuffle on the
+join key and rely on AQE for skew; fixed-cardinality dims (region,
+nation) are explicitly broadcast; top-k is expressed as orderBy+limit so
+Spark plans TakeOrderedAndProject (no global sort materialization);
+grouped top-k uses a single window shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dstr(col: str):
+    """Date column → 'yyyy-MM-dd' string (oracle-stable projection)."""
+    return F.date_format(F.col(col), "yyyy-MM-dd")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+       ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    bench=True,
+    tags=("agg",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → hash agg.
+
+    Scale: partial aggregation is map-side (4 group keys total), so the
+    shuffle moves only |groups|×|partitions| rows; the shipdate filter
+    pushes to the parquet scan.
+    """
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(MIN(l_quantity), 4)          AS min_qty,
+       ROUND(MAX(l_quantity), 4)          AS max_qty,
+       ROUND(AVG(l_quantity), 4)          AS avg_qty,
+       ROUND(STDDEV_SAMP(l_quantity), 4)  AS std_qty,
+       COUNT(*)                           AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev aggregates — all map-side-partial built-ins."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_quantity"), 4).alias("min_qty"),
+            F.round(F.max("l_quantity"), 4).alias("max_qty"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "rel_agg_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey)  AS n_customers,
+       COUNT(*)                   AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS revenue
+FROM orders GROUP BY o_orderstatus
+""",
+    tags=("agg",),
+)
+def rel_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """countDistinct alongside plain aggs (Spark expands to two-phase)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "rel_having",
+    oracle="""
+SELECT c_nationkey, ROUND(SUM(c_acctbal), 4) AS total_bal, COUNT(*) AS n
+FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 20
+""",
+    tags=("agg",),
+)
+def rel_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + post-aggregation filter (HAVING)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 20)
+    )
+
+
+@register(
+    "rel_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS rev
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg",),
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("rev"),
+        )
+    )
+
+
+@register(
+    "rel_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg",),
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "rel_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+    tags=("agg",),
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SQL path — DataFrame API has no direct op)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "rel_pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("agg",),
+)
+def rel_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (one shuffle, no pivot pass)."""
+    o = _t(spark, sf_dir, "orders")
+    cnt = lambda s: F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))  # noqa: E731
+    return o.groupBy("o_orderpriority").agg(
+        cnt("O").alias("status_o"),
+        cnt("F").alias("status_f"),
+        cnt("P").alias("status_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+       o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    bench=True,
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: filter → 3-way join → agg → top-10.
+
+    Scale: both filters push to the scans; customer⋈orders and
+    orders⋈lineitem shuffle on their keys; final top-10 is
+    TakeOrderedAndProject (no global sort).
+    """
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            _dstr("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    bench=True,
+    tags=("join", "agg"),
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-table join, local-supplier constraint.
+
+    Scale: region/nation are fixed-cardinality → explicit broadcast;
+    supplier is small relative to facts → broadcast too (AQE would demote
+    if it ever grew); the fact-fact join shuffles on orderkey.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "rel_join_inner",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 4) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    tags=("join",),
+)
+def rel_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join with broadcast dim (nation: 25 rows, always)."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "rel_join_left",
+    oracle="""
+SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+    tags=("join",),
+)
+def rel_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "rel_join_full",
+    oracle="""
+SELECT COALESCE(a.k, b.k) AS k, a.n_cust, b.n_ord
+FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) a
+FULL OUTER JOIN
+     (SELECT CAST(o_custkey % 30 AS INTEGER) AS k, COUNT(*) AS n_ord FROM orders GROUP BY 1) b
+ON a.k = b.k
+""",
+    tags=("join",),
+)
+def rel_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides (nulls on both sides)."""
+    a = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.col("o_custkey") % 30).cast("int").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+    )
+    return a.join(b, a.k == b.k, "full").select(
+        F.coalesce(a.k, b.k).alias("k"), "n_cust", "n_ord"
+    )
+
+
+@register(
+    "rel_join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+""",
+    tags=("join",),
+)
+def rel_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — no row multiplication, build side deduped."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "rel_join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+""",
+    tags=("join",),
+)
+def rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no large orders.
+
+    (Filtered build side keeps the result non-empty at every sf — at
+    sf0.01+ every customer has at least one order.)"""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "rel_join_cross",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+    tags=("join",),
+)
+def rel_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two broadcast-size dims (5 × 25 rows)."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(F.broadcast(n))
+
+
+@register(
+    "rel_range_join",
+    oracle="""
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+       COUNT(*) AS n_fast_ship
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+""",
+    tags=("join",),
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join + range predicate (BETWEEN on event-time columns)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate").between(
+                F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            )
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+                "order_month"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_fast_ship"))
+    )
+
+
+@register(
+    "rel_scalar_subquery",
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_above_avg
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+""",
+    tags=("join", "subquery"),
+)
+def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (Catalyst plans a broadcast of 1 row)."""
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.select(F.avg("o_totalprice").alias("a"))
+    return (
+        o.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("a"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_window_rank",
+    oracle="""
+SELECT * FROM (
+  SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 4) AS acctbal,
+         ROW_NUMBER()  OVER w AS rn,
+         RANK()        OVER w AS rnk,
+         DENSE_RANK()  OVER w AS drnk,
+         NTILE(4)      OVER w AS quartile
+  FROM customer
+  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+) WHERE rn <= 5
+""",
+    tags=("window",),
+)
+def rel_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over one partition shuffle: top-5 customers/nation."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.round("c_acctbal", 4).alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "rel_window_running",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+       ROUND(LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS prev_price,
+       ROUND(LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS next_price
+FROM orders
+""",
+    bench=True,
+    tags=("window",),
+)
+def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag/lead — one shuffle on o_custkey serves all three."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            4,
+        ).alias("running_spend"),
+        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+    )
+
+
+@register(
+    "rel_window_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+FROM events
+""",
+    tags=("window",),
+)
+def rel_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame (4-row moving average) per user."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
+
+
+@register(
+    "rel_topk_global",
+    oracle="""
+SELECT o_orderkey, ROUND(o_totalprice, 4) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+""",
+    tags=("topk",),
+)
+def rel_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (per-partition heap, no sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("totalprice"))
+    )
+
+
+@register(
+    "rel_topk_per_group",
+    oracle="""
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 4) AS totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+    tags=("topk", "window"),
+)
+def rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k via row_number — single shuffle, rank pushdown-able."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_union",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    tags=("setop",),
+)
+def rel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two filtered scans."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "rel_intersect",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    tags=("setop",),
+)
+def rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers holding both open and finished orders."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "rel_except",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    tags=("setop",),
+)
+def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with open orders but no finished ones."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)  # EXCEPT (set/distinct semantics, like the SQL)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       LOWER(p_name)                              AS name_lower,
+       UPPER(p_type)                              AS type_upper,
+       SUBSTRING(p_name, 1, 4)                    AS name_prefix,
+       CAST(LENGTH(p_name) AS INTEGER)            AS name_len,
+       CONCAT(p_brand, ':', p_type)               AS brand_type,
+       regexp_extract(p_brand, '([0-9]+)', 1)     AS brand_num
+FROM part
+""",
+    tags=("scalar",),
+)
+def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function library (incl. format parity with O27-style output)."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_type").alias("type_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@register(
+    "rel_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate)    AS INTEGER) AS order_year,
+       CAST(month(o_orderdate)   AS INTEGER) AS order_month,
+       CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002
+FROM orders
+""",
+    tags=("scalar",),
+)
+def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function library (timestamp_seconds parity lives in
+    telemetry queries; here: extraction, truncation, differencing)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+@register(
+    "rel_case_when",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       COUNT(*) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1
+""",
+    tags=("scalar",),
+)
+def rel_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bucketing (when/otherwise — O3/O27 parity family)."""
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "rel_json_funcs",
+    oracle="""
+SELECT CAST(props->>'$.k' AS INTEGER) AS k_val, COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1
+""",
+    tags=("scalar", "json"),
+)
+def rel_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (O24 parity family: from_json/get_json_object)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.get_json_object("props", "$.k").cast("int").alias("k_val")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "rel_null_safe_eq",
+    oracle="""
+SELECT COUNT(*) AS n_matching
+FROM (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS s1,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS s2
+      FROM orders)
+WHERE s1 IS NOT DISTINCT FROM s2
+""",
+    tags=("scalar",),
+)
+def rel_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=>) — SURVEY §2.2 predicate surface."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s1"),
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s2"),
+    )
+    return o.filter(F.col("s1").eqNullSafe(F.col("s2"))).agg(
+        F.count(F.lit(1)).alias("n_matching")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time queries (batch shape of the streaming surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_events_hourly",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    bench=True,
+    tags=("events", "agg"),
+)
+def rel_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch twin of the
+    Structured Streaming windowed agg (SURVEY §2.3 event-time row)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_start_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "rel_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+    bench=True,
+    tags=("events", "window"),
+)
+def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — lag + running sum
+    (the batch twin of a session-window streaming agg). One shuffle on
+    user_id serves both window passes."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events")
+    gap_us = 30 * 60 * 1_000_000
+    with_flag = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    with_session = with_flag.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "rel_asof_join",
+    oracle="""
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(s.ts) AS signup_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    bench=True,
+    tags=("events", "join", "asof"),
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase matched to the latest signup
+    at-or-before it, per user. Implemented via the union+window
+    composition in ``operators.asof`` — a single shuffle on the key, no
+    nested-loop join, scales to arbitrarily large sides."""
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="s_ts",
+        payload_cols=["s_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        F.unix_micros("s_ts").alias("signup_ts_us"),
+    )
+
+
+@register(
+    "rel_distinct_rows",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    tags=("setop",),
+)
+def rel_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (hash aggregate, map-side partial)."""
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+@register("rel_approx_distinct", oracle=None, tags=("agg", "approx"))
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No oracle: DuckDB's approx sketch
+    differs; exactness is covered by rel_agg_distinct. Test asserts the
+    estimate is within 5 % of exact."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )

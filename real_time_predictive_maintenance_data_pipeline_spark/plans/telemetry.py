@@ -1,0 +1,79 @@
+"""Telemetry parity query catalog (SURVEY §2.1 operator surface as
+batch queries). The telemetry tables are engine-generated (seeded), not
+driver fixtures, so the DuckDB oracle can't see them — these register
+rows-only; their semantics are pinned by tests/test_generator.py,
+tests/test_ml.py, tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.telemetry import alert_line, parse_payload, to_payload_json
+from ..sources.generator import historical_telemetry, stream_telemetry_batch
+from .registry import register
+
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _model(spark: SparkSession):
+    """Train-once-per-process RF on the seeded historical table (O28)."""
+    if "rf" not in _MODEL_CACHE:
+        from ..ml.anomaly import train
+
+        _MODEL_CACHE["rf"] = train(historical_telemetry(spark))
+    return _MODEL_CACHE["rf"]
+
+
+@register("telemetry_historical_stats", oracle=None, tags=("telemetry",))
+def telemetry_historical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded historical generator (O16–O21) sanity aggregate: exact 5 %
+    labels, per-class sensor stats, clip bound."""
+    h = historical_telemetry(spark)
+    return h.groupBy("is_anomaly").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("temperature"), 2).alias("avg_temp"),
+        F.round(F.avg("vibration"), 2).alias("avg_vib"),
+        F.round(F.min("vibration"), 4).alias("min_vib"),
+    )
+
+
+@register("telemetry_stream_roundtrip", oracle=None, tags=("telemetry",))
+def telemetry_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5+O6+O24 parity loop: struct-pack → to_json → from_json →
+    validate — the serialize/parse path of the stream, batch-shaped."""
+    s = stream_telemetry_batch(spark, n=2000)
+    raw = s.select(
+        to_payload_json(
+            F.col("machineId"),
+            F.col("temperature"),
+            F.col("vibration"),
+            F.col("timestamp"),
+        ).alias("value")
+    )
+    parsed = raw.select(parse_payload(F.col("value")).alias("p")).select("p.*")
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("machineId").isNull().cast("int")).alias("n_bad"),
+        F.round(F.avg("temperature"), 2).alias("avg_temp"),
+        F.round(F.avg("vibration"), 2).alias("avg_vib"),
+    )
+
+
+@register("telemetry_scored_alerts", oracle=None, tags=("telemetry", "ml"))
+def telemetry_scored_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end scoring path (O25–O27): generate stream batch → RF
+    scoring → formatted alert lines; returns per-class counts + one
+    sample line for schema stability."""
+    from ..ml.anomaly import score
+
+    s = stream_telemetry_batch(spark, n=1000)
+    scored = score(_model(spark), s)
+    lines = scored.withColumn(
+        "alert", alert_line(F.col("prediction"), F.col("temperature"), F.col("vibration"))
+    )
+    return lines.groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("alert").alias("sample_alert"),
+    )

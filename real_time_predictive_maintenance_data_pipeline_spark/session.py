@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads),
+but every knob here is chosen for the 100 TB / 1000-executor target:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+  dynamic broadcast-join demotion/promotion).
+- ``spark.sql.shuffle.partitions`` sized for the local harness; on a real
+  cluster AQE's coalescing makes the initial number a ceiling, not a tune.
+- Arrow on for every pandas interchange (Pandas UDFs, ``mapInPandas``).
+- Session timezone pinned UTC — the reference's historical table is
+  tz-aware UTC (generate_historical_data.py:38-40) and its stream carries
+  Unix seconds (IoTSimulator.java:182); UTC keeps both unambiguous.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def spark_confs() -> dict[str, str]:
+    """Engine configuration, applied to the builder or an existing session."""
+    return {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+        ),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Parquet scans: vectorized reader + pushdown are defaults; keep
+        # files per partition large enough that sf0.1 doesn't over-split.
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.parquet.filterPushdown": "true",
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as long (nanos) and convert in the loader.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+
+
+def get_spark(app_name: str = "rtpmdp-engine", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the tuned local session.
+
+    The driver may hand us its own session; query functions never call this —
+    only tests and ``bench.py`` do.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in spark_confs().items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to a session we didn't build
+    (e.g. the driver's). Static confs (driver memory) are skipped."""
+    for k, v in spark_confs().items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep going
+    return spark

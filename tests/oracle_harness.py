@@ -1,0 +1,81 @@
+"""Local mirror of the driver's DuckDB-oracle comparison so oracle
+drift is caught before the driver runs (row count + column names +
+order-insensitive value comparison).
+
+Values are canonicalized (floats to 6 dp, timestamps/dates to ISO
+strings, arrays to tuples) then compared as sorted multisets — a
+stricter check than a hash because mismatches show diffs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from typing import Any
+
+import duckdb
+
+from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+    TABLES,
+    table_path,
+)
+
+
+def _canon(v: Any) -> Any:
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    """Assert spark result == duckdb result (order-insensitive)."""
+    duck = con.execute(sql)
+    duck_cols = [d[0] for d in duck.description]
+    duck_rows = duck.fetchall()
+
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    assert sorted(c.lower() for c in spark_cols) == sorted(
+        c.lower() for c in duck_cols
+    ), f"column mismatch: spark={spark_cols} duck={duck_cols}"
+
+    # Reorder both to sorted column order by name.
+    s_idx = [spark_cols.index(c) for c in sorted(spark_cols, key=str.lower)]
+    d_idx = [duck_cols.index(c) for c in sorted(duck_cols, key=str.lower)]
+    s_set = sorted(
+        (tuple(_canon(r[i]) for i in s_idx) for r in spark_rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    d_set = sorted(
+        (tuple(_canon(r[i]) for i in d_idx) for r in duck_rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    assert len(s_set) == len(d_set), f"row count: spark={len(s_set)} duck={len(d_set)}"
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_set, d_set)) if a != b
+    ]
+    assert not mismatches, f"value mismatch (first 5): {mismatches[:5]}"

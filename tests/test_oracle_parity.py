@@ -1,0 +1,38 @@
+"""Driver-harness mirror: every oracled query in the registry must
+hash-match DuckDB at sf0.001 (fast loop; driver re-checks at sf0.01).
+Rows-only queries must at least execute and return a stable schema.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+from .conftest import SF_SMOKE
+from .oracle_harness import compare, duck_connection
+
+QUERIES = all_queries()
+ORACLED = sorted(n for n, q in QUERIES.items() if q.oracle)
+ROWS_ONLY = sorted(n for n, q in QUERIES.items() if not q.oracle)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(spark, duck, name):
+    q = QUERIES[name]
+    compare(q.spark(spark, SF_SMOKE), duck, q.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    q = QUERIES[name]
+    df = q.spark(spark, SF_SMOKE)
+    assert df.columns  # stable schema
+    assert df.count() >= 0
