@@ -1,0 +1,67 @@
+"""Benchmark harness (driver contract).
+
+Runs the bench-tagged headline queries from the catalog at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced through the noop sink so the full plan executes
+(count() alone lets Spark prune the compute we're trying to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+from real_time_predictive_maintenance_data_pipeline_spark.session import get_spark
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("rtpmdp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = {n: q for n, q in all_queries().items() if q.bench}
+
+    # Warm the executors/codegen once so per-query numbers measure the
+    # plan, not JVM spin-up.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        q = queries[name]
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

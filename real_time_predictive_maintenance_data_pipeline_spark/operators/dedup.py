@@ -55,23 +55,38 @@ def ngram_jaccard_pairs(
     jaccard = |A ∩ B| / |A ∪ B| over distinct whitespace tokens.
     Quadratic within block — pick blocking keys so group sizes stay
     bounded (lang × length-bucket at real scale).
+
+    Physical strategy: the blocking key is LOW-cardinality (5 langs), so
+    an equi-join on it would collapse onto 5 shuffle keys (5 active
+    tasks). Instead the right side is broadcast and the left side
+    repartitioned round-robin, so pair generation parallelizes over
+    left rows. A size-ratio prune (J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|)
+    ≥ t) runs as a cheap int predicate inside the join, skipping the
+    expensive array intersection for most pairs.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounded.
     """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     d = df.select(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__blk"),
         distinct_tokens(F.col(text_col)).alias("__words"),
-    )
-    a = d.alias("a")
+    ).withColumn("__n", F.size("__words"))
+    a = d.repartition(n_parts).alias("a")
     b = d.alias("b")
+    size_prune = (
+        F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
+        / F.greatest(F.col("a.__n"), F.col("b.__n"))
+        >= threshold
+    )
     inter = F.size(F.array_intersect(F.col("a.__words"), F.col("b.__words")))
-    union = F.size(F.array_union(F.col("a.__words"), F.col("b.__words")))
+    union = (F.col("a.__n") + F.col("b.__n") - inter).cast("double")
     jac = F.round(inter.cast("double") / union, 4)
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.__blk") == F.col("b.__blk"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            & size_prune,
         )
         .select(
             F.col("a.__id").alias("doc_a"),
@@ -87,38 +102,78 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.9,
-    num_hash_tables: int = 8,
-    num_features: int = 1 << 18,
+    bands: int = 4,
+    rows_per_band: int = 8,
 ) -> DataFrame:
-    """Approximate Jaccard near-dup pairs via MinHashLSH banding.
+    """Approximate Jaccard near-dup pairs via banded MinHash LSH
+    (shingle → minhash → band → bucket-join → exact verify).
 
-    word set → binary HashingTF vector → MinHash signatures →
-    ``approxSimilarityJoin`` at distance 1 - threshold. Linear-time
-    candidate generation (shuffle on hash buckets), the scale path when
-    no blocking key bounds the corpus.
-    Returns (doc_a, doc_b, jaccard_dist) with doc_a < doc_b.
+    MLlib's MinHashLSH only OR-combines single minhashes — on corpora
+    with high base similarity every pair becomes a candidate (measured
+    422 s at sf0.1 here). This is the classic AND/OR construction
+    instead: k = bands×rows_per_band minhashes per doc
+    (``min(xxhash64(band_salt, word))``), each band's r-slice hashed to
+    one bucket key; docs sharing any (band, bucket) become candidates;
+    candidates are verified with EXACT jaccard, so precision is 1.0 and
+    only recall is probabilistic (P ≈ 1-(1-J^r)^b ≈ 0.89 at J=0.9 with
+    b=4, r=8; →1 as J→1).
+
+    Scale: candidate generation is linear (explode b rows/doc, shuffle
+    on well-distributed (band, bucket) keys); the only quadratic term
+    is within identical buckets — i.e. actual near-dup clusters.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounded.
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
+    k = bands * rows_per_band
     d = df.select(
-        F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("words")
-    ).filter(F.size("words") > 0)
-    tf = HashingTF(
-        inputCol="words", outputCol="features", numFeatures=num_features, binary=True
-    )
-    feats = tf.transform(d)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(
-        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist"
-    )
-    return (
-        pairs.select(
-            F.col("datasetA.id").alias("doc_a"),
-            F.col("datasetB.id").alias("doc_b"),
-            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        F.col(id_col).alias("__id"),
+        distinct_tokens(F.col(text_col)).alias("__words"),
+    ).filter(F.size("__words") > 0)
+
+    # k seeded minhashes, then one 64-bit bucket key per band.
+    # NB: the salt must be closed over via a factory — a `lambda w, i=i`
+    # two-arg lambda would make Spark bind i to the array-index argument
+    # of transform(), silently collapsing every minhash to one function.
+    def _minhash(i: int):
+        return F.array_min(
+            F.transform("__words", lambda w: F.xxhash64(F.lit(i), w))
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+
+    minhashes = [_minhash(i) for i in range(k)]
+    band_keys = [
+        F.xxhash64(*minhashes[b * rows_per_band : (b + 1) * rows_per_band])
+        for b in range(bands)
+    ]
+    # Candidate generation moves only (id, band, bucket) — 24 bytes/row;
+    # word arrays are re-attached after the pair-dedup so the heavy
+    # columns never enter the bucket join or the dropDuplicates shuffle.
+    sigs = d.select(
+        "__id", F.posexplode(F.array(*band_keys)).alias("__band", "__bucket")
+    )
+    a = sigs.alias("a")
+    b_ = sigs.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    wa = d.select(F.col("__id").alias("doc_a"), F.col("__words").alias("__wa"))
+    wb = d.select(F.col("__id").alias("doc_b"), F.col("__words").alias("__wb"))
+    verified = candidates.join(F.broadcast(wa), "doc_a").join(
+        F.broadcast(wb), "doc_b"
+    )
+    inter = F.size(F.array_intersect("__wa", "__wb"))
+    union = (F.size("__wa") + F.size("__wb") - inter).cast("double")
+    jac = F.round(inter.cast("double") / union, 4)
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= jaccard_threshold
     )
 
 

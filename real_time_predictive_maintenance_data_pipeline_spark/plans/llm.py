@@ -159,8 +159,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_minhash_lsh", oracle=None, bench=True, tags=("dedup", "approx"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH near-dup candidates (approx Jaccard ≥ 0.9). Rows-only
-    check; recall vs the exact jaccard pairs is asserted in tests."""
+    """Banded MinHash LSH near-dup pairs (approx candidates, exact
+    verify, Jaccard ≥ 0.9). Rows-only check; recall vs the exact
+    jaccard pairs is asserted in tests."""
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), jaccard_threshold=0.9).select(
         "doc_a", "doc_b"
     )
