@@ -68,4 +68,42 @@ def apply_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a running session — keep going
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF closures reference module functions, which cloudpickle
+    serializes *by reference* — workers must import the module. A driver
+    that put the repo on its own ``sys.path`` (not ``PYTHONPATH``) runs
+    fine until the first UDF task, then workers raise
+    ``ModuleNotFoundError``. Shipping a zip via ``addPyFile`` fixes this
+    everywhere: local mode, a real cluster, or a driver running from any
+    cwd. Idempotent per JVM (re-adding the same path is a no-op warn).
+    """
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        spark.sparkContext._temp_dir
+        if hasattr(spark.sparkContext, "_temp_dir")
+        else "/tmp",
+        f"{pkg_name}.zip",
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this JVM

@@ -1,0 +1,14 @@
+"""Structured Streaming surface: simulator source (O1–O7), parse +
+quarantine (O24/O15), lake sink (O11–O15), scoring stream (O23–O27),
+and the improvement-mode stateful ops (dedup, event-time windows)."""
+
+from .pipeline import (  # noqa: F401
+    dedup_stream,
+    lake_sink,
+    parse_telemetry,
+    quarantine_sink,
+    quarantine_split,
+    scored_alert_stream,
+    windowed_stats_stream,
+)
+from .simulator import payload_stream, telemetry_stream  # noqa: F401

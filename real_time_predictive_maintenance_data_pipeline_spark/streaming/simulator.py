@@ -1,0 +1,74 @@
+"""Streaming telemetry simulator — the reference's Phase-1 hot path
+(IoTSimulator.java:153-188) as one declarative Structured Streaming
+query: rate source → column program → JSON payloads.
+
+Reference dataflow vs engine plan (SURVEY §3.1):
+- 1 s publish loop + sleep  → ``rate`` source, rowsPerSecond=1 (O1)
+- uniform draws (O2)        → ``rand(seed) * (max-min) + min``
+- Bernoulli anomaly (O3)    → ``when(rand() < 0.10, col + delta)``
+- current-time stamp (O4)   → rate source's own event timestamp, cast
+  to Unix seconds (parity with currentTimeMillis()/1000, :182)
+- struct + Gson JSON (O5,O6)→ ``to_json(struct(...))``
+- MQTT QoS-1 publish (O7)   → any sink (memory/kafka/file); Spark's
+  checkpointed delivery is at-least-once or better, satisfying QoS 1.
+
+Rates far beyond 1 row/s are a config knob here (the reference's loop
+is hard-bound at 1 Hz; rate source scales to millions/s across
+partitions — the 100 TB path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.telemetry import to_payload_json
+from ..sources.generator import (
+    ANOMALY_PROBABILITY,
+    ANOMALY_TEMP_DELTA,
+    ANOMALY_VIB_DELTA,
+    MACHINE_ID,
+    TEMP_MAX,
+    TEMP_MIN,
+    VIB_MAX,
+    VIB_MIN,
+)
+
+
+def telemetry_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1,
+    num_partitions: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming DataFrame of telemetry rows (machineId, temperature,
+    vibration, timestamp:long Unix-seconds)."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+    is_anom = F.rand(seed) < ANOMALY_PROBABILITY
+    temp = F.rand(seed + 1) * (TEMP_MAX - TEMP_MIN) + TEMP_MIN
+    vib = F.rand(seed + 2) * (VIB_MAX - VIB_MIN) + VIB_MIN
+    return rate.select(
+        F.lit(MACHINE_ID).alias("machineId"),
+        F.when(is_anom, temp + ANOMALY_TEMP_DELTA).otherwise(temp).alias("temperature"),
+        F.when(is_anom, vib + ANOMALY_VIB_DELTA).otherwise(vib).alias("vibration"),
+        F.col("timestamp").cast("long").alias("timestamp"),
+    )
+
+
+def payload_stream(spark: SparkSession, **kwargs) -> DataFrame:
+    """Telemetry stream serialized to one JSON string column ``value``
+    (the wire format published on factory/telemetry, README.md:118-127)."""
+    t = telemetry_stream(spark, **kwargs)
+    return t.select(
+        to_payload_json(
+            F.col("machineId"),
+            F.col("temperature"),
+            F.col("vibration"),
+            F.col("timestamp"),
+        ).alias("value")
+    )

@@ -1,0 +1,211 @@
+"""Streaming tests (SURVEY §5.2 #5): memory-sink checks for the
+simulator source, the parse/quarantine split, the scored-alert stream,
+the gzip partitioned lake sink, and watermarked stateful ops.
+
+File-source tests drain a fixed directory with ``availableNow`` — fully
+deterministic. The rate-source test polls a live memory sink briefly.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_predictive_maintenance_data_pipeline_spark.ml.anomaly import train
+from real_time_predictive_maintenance_data_pipeline_spark.sources.generator import (
+    historical_telemetry,
+    stream_telemetry_batch,
+)
+from real_time_predictive_maintenance_data_pipeline_spark.streaming import (
+    dedup_stream,
+    lake_sink,
+    parse_telemetry,
+    quarantine_sink,
+    quarantine_split,
+    scored_alert_stream,
+    telemetry_stream,
+    windowed_stats_stream,
+)
+
+N_GOOD = 200
+BAD_LINES = ['{"not json', '{"machineId":"X","temperature":"oops"}', ""]
+
+
+@pytest.fixture()
+def payload_dir(spark, tmp_path):
+    """A directory of wire-format JSON payload lines: N_GOOD valid rows
+    (serialized from the seeded generator) + 3 malformed/invalid lines
+    (the two drop paths of realtime_inference.py:101-114)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.functions.telemetry import (
+        to_payload_json,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rows = (
+        stream_telemetry_batch(spark, n=N_GOOD)
+        .select(
+            to_payload_json(
+                F.col("machineId"),
+                F.col("temperature"),
+                F.col("vibration"),
+                F.col("timestamp"),
+            ).alias("v")
+        )
+        .collect()
+    )
+    (d / "good.json").write_text("\n".join(r.v for r in rows))
+    (d / "bad.json").write_text("\n".join(BAD_LINES))
+    return str(d)
+
+
+def _read_lines(spark, path):
+    return spark.readStream.text(path)  # column: value
+
+
+def _drain_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_parse_and_quarantine_split(spark, payload_dir, tmp_path):
+    raw = _read_lines(spark, payload_dir)
+    good, bad = quarantine_split(parse_telemetry(raw))
+    _drain_to_memory(good, "t_good")
+    _drain_to_memory(bad, "t_bad")
+    good_rows = spark.table("t_good")
+    assert good_rows.count() == N_GOOD
+    assert good_rows.columns == ["machineId", "temperature", "vibration", "timestamp"]
+    bad_rows = [r.value for r in spark.table("t_bad").collect()]
+    # empty line parses to null struct but also comes through the text
+    # source as... nothing; the two non-empty bad lines must quarantine.
+    assert '{"not json' in bad_rows
+    assert any("oops" in v for v in bad_rows)
+    assert not any(v.startswith('{"machineId":"NC_') and "oops" not in v for v in bad_rows)
+
+
+def test_scored_alert_stream(spark, payload_dir):
+    model = train(historical_telemetry(spark))
+    raw = _read_lines(spark, payload_dir)
+    good, _ = quarantine_split(parse_telemetry(raw))
+    alerts = scored_alert_stream(model, good)
+    _drain_to_memory(alerts, "t_alerts")
+    out = spark.table("t_alerts")
+    assert out.count() == N_GOOD
+    row = out.agg(
+        F.sum((F.col("prediction") == 1).cast("int")).alias("n_alert"),
+        F.sum(((F.col("temperature") > 80.0) != (F.col("prediction") == 1)).cast("int")).alias(
+            "n_mismatch"
+        ),
+    ).first()
+    assert row.n_mismatch == 0  # spikes alert, normals don't
+    assert 0 < row.n_alert < N_GOOD
+    sample = out.filter(F.col("prediction") == 1).select("alert").first().alert
+    assert "[ALERT] ANOMALY DETECTED!" in sample and "\x1b[91m" in sample
+    normal = out.filter(F.col("prediction") == 0).select("alert").first().alert
+    assert "[NORMAL]" in normal and "mm/s" in normal
+
+
+def test_lake_sink_gzip_partitioned(spark, payload_dir, tmp_path):
+    """O11–O15: gzip JSON files under telemetry/year=/month=/day=/hour=,
+    quarantined payloads under telemetry_errors/."""
+    raw = _read_lines(spark, payload_dir)
+    good, bad = quarantine_split(parse_telemetry(raw))
+    lake = str(tmp_path / "lake")
+    q1 = lake_sink(good, lake, str(tmp_path / "ck1"), available_now=True)
+    q2 = quarantine_sink(bad, lake, str(tmp_path / "ck2"), available_now=True)
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+
+    gz = glob.glob(f"{lake}/telemetry/year=*/month=*/day=*/hour=*/*.json.gz")
+    assert gz, "no gzip partitioned output files"
+    recs = []
+    for f in gz:
+        with gzip.open(f, "rt") as fh:
+            recs += [json.loads(line) for line in fh if line.strip()]
+    assert len(recs) == N_GOOD
+    assert set(recs[0]) == {"machineId", "temperature", "vibration", "timestamp"}
+
+    err_files = glob.glob(f"{lake}/telemetry_errors/*.txt")
+    err_lines = [ln for f in err_files for ln in open(f).read().splitlines() if ln]
+    assert len(err_lines) == 2  # both non-empty bad payloads
+
+
+def test_dedup_within_watermark(spark, payload_dir, tmp_path):
+    """Improvement mode: QoS-1 duplicate delivery collapsed on
+    (machineId, timestamp)."""
+    raw = _read_lines(spark, payload_dir).union(_read_lines(spark, payload_dir))
+    good, _ = quarantine_split(parse_telemetry(raw))
+    _drain_to_memory(dedup_stream(good), "t_dedup")
+    assert spark.table("t_dedup").count() == N_GOOD
+
+
+def test_windowed_stats(spark, payload_dir):
+    """Tumbling 1-min event-time windows: generator emits 1 row/s from a
+    fixed epoch → N_GOOD rows spread over ceil(200/60)=4 windows."""
+    raw = _read_lines(spark, payload_dir)
+    good, _ = quarantine_split(parse_telemetry(raw))
+    stats = windowed_stats_stream(good, window="1 minute")
+    # append mode only emits windows finalized by a LATER batch's
+    # watermark; a bounded availableNow drain never runs one, so read
+    # the full state with complete mode instead.
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("t_win")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("t_win")
+    wins = out.collect()
+    assert len(wins) == 4
+    assert sum(r.n for r in wins) == N_GOOD
+    for r in wins:
+        assert 65.0 <= r.avg_temp <= 85.0
+
+
+def test_rate_simulator_live(spark):
+    """O1–O7 live: the rate-source simulator produces schema-stable rows
+    within a few seconds."""
+    stream = telemetry_stream(spark, rows_per_second=50, num_partitions=2)
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == [
+        "machineId",
+        "temperature",
+        "vibration",
+        "timestamp",
+    ]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_live")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("t_live").count()
+            if n >= 20:
+                break
+            time.sleep(1)
+        assert n >= 20
+        row = spark.table("t_live").agg(
+            F.min("temperature").alias("lo"), F.max("temperature").alias("hi")
+        ).first()
+        assert 65.0 <= row.lo and row.hi <= 85.0
+    finally:
+        q.stop()
