@@ -124,10 +124,24 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounded.
     """
     k = bands * rows_per_band
-    d = df.select(
-        F.col(id_col).alias("__id"),
-        distinct_tokens(F.col(text_col)).alias("__words"),
-    ).filter(F.size("__words") > 0)
+    # Tokens are hashed to 64-bit longs ONCE up front: every later stage
+    # (32 minhash passes, the pairwise intersections) then works on long
+    # arrays instead of strings — far cheaper to hash, compare, and
+    # shuffle. Jaccard over hashed tokens equals word Jaccard up to
+    # xxhash64 collisions (P ≈ n²·2⁻⁶⁵ per doc — negligible).
+    d = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(
+                F.transform(distinct_tokens(F.col(text_col)), lambda w: F.xxhash64(w))
+            ).alias("__h"),
+        )
+        .filter(F.size("__h") > 0)
+        .withColumn("__n", F.size("__h"))
+    )
+    # The tokenized frame feeds three plan branches (signatures + both
+    # sides of the verify join); persist so tokenize+hash runs once.
+    d = d.persist()
 
     # k seeded minhashes, then one 64-bit bucket key per band.
     # NB: the salt must be closed over via a factory — a `lambda w, i=i`
@@ -135,7 +149,7 @@ def minhash_lsh_pairs(
     # of transform(), silently collapsing every minhash to one function.
     def _minhash(i: int):
         return F.array_min(
-            F.transform("__words", lambda w: F.xxhash64(F.lit(i), w))
+            F.transform("__h", lambda h: F.xxhash64(F.lit(i), h))
         )
 
     minhashes = [_minhash(i) for i in range(k)]
@@ -144,7 +158,7 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     # Candidate generation moves only (id, band, bucket) — 24 bytes/row;
-    # word arrays are re-attached after the pair-dedup so the heavy
+    # token arrays are re-attached after the pair-dedup so the heavy
     # columns never enter the bucket join or the dropDuplicates shuffle.
     sigs = d.select(
         "__id", F.posexplode(F.array(*band_keys)).alias("__band", "__bucket")
@@ -164,13 +178,27 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    wa = d.select(F.col("__id").alias("doc_a"), F.col("__words").alias("__wa"))
-    wb = d.select(F.col("__id").alias("doc_b"), F.col("__words").alias("__wb"))
-    verified = candidates.join(F.broadcast(wa), "doc_a").join(
-        F.broadcast(wb), "doc_b"
+    # Verify joins carry (id, hashes) only; no broadcast hint — at sf0.01
+    # AQE promotes them to broadcast, at 100 TB the corpus side cannot be
+    # broadcast and these become shuffle joins on well-spread doc ids.
+    wa = d.select(
+        F.col("__id").alias("doc_a"), F.col("__h").alias("__ha"), F.col("__n").alias("__na")
     )
-    inter = F.size(F.array_intersect("__wa", "__wb"))
-    union = (F.size("__wa") + F.size("__wb") - inter).cast("double")
+    wb = d.select(
+        F.col("__id").alias("doc_b"), F.col("__h").alias("__hb"), F.col("__n").alias("__nb")
+    )
+    # Size-ratio prune: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t — a cheap
+    # int predicate that skips the O(|A|+|B|) intersection for most
+    # false candidates.
+    size_ok = (
+        F.least("__na", "__nb").cast("double") / F.greatest("__na", "__nb")
+        >= jaccard_threshold
+    )
+    verified = (
+        candidates.join(wa, "doc_a").join(wb, "doc_b").filter(size_ok)
+    )
+    inter = F.size(F.array_intersect("__ha", "__hb"))
+    union = (F.col("__na") + F.col("__nb") - inter).cast("double")
     jac = F.round(inter.cast("double") / union, 4)
     return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= jaccard_threshold

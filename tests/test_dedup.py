@@ -1,0 +1,87 @@
+"""Dedup-family semantics tests (SURVEY §2.4) at sf0.01.
+
+The MinHash LSH path is probabilistic in RECALL only (candidates are
+verified with exact Jaccard, so precision is 1.0 by construction); the
+recall floor asserted here is the b=4, r=8 banding bound
+P(candidate) = 1-(1-J^r)^b ≈ 0.89 at J = 0.9, → 1 as J → 1.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_predictive_maintenance_data_pipeline_spark.operators import dedup as D
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _pair_set(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = D.exact_dedup(docs)
+    total = out.agg(F.sum("n_copies").alias("s"), F.count(F.lit(1)).alias("g")).first()
+    assert total.s == docs.count()  # every row in exactly one group
+    assert total.g <= docs.count()
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs):
+    """Every LSH pair must be a true ≥0.9-Jaccard pair (precision 1.0);
+    recall vs the exact pair set ≥ 0.8 (banding bound minus slack)."""
+    exact = _pair_set(
+        D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.9).select(
+            "doc_a", "doc_b"
+        )
+    )
+    lsh_df = D.minhash_lsh_pairs(docs, jaccard_threshold=0.9)
+    lsh = _pair_set(lsh_df.select("doc_a", "doc_b"))
+    assert exact, "fixture must contain near-dup pairs"
+    # LSH is unblocked: it may legitimately find cross-lang pairs the
+    # lang-blocked exact join can't see, so recall is measured against
+    # the blocked exact set and precision via the verified jaccard.
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.3f} below banding floor"
+    # precision: verified jaccard must be >= threshold for every emitted pair
+    bad = lsh_df.filter(F.col("jaccard") < 0.9).count()
+    assert bad == 0
+
+
+def test_minhash_jaccard_matches_exact(spark, docs):
+    """Hashed-token Jaccard == word Jaccard (no collisions at this scale):
+    join LSH pairs to the exact computation and compare values."""
+    lsh = D.minhash_lsh_pairs(docs, jaccard_threshold=0.9).alias("l")
+    exact = D.ngram_jaccard_pairs(docs, block_col="lang", threshold=0.9).alias("e")
+    joined = lsh.join(exact, ["doc_a", "doc_b"]).select(
+        (F.col("l.jaccard") - F.col("e.jaccard")).alias("diff")
+    )
+    max_diff = joined.agg(F.max(F.abs("diff"))).first()[0]
+    assert max_diff is not None and max_diff == 0.0
+
+
+def test_simhash_near_dup_hamming(spark, docs):
+    """Near-identical docs (J≥0.9) must sit within small Hamming distance;
+    the signature is deterministic."""
+    sigs1 = {r.doc_id: r.simhash for r in D.simhash_signatures(docs).collect()}
+    sigs2 = {r.doc_id: r.simhash for r in D.simhash_signatures(docs).collect()}
+    assert sigs1 == sigs2  # deterministic
+    near = D.ngram_jaccard_pairs(docs, threshold=0.95).select("doc_a", "doc_b").collect()
+    assert near
+    mask = (1 << 64) - 1  # signatures are signed longs; mask before popcount
+    for r in near[:200]:
+        ham = bin((sigs1[r.doc_a] ^ sigs1[r.doc_b]) & mask).count("1")
+        assert ham <= 16, f"J>=0.95 pair at hamming {ham}"
+
+
+def test_simhash_pairs_blocked(spark, docs):
+    out = D.simhash_pairs(docs, max_hamming=8)
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"), F.max("hamming").alias("hmax")
+    ).first()
+    assert row.n > 0 and row.hmax <= 8
