@@ -1022,3 +1022,272 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style headline queries (widened bench surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    bench=True,
+    tags=("agg", "scan"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style revenue forecast: the pure pushdown showcase.
+
+    All four predicates reach the parquet scan (PushedFilters) and only
+    3 columns are read (ReadSchema) — at 100 TB this is the difference
+    between scanning ~4 % of bytes and all of them."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    bench=True,
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: who returned the most revenue.
+
+    Plan shape: lineitem filter pushes to scan; fact⋈fact shuffles on
+    orderkey/custkey; nation (25 rows) broadcast; final top-20 is
+    TakeOrderedAndProject — no global sort. Tie-break on c_custkey keeps
+    the LIMIT deterministic across engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(revenue, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+       ROUND(o.o_totalprice, 4) AS o_totalprice,
+       ROUND(SUM(l.l_quantity), 4) AS sum_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    bench=True,
+    tags=("join", "agg", "subquery", "topk"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: self-referential semi-join.
+
+    The HAVING subquery becomes a pre-aggregated keys frame left-semi
+    joined into lineitem — one extra shuffle on orderkey that AQE can
+    co-locate with the main join's shuffle (same key)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 150)
+    ).select("l_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l.join(big, "l_orderkey", "left_semi"), o.o_orderkey == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _dstr("o_orderdate").alias("o_orderdate_s"),
+            F.round(F.col("o_totalprice"), 4).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / higher-order functions, percentiles, multiset ops, file sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_array_funcs",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(SQRT(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+       ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS max_val
+FROM embeddings
+""",
+    tags=("functions", "array"),
+)
+def rel_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/aggregate/array_max) over
+    the embedding column — pure JVM expressions, no UDF, no shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    max_val = F.array_max(F.transform("embedding", lambda x: x.cast("double")))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(max_val, 4).alias("max_val"),
+    )
+
+
+@register(
+    "rel_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). Scale note: exact percentile sorts per
+    group in memory — at 100 TB swap to ``approx_percentile`` (t-digest,
+    mergeable map-side) and accept the epsilon."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "rel_except_all",
+    oracle="""
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'view')
+EXCEPT ALL
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'purchase')
+""",
+    tags=("setop",),
+)
+def rel_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (bag semantics — duplicates preserved by
+    count difference), vs rel_except's set semantics."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return views.exceptAll(buys)
+
+
+@register(
+    "rel_intersect_all",
+    oracle="""
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'view')
+INTERSECT ALL
+SELECT user_id FROM (SELECT user_id FROM events WHERE event_type = 'cart')
+""",
+    tags=("setop",),
+)
+def rel_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (min of per-side multiplicities)."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    carts = ev.filter(F.col("event_type") == "cart").select("user_id")
+    return views.intersectAll(carts)
+
+
+@register(
+    "src_csv_roundtrip",
+    oracle="""
+SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+FROM nation GROUP BY n_regionkey
+""",
+    tags=("source",),
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source (O21 parity surface): write nation to CSV with
+    header, read it back with an explicit schema, aggregate. Proves the
+    csv connector round-trips values losslessly."""
+    import tempfile
+
+    n = _t(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="rtpmdp_csv_")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .csv(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@register(
+    "src_json_roundtrip",
+    oracle="""
+SELECT r_regionkey, r_name FROM region
+""",
+    tags=("source",),
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source with gzip (O6/O14 batch surface): write
+    region as gzipped JSON, read it back schema-first."""
+    import tempfile
+
+    r = _t(spark, sf_dir, "region")
+    path = tempfile.mkdtemp(prefix="rtpmdp_json_")
+    r.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.schema("r_regionkey BIGINT, r_name STRING").json(path)
+    return back.select("r_regionkey", "r_name")
