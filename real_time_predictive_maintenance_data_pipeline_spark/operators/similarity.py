@@ -154,3 +154,84 @@ def lsh_similar_pairs(
         )
         .filter(F.col("vec_a") < F.col("vec_b"))
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine search — the
+    100 TB scale path for ANN.
+
+    Index build: MLlib KMeans coarse quantizer with ``nlist`` centroids;
+    each corpus vector is assigned to its nearest cell (one distributed
+    pass, the "inverted lists" are just a cell-id column — at scale,
+    persist the corpus bucketed/partitioned BY that column so a probe
+    touches only matching files).
+
+    Search: each query scores the (tiny, broadcast) centroid table,
+    keeps its ``nprobe`` nearest cells, and equi-joins the corpus on
+    cell id — so only ~nprobe/nlist of the corpus is scored per query,
+    vs 100 % for brute force. Join key cardinality = |queries|×nprobe;
+    skew is bounded by KMeans balance, and AQE skew-split covers hot
+    cells.
+
+    Recall is probabilistic (a true neighbor can live in an unprobed
+    cell); tests assert recall@k ≥ 0.7 vs ``brute_force_topk`` at
+    nprobe/nlist = 6/16 (the corpus is near-random unit vectors — the
+    hardest case for IVF; structured embeddings cluster far better). Returns (query_id, vec_id, score, rank).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import vector_to_array
+
+    feats = _to_mllib_vectors(embeddings, vec_col).select(
+        F.col(id_col), as_double(vec_col).alias("__vec"), F.col("__features")
+    )
+    km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
+    model = km.fit(feats)
+
+    corpus = model.transform(feats).select(id_col, "__vec", "__cell")
+
+    # Centroid table: nlist rows — broadcast everywhere.
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema=f"__cell INT, __cvec ARRAY<DOUBLE>",
+    )
+
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("__qvec"))
+    # Rank cells per query by centroid cosine; keep nprobe.
+    qc = q.crossJoin(F.broadcast(centroids)).select(
+        query_id_col,
+        "__qvec",
+        "__cell",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("__csim"),
+    )
+    w_cell = Window.partitionBy(query_id_col).orderBy(
+        F.col("__csim").desc(), F.col("__cell")
+    )
+    probes = qc.select(
+        query_id_col, "__qvec", "__cell", F.row_number().over(w_cell).alias("__r")
+    ).filter(F.col("__r") <= nprobe)
+
+    # Probe join: corpus side shuffles on __cell once (or not at all if
+    # pre-partitioned by cell); probe side is |queries|×nprobe rows.
+    scored = (
+        corpus.join(F.broadcast(probes.select(query_id_col, "__qvec", "__cell")), "__cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("__qvec"), F.col("__vec")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.select(
+        query_id_col, id_col, "score", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)

@@ -288,3 +288,15 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decode step is a deterministic stub — no media codecs in container)."""
     d = M.attach_binary_payload(_docs(spark, sf_dir))
     return M.extract_features(d)
+
+
+@register("sim_ivf_topk", oracle=None, tags=("similarity", "approx"))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer, nprobe cell probing) — the
+    100 TB-scale ANN path. Rows-only; recall@k vs brute force asserted
+    in tests/test_similarity.py."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_topk(e, q, k=3, nlist=16, nprobe=6)

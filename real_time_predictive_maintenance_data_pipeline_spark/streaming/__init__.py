@@ -12,3 +12,4 @@ from .pipeline import (  # noqa: F401
     windowed_stats_stream,
 )
 from .simulator import payload_stream, telemetry_stream  # noqa: F401
+from .stateful import alarm_transitions  # noqa: F401

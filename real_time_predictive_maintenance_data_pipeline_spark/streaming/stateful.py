@@ -1,0 +1,109 @@
+"""Custom stateful streaming operator: per-machine alarm state machine.
+
+The reference scores each record independently and prints one line per
+record (realtime_inference.py:117-139) — it cannot express "alert only
+after N consecutive anomalies" because it keeps no state. This operator
+is the engine's stateful extension (SURVEY §2.3 state row): an
+``applyInPandasWithState`` state machine that tracks consecutive
+anomaly runs per machine and emits a row only on state *transitions*
+(NORMAL→ALARM after ``threshold`` consecutive anomalies, ALARM→NORMAL
+on the first clean record).
+
+Scale design:
+- State is keyed by machineId — the same key the reference shards on
+  (phase2-iot-kinesis.yaml:66) — so state lives where the data already
+  hashes; adding machines scales horizontally with zero rebalancing
+  logic of our own.
+- Per-key state is O(1) (run length + flag), not a window buffer, so
+  state-store size is #machines × ~48 bytes regardless of rate.
+- Arrow-batched: each micro-batch group arrives as pandas DataFrames;
+  the transition scan is a vectorized-ish tight loop over one machine's
+  batch, not per-record Python callbacks across the stream.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+#: Emitted only on transitions.
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("machineId", StringType()),
+        StructField("timestamp", LongType()),
+        StructField("state", StringType()),  # 'ALARM' | 'NORMAL'
+        StructField("run_length", IntegerType()),
+    ]
+)
+
+#: (consecutive anomaly run, currently in alarm)
+STATE_SCHEMA = StructType(
+    [
+        StructField("run", IntegerType()),
+        StructField("in_alarm", IntegerType()),
+    ]
+)
+
+
+def _make_fn(threshold: int):
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"], state: Any) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (machine_id,) = key
+        run, in_alarm = state.get if state.exists else (0, 0)
+        out_ts, out_state, out_run = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp")
+            for ts, pred in zip(pdf["timestamp"], pdf["prediction"]):
+                if pred == 1:
+                    run += 1
+                    if not in_alarm and run >= threshold:
+                        in_alarm = 1
+                        out_ts.append(int(ts))
+                        out_state.append("ALARM")
+                        out_run.append(run)
+                else:
+                    if in_alarm:
+                        out_ts.append(int(ts))
+                        out_state.append("NORMAL")
+                        out_run.append(run)
+                    run = 0
+                    in_alarm = 0
+        state.update((run, in_alarm))
+        yield pd.DataFrame(
+            {
+                "machineId": [machine_id] * len(out_ts),
+                "timestamp": out_ts,
+                "state": out_state,
+                "run_length": out_run,
+            }
+        )
+
+    return fn
+
+
+def alarm_transitions(scored: DataFrame, threshold: int = 3) -> DataFrame:
+    """Streaming state machine over a scored stream.
+
+    ``scored`` must carry (machineId, timestamp, prediction∈{0,1}) —
+    the output of ``scored_alert_stream`` or any upstream scorer.
+    Emits (machineId, timestamp, state, run_length) transition rows.
+    """
+    return scored.groupBy("machineId").applyInPandasWithState(
+        _make_fn(threshold),
+        outputStructType=TRANSITION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -209,3 +209,62 @@ def test_rate_simulator_live(spark):
         assert 65.0 <= row.lo and row.hi <= 85.0
     finally:
         q.stop()
+
+
+def test_alarm_state_machine(spark, tmp_path):
+    """applyInPandasWithState transitions: 3 consecutive anomalies →
+    one ALARM row; first clean record after → one NORMAL row. State
+    carries across micro-batches (two input files → two batches)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.streaming.stateful import (
+        alarm_transitions,
+    )
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    # machine M1: 2 anomalies (no alarm) then clean; M2: 4 anomalies
+    # split across files (alarm fires at 3rd, i.e. ts=102), clean at 110.
+    f1 = [
+        '{"machineId":"M1","temperature":90.0,"vibration":4.0,"timestamp":100}',
+        '{"machineId":"M1","temperature":91.0,"vibration":4.0,"timestamp":101}',
+        '{"machineId":"M1","temperature":66.0,"vibration":1.3,"timestamp":102}',
+        '{"machineId":"M2","temperature":92.0,"vibration":4.1,"timestamp":100}',
+        '{"machineId":"M2","temperature":93.0,"vibration":4.2,"timestamp":101}',
+    ]
+    f2 = [
+        '{"machineId":"M2","temperature":94.0,"vibration":4.3,"timestamp":102}',
+        '{"machineId":"M2","temperature":95.0,"vibration":4.4,"timestamp":103}',
+        '{"machineId":"M2","temperature":65.5,"vibration":1.2,"timestamp":110}',
+    ]
+    (d / "a.json").write_text("\n".join(f1))
+    raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(d))
+    good, _ = quarantine_split(parse_telemetry(raw))
+    scored = good.withColumn(
+        "prediction", (F.col("temperature") > 80.0).cast("int")
+    )
+    out = alarm_transitions(scored, threshold=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_alarm")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("t_alarm").count() < 0:
+            time.sleep(1)
+        # first file processed; now add the second batch
+        time.sleep(3)
+        (d / "b.json").write_text("\n".join(f2))
+        while time.time() < deadline and spark.table("t_alarm").count() < 2:
+            time.sleep(1)
+        rows = {(r.machineId, r.state): r for r in spark.table("t_alarm").collect()}
+        assert ("M1", "ALARM") not in rows  # only 2 consecutive
+        alarm = rows[("M2", "ALARM")]
+        assert alarm.timestamp == 102 and alarm.run_length == 3
+        normal = rows[("M2", "NORMAL")]
+        assert normal.timestamp == 110 and normal.run_length == 4
+        assert len(rows) == 2
+    finally:
+        q.stop()
