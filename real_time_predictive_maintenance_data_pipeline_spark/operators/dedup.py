@@ -66,6 +66,10 @@ def ngram_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounded.
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # NB: token arrays stay strings here. Hashing them to longs (as
+    # minhash_lsh_pairs does) was measured SLOWER for this operator —
+    # the extra hash pass is paid once per row but amortized over
+    # nothing, while minhash reuses the hashed array 32 times.
     d = df.select(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__blk"),

@@ -1291,3 +1291,79 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     r.write.mode("overwrite").option("compression", "gzip").json(path)
     back = spark.read.schema("r_regionkey BIGINT, r_name STRING").json(path)
     return back.select("r_regionkey", "r_name")
+
+
+@register(
+    "rel_exists_subquery",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+ORDER BY c_custkey
+""",
+    tags=("subquery", "join"),
+)
+def rel_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — planned as a left-semi join (one shuffle on
+    custkey; Catalyst decorrelates automatically in SQL form, and the
+    DataFrame form expresses the semi-join directly)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "rel_not_in_subquery",
+    oracle="""
+SELECT p_partkey, p_name
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+ORDER BY p_partkey
+""",
+    tags=("subquery", "join"),
+)
+def rel_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a non-null subquery — left-anti join. (With nullable
+    keys NOT IN needs null-aware anti join semantics; l_partkey is
+    non-null here, matching the anti join exactly.)"""
+    p = _t(spark, sf_dir, "part")
+    hot = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45).select(
+        "l_partkey"
+    )
+    return (
+        p.join(hot, p.p_partkey == hot.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "rel_sql_api",
+    oracle="""
+SELECT n.n_name, COUNT(*) AS n_customers, ROUND(AVG(c.c_acctbal), 4) AS avg_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+    tags=("sql", "join", "agg"),
+)
+def rel_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's `spark.sql` surface: identical ANSI text runs on
+    Spark (temp views over the fixture scans) and on the DuckDB oracle —
+    same Catalyst plan as the DataFrame form, same pushdown."""
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers,
+               ROUND(AVG(c.c_acctbal), 4) AS avg_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+        """
+    )

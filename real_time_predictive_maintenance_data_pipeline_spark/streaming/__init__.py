@@ -9,6 +9,7 @@ from .pipeline import (  # noqa: F401
     quarantine_sink,
     quarantine_split,
     scored_alert_stream,
+    session_stream,
     windowed_stats_stream,
 )
 from .simulator import payload_stream, telemetry_stream  # noqa: F401

@@ -168,6 +168,28 @@ def dedup_stream(
     )
 
 
+def session_stream(
+    parsed_good: DataFrame,
+    gap: str = "30 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time session windows per machine (dynamic-gap sessionization
+    — the streaming twin of the batch ``rel_sessionize`` query).
+
+    ``F.session_window`` closes a session after ``gap`` of event-time
+    silence; state per key is one open session (start, end, aggregates),
+    expired by the watermark — bounded regardless of stream length."""
+    with_ts = parsed_good.withColumn(
+        "event_time", F.timestamp_seconds(F.col("timestamp"))
+    ).withWatermark("event_time", watermark)
+    return with_ts.groupBy(
+        F.session_window("event_time", gap).alias("session"), F.col("machineId")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("temperature"), 2).alias("avg_temp"),
+    )
+
+
 def windowed_stats_stream(
     parsed_good: DataFrame,
     window: str = "1 minute",

@@ -1,0 +1,116 @@
+"""Physical-plan assertions — the 100 TB design contract, checked at
+small scale by inspecting what Catalyst actually planned.
+
+These tests pin the *plan shape*, not timings: pushdown reaching the
+scan, broadcasts where expected, no shuffle where co-location should
+hold. A regression here is a scale regression even if sf0.01 wall-time
+looks fine.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode="formatted"):
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    return jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_q6_pushdown_and_pruning(spark):
+    q = all_queries()["q6_forecast_revenue"]
+    plan = _plan(q.spark(spark, SF))
+    assert "PushedFilters:" in plan
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan).group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan"
+    read = re.search(r"ReadSchema: struct<(.*?)>", plan).group(1)
+    cols = [c.split(":")[0] for c in read.split(",")]
+    assert sorted(cols) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_quantity",
+        "l_shipdate",
+    ], f"scan reads extra columns: {cols}"
+
+
+def test_q5_broadcasts_dims(spark):
+    plan = _plan(all_queries()["q5_local_supplier"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    """Global top-k must plan TakeOrderedAndProject, never a full sort."""
+    plan = _plan(all_queries()["rel_topk_global"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Hash agg must be partial (map-side) then final — shuffle carries
+    group aggregates, not raw rows."""
+    plan = _plan(all_queries()["q1_pricing_summary"].spark(spark, SF), "simple")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udf_in_relational_plans(spark):
+    """Every relational/text query stays JVM-side (no BatchEvalPython /
+    ArrowEvalPython) — the whole-stage-codegen contract."""
+    qs = all_queries()
+    for name in (
+        "q1_pricing_summary",
+        "q10_returned_items",
+        "doc_quality",
+        "doc_langid",
+        "doc_fingerprint",
+        "dedup_ngram_jaccard",
+        "rel_window_running",
+    ):
+        plan = _plan(qs[name].spark(spark, SF), "simple")
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing contract: two tables bucketed+sorted on the join key
+    sort-merge-join with ZERO Exchange — the co-located join pattern
+    that saves the dominant shuffle at 100 TB."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    od = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    wh = str(tmp_path / "wh")
+    for df, name, key in ((li, "li_b", "l_orderkey"), (od, "od_b", "o_orderkey")):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{wh}/{name}")
+            .saveAsTable(name)
+        )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        j = spark.table("li_b").join(
+            spark.table("od_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(j, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # sanity: result is correct
+        assert j.count() == li.join(od, li.l_orderkey == od.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")

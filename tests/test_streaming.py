@@ -268,3 +268,42 @@ def test_alarm_state_machine(spark, tmp_path):
         assert len(rows) == 2
     finally:
         q.stop()
+
+
+def test_session_windows(spark, tmp_path):
+    """Session windows with a 30 s gap: two bursts separated by >30 s of
+    event-time silence form exactly two sessions per machine."""
+    from real_time_predictive_maintenance_data_pipeline_spark.streaming import (
+        session_stream,
+    )
+
+    d = tmp_path / "sess"
+    d.mkdir()
+    lines = [
+        # burst 1: ts 100..104 (5 rows), burst 2: ts 200..201 (2 rows)
+        *(
+            f'{{"machineId":"M1","temperature":66.0,"vibration":1.3,"timestamp":{t}}}'
+            for t in range(100, 105)
+        ),
+        *(
+            f'{{"machineId":"M1","temperature":67.0,"vibration":1.4,"timestamp":{t}}}'
+            for t in range(200, 202)
+        ),
+    ]
+    (d / "a.json").write_text("\n".join(lines))
+    raw = spark.readStream.text(str(d))
+    good, _ = quarantine_split(parse_telemetry(raw))
+    sessions = session_stream(good, gap="30 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("t_sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(spark.table("t_sess").collect(), key=lambda r: r.session.start)
+    assert len(rows) == 2
+    assert rows[0].n == 5 and rows[1].n == 2
+    # session end = last event + gap
+    assert (rows[0].session.end - rows[0].session.start).total_seconds() == 34
