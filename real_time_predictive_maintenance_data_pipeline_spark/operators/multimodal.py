@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StructField,
@@ -90,3 +91,84 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return pruned.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_stub(df: DataFrame, width: int = 32, height: int = 32, id_col: str = "doc_id") -> DataFrame:
+    """STUB image resize over binary payloads (Arrow-batched).
+
+    A real deployment decodes, resizes (PIL/libvips), and re-encodes;
+    the container has no codecs, so the stand-in emits a deterministic
+    ``width*height``-byte payload derived by striding the source bytes —
+    preserving the real operator's shape: binary in → binary out, 1:1
+    rows, bounded memory per Arrow batch, prunable input columns.
+    """
+    pruned = df.select(F.col(id_col).alias("doc_id"), "payload")
+    n_out = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for b in pdf["payload"]:
+                src = bytes(b) or b"\x00"
+                stride = max(1, len(src) // n_out)
+                out.append(src[::stride][:n_out].ljust(n_out, b"\x00"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return pruned.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+    ]
+)
+
+FRAME_SIZE = 256
+
+
+def frame_sample(df: DataFrame, every_n: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """STUB video frame sampling: treat the payload as consecutive
+    ``FRAME_SIZE``-byte frames, keep every ``every_n``-th (0, n, 2n, …).
+
+    The 1→many row shape is the real contract (a decoder emits multiple
+    frames per video); deterministic frame accounting keeps it
+    oracle-checkable: frame_idx ∈ {0, n, 2n, …} < ceil(bytes/FRAME_SIZE),
+    frame_bytes = bytes remaining in that frame (last frame may be
+    short).
+    """
+    pruned = df.select(F.col(id_col).alias("doc_id"), "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                n_frames = max(1, -(-len(raw) // FRAME_SIZE))
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    sizes.append(min(FRAME_SIZE, len(raw) - i * FRAME_SIZE))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes}
+            )
+
+    return pruned.mapInPandas(batches, FRAME_SCHEMA)

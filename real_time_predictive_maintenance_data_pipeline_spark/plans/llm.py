@@ -300,3 +300,87 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_topk(e, q, k=3, nlist=16, nprobe=6)
+
+
+@register("mm_resize", oracle=None, tags=("multimodal",))
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub resize (binary→binary mapInPandas, 1:1). Rows-only check;
+    output-size invariants asserted in tests/test_multimodal.py."""
+    d = M.attach_binary_payload(_docs(spark, sf_dir))
+    out = M.resize_stub(d, width=32, height=32)
+    return out.select("doc_id", F.length("payload").alias("n_bytes"), "width", "height")
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n,
+         CAST(GREATEST(1, CEIL(octet_length(encode(text)) / 256.0)) AS INT) AS n_frames
+  FROM documents
+),
+u AS (
+  SELECT doc_id, n,
+         CAST(UNNEST(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
+  FROM f
+)
+SELECT doc_id, frame_idx,
+       CAST(LEAST(256, n - frame_idx * 256) AS INTEGER) AS frame_bytes
+FROM u
+""",
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub frame sampling (binary→many-rows mapInPandas): every 4th
+    256-byte frame. Frame accounting is deterministic, so the 1→many
+    row shape is fully oracle-checked."""
+    d = M.attach_binary_payload(_docs(spark, sf_dir))
+    return M.frame_sample(d, every_n=4)
+
+
+@register(
+    "doc_token_regex",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_ish,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws
+FROM documents
+""",
+    tags=("text",),
+)
+def doc_token_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letter runs / digit runs / single
+    punctuation) next to the whitespace count — both JVM-side regex,
+    per-row, shuffle-free."""
+    d = _docs(spark, sf_dir)
+    pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias("n_bpe_ish"),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    )
+
+
+@register(
+    "doc_punct_ratio",
+    oracle="""
+SELECT doc_id,
+       ROUND(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+             / length(text), 4) AS punct_ratio,
+       ROUND(length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0
+             / length(text), 4) AS space_ratio
+FROM documents WHERE length(text) > 0
+""",
+    tags=("text",),
+)
+def doc_punct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuation / whitespace density (quality-scoring signals)."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    space = F.length(F.regexp_replace("text", r"[^ ]", ""))
+    return d.select(
+        "doc_id",
+        F.round(punct.cast("double") / F.length("text"), 4).alias("punct_ratio"),
+        F.round(space.cast("double") / F.length("text"), 4).alias("space_ratio"),
+    )

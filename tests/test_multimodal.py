@@ -1,0 +1,69 @@
+"""Multimodal plumbing tests: the decode step is a stub (no codecs in
+the container — SURVEY §2.4), but schema, Arrow batch shape, 1:1 and
+1:many row contracts, and determinism are real and asserted here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_predictive_maintenance_data_pipeline_spark.operators import (
+    multimodal as M,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    return M.attach_binary_payload(docs).cache()
+
+
+def test_payload_schema(media):
+    dt = dict(media.dtypes)
+    assert dt["payload"] == "binary"
+    assert dt["media_meta"].startswith("struct<modality:string")
+    row = media.select(
+        (F.col("media_meta.n_bytes") == F.length("payload")).alias("ok")
+    ).agg(F.min("ok")).first()
+    assert row[0] is True
+
+
+def test_extract_features_one_to_one(media):
+    out = M.extract_features(media)
+    assert out.columns == ["doc_id", "n_bytes", "checksum", "fake_width", "fake_height"]
+    assert out.count() == media.count()
+    # deterministic across runs
+    a = {r.doc_id: r.checksum for r in out.collect()}
+    b = {r.doc_id: r.checksum for r in M.extract_features(media).collect()}
+    assert a == b
+
+
+def test_resize_fixed_output_size(media):
+    out = M.resize_stub(media, width=32, height=32)
+    assert out.count() == media.count()
+    row = out.agg(
+        F.min(F.length("payload")).alias("lo"), F.max(F.length("payload")).alias("hi")
+    ).first()
+    assert row.lo == row.hi == 32 * 32
+
+
+def test_frame_sample_accounting(spark, media):
+    """Python-side truth: frame_idx stride 4, count = ceil(n/256)
+    sampled every 4, last frame may be short."""
+    out = M.frame_sample(media, every_n=4)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.frame_bytes))
+    sizes = {r.doc_id: r.n for r in media.select("doc_id", F.length("payload").alias("n")).collect()}
+    assert set(by_doc) == set(sizes)
+    for doc_id, frames in by_doc.items():
+        n = sizes[doc_id]
+        n_frames = max(1, -(-n // 256))
+        expect_idx = list(range(0, n_frames, 4))
+        got = sorted(frames)
+        assert [i for i, _ in got] == expect_idx
+        for i, fb in got:
+            assert fb == min(256, n - i * 256)
