@@ -1,0 +1,48 @@
+"""Skew-mitigation join: explicit key salting.
+
+AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`, on in
+`session.spark_confs`) handles most skew by splitting oversized
+sort-merge partitions at runtime. Explicit salting remains the right
+tool when (a) one key dominates so hard that even a split partition's
+*build* side is the bottleneck, or (b) the join is hash-based and AQE
+can't split it. This operator is the documented, tested form of that
+rewrite.
+
+Mechanics: the skewed (probe) side gets a uniform random salt in
+[0, n_salts); the replicated (build) side is exploded n_salts× so every
+(key, salt) pair exists; the join key becomes (key, salt). Each
+formerly-hot key now spreads over n_salts shuffle partitions.
+Cost: build side shuffles n_salts× more bytes — pick n_salts ≈ the
+skew factor, not larger. Semantics are identical to the unsalted join
+(every probe row still meets every matching build row exactly once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    how: str = "inner",
+    n_salts: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join ``skewed ⋈ other`` on column ``on`` with salt-spread
+    shuffle keys. Column sets must be disjoint apart from ``on``.
+
+    Supported ``how``: inner / left (the probe side must be the skewed
+    one; for right/full, swap the call).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = (F.rand(seed) * n_salts).cast("int")
+    probe = skewed.withColumn("__salt", salt)
+    build = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = probe.join(build, [on, "__salt"], how)
+    return joined.drop("__salt")

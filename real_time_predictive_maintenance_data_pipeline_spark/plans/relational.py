@@ -1367,3 +1367,39 @@ def rel_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name ORDER BY n.n_name
         """
     )
+
+
+@register(
+    "rel_salted_join",
+    oracle="""
+SELECT l.l_orderkey, o.o_orderstatus,
+       ROUND(SUM(l.l_extendedprice), 4) AS sum_price, COUNT(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_orderkey, o.o_orderstatus
+ORDER BY sum_price DESC, l_orderkey LIMIT 50
+""",
+    tags=("join", "skew"),
+)
+def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py): semantics identical to the
+    plain equi-join — the oracle IS the unsalted SQL — while the shuffle
+    spreads each hot key over n_salts partitions."""
+    from ..operators.skew import salted_join
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus")
+    )
+    j = salted_join(l, o, on="l_orderkey", n_salts=8)
+    return (
+        j.groupBy("l_orderkey", "o_orderstatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.col("sum_price").desc(), F.col("l_orderkey"))
+        .limit(50)
+    )

@@ -114,3 +114,34 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS od_b")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change semantics: salted inner join == plain
+    inner join row-for-row (including duplicate multiplicity)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = l.join(o, "l_orderkey").groupBy("l_orderkey").count()
+    salted = salted_join(l, o, "l_orderkey", n_salts=8).groupBy("l_orderkey").count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    l = spark.range(10).withColumnRenamed("id", "k")
+    r = spark.range(5).withColumnRenamed("id", "k").withColumn("v", F.lit("x"))
+    out = salted_join(l, r, "k", how="left", n_salts=4)
+    assert out.count() == 10
+    assert out.filter(F.col("v").isNull()).count() == 5

@@ -307,3 +307,44 @@ def test_session_windows(spark, tmp_path):
     assert rows[0].n == 5 and rows[1].n == 2
     # session end = last event + gap
     assert (rows[0].session.end - rows[0].session.start).total_seconds() == 34
+
+
+def test_checkpoint_recovery(spark, tmp_path):
+    """Restart-from-checkpoint (SURVEY §5.2 #5): stop a file-sink query
+    mid-stream, restart with the same checkpoint, and verify exactly-once
+    output — no duplicates, no loss — across the restart."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def mk_lines(lo, hi):
+        return "\n".join(
+            f'{{"machineId":"M1","temperature":66.0,"vibration":1.3,"timestamp":{t}}}'
+            for t in range(lo, hi)
+        )
+
+    (src / "a.json").write_text(mk_lines(0, 50))
+
+    def run_once():
+        raw = spark.readStream.text(str(src))
+        good, _ = quarantine_split(parse_telemetry(raw))
+        q = (
+            good.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # batch 1: rows 0..49
+    (src / "b.json").write_text(mk_lines(50, 80))
+    run_once()  # restart from checkpoint: must add only rows 50..79
+
+    got = spark.read.schema(
+        "machineId STRING, temperature DOUBLE, vibration DOUBLE, timestamp LONG"
+    ).json(out)
+    assert got.count() == 80
+    assert got.select("timestamp").distinct().count() == 80
