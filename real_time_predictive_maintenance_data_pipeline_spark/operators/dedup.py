@@ -282,3 +282,69 @@ def simhash_pairs(
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.9,
+    max_iters: int = 6,
+) -> DataFrame:
+    """End-to-end near-dup dedup: LSH pairs → connected components →
+    keeper per cluster (what a training-data pipeline actually keeps).
+
+    Components via min-label propagation over the pair graph: every doc
+    starts labeled with its own id; each round joins labels across edges
+    and keeps the minimum; converges in O(component diameter) rounds —
+    near-dup clusters are dense (diameter ≈ 1-2), so ``max_iters=6`` is
+    a safety bound, with early exit on a converged round.
+
+    Scale: each round is one shuffle of (id, label) pairs over the edge
+    list — the standard large-graph CC pattern (no driver-side graph).
+    The convergence check is a count() per round: acceptable because
+    rounds are few and the check is a cheap aggregate.
+    Returns (doc_id, cluster_id, is_keeper) for EVERY input doc —
+    singleton docs are their own cluster and keeper.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, jaccard_threshold=jaccard_threshold
+    ).select("doc_a", "doc_b")
+    # Symmetric edge list. localCheckpoint (eager) truncates lineage:
+    # without it every round's logical plan embeds all previous rounds
+    # and Catalyst re-optimization time grows superlinearly (measured
+    # 65 s for 6 rounds at sf0.01 vs ~8 s with checkpoints).
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
+    for _ in range(max_iters):
+        # neighbor minimum: for each dst, the smallest label seen on any
+        # incident src (incl. its own current label via the union)
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lbl")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            neighbor_min.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = neighbor_min
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_keeper"),
+    )

@@ -384,3 +384,15 @@ def doc_punct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(punct.cast("double") / F.length("text"), 4).alias("punct_ratio"),
         F.round(space.cast("double") / F.length("text"), 4).alias("space_ratio"),
     )
+
+
+@register("dedup_clusters", oracle=None, tags=("dedup", "approx"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster summary: LSH pairs → connected components →
+    per-cluster size + keeper. Iterative (label propagation) — rows-only;
+    exact component structure asserted vs union-find in tests."""
+    labels = D.near_dup_clusters(_docs(spark, sf_dir), jaccard_threshold=0.9)
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keeper_id"),
+    )

@@ -85,3 +85,44 @@ def test_simhash_pairs_blocked(spark, docs):
         F.count(F.lit(1)).alias("n"), F.max("hamming").alias("hmax")
     ).first()
     assert row.n > 0 and row.hmax <= 8
+
+
+def test_near_dup_clusters_match_union_find(spark, docs):
+    """Label-propagation components must equal a driver-side union-find
+    over the SAME pair set (exact structural check), cover every doc,
+    and pick min-id keepers."""
+    pairs = [(r.doc_a, r.doc_b) for r in
+             D.minhash_lsh_pairs(docs, jaccard_threshold=0.9)
+             .select("doc_a", "doc_b").collect()]
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    truth = {}
+    for i in ids:
+        truth.setdefault(find(i), set()).add(i)
+
+    got_rows = D.near_dup_clusters(docs, jaccard_threshold=0.9).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r.cluster_id, set()).add(r.doc_id)
+        if r.is_keeper:
+            assert r.doc_id == r.cluster_id
+    # NB: LSH is seeded+deterministic, so both runs see identical pairs
+    assert {frozenset(v) for v in got.values()} == {
+        frozenset(v) for v in truth.values()
+    }
+    # min-id labeling: cluster_id is the minimum member
+    for cid, members in got.items():
+        assert cid == min(members)
