@@ -1403,3 +1403,143 @@ def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sum_price").desc(), F.col("l_orderkey"))
         .limit(50)
     )
+
+
+@register(
+    "rel_window_distribution",
+    oracle="""
+SELECT o_orderkey, o_orderstatus,
+       ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+       ROUND(CUME_DIST()    OVER w, 4) AS cume,
+       ROUND(FIRST_VALUE(o_totalprice) OVER w, 4) AS first_price,
+       ROUND(o_totalprice, 4) AS price
+FROM (SELECT * FROM orders WHERE o_orderkey <= 2000) t
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window",),
+)
+def rel_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / first_value distribution windows."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.round(F.first("o_totalprice").over(w), 4).alias("first_price"),
+        F.round("o_totalprice", 4).alias("price"),
+    )
+
+
+@register(
+    "rel_window_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS price,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 4) AS near_sum
+FROM orders WHERE o_custkey <= 100
+""",
+    tags=("window",),
+)
+def rel_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): sum of orders within 10k below
+    the current price — rangeBetween, not rowsBetween."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 4).alias("price"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("near_sum"),
+    )
+
+
+@register(
+    "rel_interval_arith",
+    oracle="""
+SELECT o_orderkey,
+       STRFTIME(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')   AS due_date,
+       STRFTIME(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')  AS quarter_later,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start
+FROM orders WHERE o_orderkey <= 1000
+""",
+    tags=("functions", "datetime"),
+)
+def rel_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic: date_add / add_months / datediff."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("quarter_later"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "rel_levenshtein",
+    oracle="""
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+       levenshtein(a.s_name, b.s_name) AS edit_dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+""",
+    tags=("functions", "fuzzy"),
+)
+def rel_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: supplier-name pairs within edit distance 2
+    (small-table self-join; at scale, block on a name prefix/soundex
+    key first so the cross product stays bounded)."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a = s.select(F.col("s_suppkey").alias("supp_a"), F.col("s_name").alias("__na"))
+    b = s.select(F.col("s_suppkey").alias("supp_b"), F.col("s_name").alias("__nb"))
+    return (
+        a.join(b, F.col("supp_a") < F.col("supp_b"))
+        .select(
+            "supp_a",
+            "supp_b",
+            F.levenshtein("__na", "__nb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 2)
+    )
+
+
+@register(
+    "rel_grouped_regression",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       ROUND(regr_slope(value, epoch(ts)), 6)     AS slope,
+       ROUND(regr_intercept(value, epoch(ts)), 6) AS intercept
+FROM events GROUP BY event_type
+""",
+    tags=("udf", "agg"),
+)
+def rel_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas operator (numpy OLS per group) checked
+    against ANSI regr_slope/regr_intercept — proves the Pandas-UDF path
+    end-to-end through the DuckDB oracle."""
+    from ..operators.grouped import per_group_trend
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        # cast-to-double keeps fractional seconds (micros), matching
+        # DuckDB's epoch(); unix_timestamp() would truncate to seconds
+        F.col("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    out = per_group_trend(ev, group_col="event_type", x_col="x", y_col="y")
+    return out.select(
+        "event_type",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
