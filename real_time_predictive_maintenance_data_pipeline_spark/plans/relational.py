@@ -1543,3 +1543,38 @@ def rel_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope"),
         F.round("intercept", 6).alias("intercept"),
     )
+
+
+@register(
+    "rel_map_funcs",
+    oracle="""
+SELECT l_returnflag AS flag,
+       ROUND(mn, 4) AS lo, ROUND(mx, 4) AS hi, ROUND(mx - mn, 4) AS spread,
+       2 AS n_keys
+FROM (SELECT l_returnflag, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+      FROM lineitem GROUP BY l_returnflag)
+""",
+    tags=("functions", "map"),
+)
+def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build map<string,double> per group, then
+    element_at / map_keys / map-difference projections. The oracle is
+    the map-free equivalent (same values) — what's being checked is
+    that the map round-trip is lossless."""
+    l = _t(spark, sf_dir, "lineitem")
+    g = l.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx")
+    )
+    m = F.create_map(
+        F.lit("lo"), F.col("mn"), F.lit("hi"), F.col("mx")
+    ).alias("__m")
+    with_map = g.select(F.col("l_returnflag").alias("flag"), m)
+    return with_map.select(
+        "flag",
+        F.round(F.element_at("__m", "lo"), 4).alias("lo"),
+        F.round(F.element_at("__m", "hi"), 4).alias("hi"),
+        F.round(
+            F.element_at("__m", "hi") - F.element_at("__m", "lo"), 4
+        ).alias("spread"),
+        F.size(F.map_keys("__m")).alias("n_keys"),
+    )

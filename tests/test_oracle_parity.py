@@ -36,3 +36,28 @@ def test_rows_only_runs(spark, name):
     df = q.spark(spark, SF_SMOKE)
     assert df.columns  # stable schema
     assert df.count() >= 0
+
+
+def test_approx_distinct_within_epsilon(spark):
+    """HLL++ estimate within 5 % of exact (rel_approx_distinct is
+    rows-only — this is its accuracy gate)."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in all_queries()["rel_approx_distinct"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis) for engine invariants.
+
+Spark round-trips are slow per example, so DataFrame properties cap
+``max_examples`` low; pure-Python helpers get full example counts.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from real_time_predictive_maintenance_data_pipeline_spark.operators.multimodal import (
+    _fake_decode,
+)
+
+# ---------------------------------------------------------------------------
+# Pure helpers — cheap, many examples
+# ---------------------------------------------------------------------------
+
+
+@given(st.binary(min_size=0, max_size=512))
+def test_fake_decode_total_and_deterministic(buf):
+    a = _fake_decode(buf)
+    b = _fake_decode(buf)
+    assert a == b
+    checksum, w, h = a
+    assert 0 <= checksum < 1_000_000_007
+    assert 16 <= w < 80 and 16 <= h < 80
+
+
+@given(st.binary(min_size=1, max_size=2048), st.integers(1, 8))
+def test_frame_accounting_invariants(buf, every_n):
+    """Frame sampling math: idx stride, positive sizes, full coverage of
+    the sampled frames."""
+    frame = 256
+    n_frames = max(1, -(-len(buf) // frame))
+    idxs = list(range(0, n_frames, every_n))
+    sizes = [min(frame, len(buf) - i * frame) for i in idxs]
+    assert all(s > 0 for s in sizes)
+    assert idxs[0] == 0
+    assert all(b - a == every_n for a, b in zip(idxs, idxs[1:]))
+
+
+# ---------------------------------------------------------------------------
+# DataFrame properties — few examples, real Spark
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)), min_size=0, max_size=40
+    ),
+    n_salts=st.integers(1, 6),
+)
+def test_salted_join_property(spark, pairs, n_salts):
+    """salted inner join == plain inner join for arbitrary key multisets
+    (including duplicate keys on both sides)."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.skew import (
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        [(a, i) for i, (a, _) in enumerate(pairs)] or [(0, 0)], "k INT, lv INT"
+    )
+    right = spark.createDataFrame(
+        [(b, i) for i, (_, b) in enumerate(pairs)] or [(1, 0)], "k INT, rv INT"
+    )
+    plain = sorted(tuple(r) for r in left.join(right, "k").collect())
+    salted = sorted(
+        tuple(r) for r in salted_join(left, right, "k", n_salts=n_salts).collect()
+    )
+    assert plain == salted
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"), min_size=0, max_size=30
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_exact_dedup_partition_property(spark, texts):
+    """exact_dedup groups partition the input: group sizes sum to the
+    row count; each keeper id belongs to its group."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.dedup import (
+        exact_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    out = exact_dedup(df).collect()
+    assert sum(r.n_copies for r in out) == len(texts)
+    assert len(out) == len(set(texts))
+    keepers = {r.keeper_id for r in out}
+    assert keepers <= set(range(len(texts)))
