@@ -1578,3 +1578,81 @@ def rel_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("spread"),
         F.size(F.map_keys("__m")).alias("n_keys"),
     )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+""",
+    bench=True,
+    tags=("join", "agg"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share: conditional aggregation over
+    a fact⋈dim join. part is broadcast (bounded dimension); the month
+    filter pushes to the lineitem scan, so the join probes ~1/80 of the
+    fact table."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive",
+    oracle="""
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       COUNT(*) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#24' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 45)
+""",
+    bench=True,
+    tags=("join", "agg"),
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate join. The three OR-branches
+    stay INSIDE the equi-join as a post-join filter (Catalyst keeps the
+    partkey equi-condition for the hash join; the disjunction never
+    degrades it to a nested-loop join)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+
+    def branch(brand, s_lo, s_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    cond = (
+        branch("Brand#1", 1, 15, 1, 20)
+        | branch("Brand#12", 10, 30, 10, 30)
+        | branch("Brand#24", 20, 50, 20, 45)
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

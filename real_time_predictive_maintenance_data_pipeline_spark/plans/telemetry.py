@@ -61,6 +61,24 @@ def telemetry_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("telemetry_score_500k", oracle=None, bench=True, tags=("telemetry", "ml"))
+def telemetry_score_500k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring-path throughput headline: vectorized RF scoring of 500 k
+    telemetry rows (the reference scores ONE row per second through a
+    per-message Python callback, realtime_inference.py:92-139 — this is
+    the same features→predict→alert semantics as one distributed plan).
+    bench.py warms the model cache so the timed run measures scoring,
+    not training."""
+    from ..ml.anomaly import score
+
+    s = stream_telemetry_batch(spark, n=500_000)
+    scored = score(_model(spark), s)
+    return scored.groupBy("prediction").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("temperature"), 2).alias("avg_temp"),
+    )
+
+
 @register("telemetry_scored_alerts", oracle=None, tags=("telemetry", "ml"))
 def telemetry_scored_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end scoring path (O25–O27): generate stream batch → RF
