@@ -1656,3 +1656,27 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle="""
+SELECT s_nationkey, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 4) AS total_bal
+FROM supplier GROUP BY s_nationkey
+""",
+    tags=("source",),
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (columnar alternative to parquet, zlib-
+    compressed): write supplier to ORC, read it back, aggregate —
+    proves lossless round-trip through the second columnar format."""
+    import tempfile
+
+    s = _t(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="rtpmdp_orc_")
+    s.write.mode("overwrite").option("compression", "zlib").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
+    )

@@ -168,6 +168,49 @@ def dedup_stream(
     )
 
 
+def alert_foreach_batch_sink(
+    alerts: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """O7/O27 sink surface via ``foreachBatch``: per-micro-batch alert
+    summary written idempotently.
+
+    ``foreachBatch`` hands us (batch_df, batch_id); writing each batch
+    under ``batch_id=<n>`` with overwrite makes replays idempotent —
+    if a batch is re-run after a crash, it overwrites its own output
+    instead of duplicating (Spark's replay guarantee: same batch_id →
+    same data). This is the engine's stand-in for any transactional /
+    upsert sink (Kafka producer, JDBC merge), with try/except
+    log-and-continue fault handling matching the reference's per-message
+    try/except (realtime_inference.py:117-123)."""
+    from pyspark.sql import functions as _F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            summary = batch_df.groupBy("prediction").agg(
+                _F.count(_F.lit(1)).alias("n"),
+                _F.round(_F.avg("temperature"), 2).alias("avg_temp"),
+            )
+            (
+                summary.write.mode("overwrite").json(
+                    f"{out_dir}/batch_id={batch_id}"
+                )
+            )
+        except Exception as exc:  # log-and-continue (reference parity)
+            print(f"[alert-sink] batch {batch_id} failed: {exc}")
+
+    writer = (
+        alerts.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def session_stream(
     parsed_good: DataFrame,
     gap: str = "30 seconds",

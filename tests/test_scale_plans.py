@@ -145,3 +145,21 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(l, r, "k", how="left", n_salts=4)
     assert out.count() == 10
     assert out.filter(F.col("v").isNull()).count() == 5
+
+
+def test_partition_pruning_on_partitioned_dataset(spark, tmp_path):
+    """Hive-style partition pruning: a year= filter over a
+    partitionBy('year') dataset must scan only matching partitions
+    (plan shows the pruned partition filter, and the scan reads no
+    'year' data column — it comes from the directory layout)."""
+    src = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    src.write.mode("overwrite").partitionBy("year").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("year") == 1997)
+    plan = _plan(back)
+    assert "PartitionFilters" in plan and "1997" in plan
+    n_direct = src.filter(F.col("year") == 1997).count()
+    assert back.count() == n_direct

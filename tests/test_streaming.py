@@ -348,3 +348,33 @@ def test_checkpoint_recovery(spark, tmp_path):
     ).json(out)
     assert got.count() == 80
     assert got.select("timestamp").distinct().count() == 80
+
+
+def test_foreach_batch_alert_sink(spark, payload_dir, tmp_path):
+    """foreachBatch idempotent sink: batch summaries land under
+    batch_id= dirs; replaying the same checkpoint adds nothing."""
+    from real_time_predictive_maintenance_data_pipeline_spark.streaming import (
+        alert_foreach_batch_sink,
+    )
+
+    raw = _read_lines(spark, payload_dir)
+    good, _ = quarantine_split(parse_telemetry(raw))
+    scored = good.withColumn("prediction", (F.col("temperature") > 80.0).cast("int"))
+    out = str(tmp_path / "alerts")
+    ck = str(tmp_path / "ck")
+    q = alert_foreach_batch_sink(scored, out, ck, available_now=True)
+    q.awaitTermination(120)
+
+    summary = spark.read.json(f"{out}/batch_id=*")
+    rows = {r.prediction: r.n for r in summary.collect()}
+    assert sum(rows.values()) == N_GOOD
+    assert set(rows) == {0, 1}
+
+    # replay with same checkpoint: no new batches, totals unchanged
+    q2 = alert_foreach_batch_sink(scored, out, ck, available_now=True)
+    q2.awaitTermination(120)
+    rows2 = {
+        r.prediction: r.n
+        for r in spark.read.json(f"{out}/batch_id=*").collect()
+    }
+    assert rows2 == rows
