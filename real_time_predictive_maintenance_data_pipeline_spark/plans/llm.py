@@ -396,3 +396,62 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("keeper_id"),
     )
+
+
+@register(
+    "doc_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+counted AS (
+  SELECT lang, term, COUNT(*) AS n FROM tok WHERE term <> '' GROUP BY lang, term
+)
+SELECT lang, term, n, rnk FROM (
+  SELECT lang, term, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+  FROM counted
+) WHERE rnk <= 5
+""",
+    tags=("text", "topk"),
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: explode tokens → count per (lang, term) →
+    top-5 per lang. Scale shape: the explode is map-side; the count is
+    a partial-agg shuffle on (lang, term) — NOT on lang alone, so high
+    term cardinality spreads the load; the final per-lang top-k is one
+    window over the (small) counted frame."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    counted = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return counted.select(
+        "lang", "term", "n", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 5)
+
+
+@register("ml_kmeans_embeddings", oracle=None, tags=("ml", "similarity"))
+def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KMeans over the embedding corpus (seeded): cluster
+    cardinalities + intra-cluster mean norm — the coarse-quantizer
+    build step of the IVF index as a standalone query. Rows-only
+    (iterative MLlib); determinism pinned by seed, structure asserted
+    in tests/test_similarity.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vectors import as_double
+
+    e = _embs(spark, sf_dir)
+    feats = e.select(
+        "vec_id", array_to_vector(as_double("embedding")).alias("__features")
+    )
+    model = KMeans(
+        k=8, seed=42, featuresCol="__features", predictionCol="cell"
+    ).fit(feats)
+    assigned = model.transform(feats)
+    return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))

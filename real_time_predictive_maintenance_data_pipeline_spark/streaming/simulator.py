@@ -40,20 +40,34 @@ def telemetry_stream(
     rows_per_second: int = 1,
     num_partitions: int = 1,
     seed: int = 42,
+    num_machines: int = 1,
 ) -> DataFrame:
     """Streaming DataFrame of telemetry rows (machineId, temperature,
-    vibration, timestamp:long Unix-seconds)."""
+    vibration, timestamp:long Unix-seconds).
+
+    ``num_machines=1`` (default) is exact reference parity — the single
+    hardcoded machine id (IoTSimulator.java:34). Larger values are the
+    fleet generalization the reference's keyed sharding was built for
+    (phase2-iot-kinesis.yaml:66): ids round-robin over the rate source's
+    monotonic ``value``, so per-machine streams stay evenly loaded and
+    a downstream ``partitionBy(machineId)`` spreads state uniformly."""
     rate = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
         .option("numPartitions", num_partitions)
         .load()
     )
+    if num_machines == 1:
+        machine = F.lit(MACHINE_ID)
+    else:
+        machine = F.format_string(
+            "NC_Machine_%03d", (F.col("value") % num_machines).cast("int")
+        )
     is_anom = F.rand(seed) < ANOMALY_PROBABILITY
     temp = F.rand(seed + 1) * (TEMP_MAX - TEMP_MIN) + TEMP_MIN
     vib = F.rand(seed + 2) * (VIB_MAX - VIB_MIN) + VIB_MIN
     return rate.select(
-        F.lit(MACHINE_ID).alias("machineId"),
+        machine.alias("machineId"),
         F.when(is_anom, temp + ANOMALY_TEMP_DELTA).otherwise(temp).alias("temperature"),
         F.when(is_anom, vib + ANOMALY_VIB_DELTA).otherwise(vib).alias("vibration"),
         F.col("timestamp").cast("long").alias("timestamp"),

@@ -378,3 +378,32 @@ def test_foreach_batch_alert_sink(spark, payload_dir, tmp_path):
         for r in spark.read.json(f"{out}/batch_id=*").collect()
     }
     assert rows2 == rows
+
+
+def test_multi_machine_simulator(spark):
+    """Fleet generalization: num_machines machines, evenly loaded."""
+    stream = telemetry_stream(
+        spark, rows_per_second=100, num_partitions=2, num_machines=5
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_fleet")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("t_fleet").count() >= 100:
+                break
+            time.sleep(1)
+        per_machine = dict(
+            (r.machineId, r["count"])
+            for r in spark.table("t_fleet").groupBy("machineId").count().collect()
+        )
+        assert len(per_machine) == 5
+        assert all(m.startswith("NC_Machine_") for m in per_machine)
+        lo, hi = min(per_machine.values()), max(per_machine.values())
+        assert hi - lo <= 2  # round-robin keeps machines within one row
+    finally:
+        q.stop()
