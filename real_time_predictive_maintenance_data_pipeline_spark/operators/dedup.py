@@ -136,8 +136,10 @@ def minhash_lsh_pairs(
     d = (
         df.select(
             F.col(id_col).alias("__id"),
+            # single distinct AFTER hashing — distinct-then-hash-then-
+            # distinct would pay the dedup pass twice (strings + longs)
             F.array_distinct(
-                F.transform(distinct_tokens(F.col(text_col)), lambda w: F.xxhash64(w))
+                F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
             ).alias("__h"),
         )
         .filter(F.size("__h") > 0)
