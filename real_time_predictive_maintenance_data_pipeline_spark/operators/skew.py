@@ -46,3 +46,21 @@ def salted_join(
     )
     joined = probe.join(build, [on, "__salt"], how)
     return joined.drop("__salt")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) — the training-data
+    rebalancing primitive (e.g. downsample dominant languages, keep all
+    rare ones).
+
+    Map-side only: each task flips a seeded coin per row — no shuffle,
+    no global pass, linear at any scale. Fractions are exact in
+    expectation (binomial per stratum); for exact counts use the
+    rank-over-random pattern from ``sources/generator`` instead.
+    """
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

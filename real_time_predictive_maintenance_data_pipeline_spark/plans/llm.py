@@ -455,3 +455,18 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).fit(feats)
     assigned = model.transform(feats)
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+@register("doc_stratified_sample", oracle=None, tags=("sampling",))
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced corpus sample (downsample 'en' to 20 %, keep
+    half of everything else) — per-stratum binomial, map-side only.
+    Rows-only (sampling RNG is engine-specific); fraction accuracy
+    asserted in tests."""
+    from ..operators.skew import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    fractions = {lang: (0.2 if lang == "en" else 0.5) for lang in langs}
+    out = stratified_sample(d, "lang", fractions)
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

@@ -1680,3 +1680,159 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.round(F.sum("s_acctbal"), 4).alias("total_bal"),
     )
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       COUNT(*) AS n
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name < cn.n_name
+GROUP BY sn.n_name, cn.n_name
+ORDER BY supp_nation, cust_nation
+""",
+    tags=("join", "agg"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style cross-nation trade volume: five-way join. The two
+    nation copies broadcast; the three fact/dim shuffles are on
+    suppkey/orderkey/custkey respectively — Catalyst orders them; AQE
+    re-plans if a side turns out tiny."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("join", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style order-count histogram: left join (customers with
+    zero orders count as 0 — COUNT over a null key skips it), then a
+    second tiny aggregation over the distribution."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly, COUNT(*) AS n
+FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < a.half_avg
+""",
+    tags=("join", "agg", "subquery"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated-average filter. The per-part average
+    is a pre-aggregation joined back on partkey — both shuffles share
+    the same key, so at scale the exchange is reusable (and bucketing
+    lineitem by partkey removes it entirely)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = l.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    j = l.join(avg_q, "l_partkey").filter(F.col("l_quantity") < F.col("half_avg"))
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "rel_profile_columns",
+    oracle="""
+SELECT 'l_quantity' AS col, COUNT(*) AS n,
+       CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+       ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*),
+       CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+       ROUND(MIN(l_discount), 4), ROUND(MAX(l_discount), 4),
+       CAST(COUNT(DISTINCT l_discount) AS BIGINT)
+FROM lineitem
+""",
+    tags=("agg", "profiling"),
+)
+def rel_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (training-data pipeline hygiene): per-column
+    count / nulls / min / max / distinct in ONE scan via a unioned
+    aggregate (Spark executes both branches over the same cached scan;
+    at 100 TB use approx_count_distinct to avoid the exact-distinct
+    shuffles)."""
+    l = _t(spark, sf_dir, "lineitem")
+
+    def profile(col: str):
+        return l.agg(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.round(F.min(col), 4).alias("min_v"),
+            F.round(F.max(col), 4).alias("max_v"),
+            F.countDistinct(col).alias("n_distinct"),
+        )
+
+    return profile("l_quantity").unionAll(profile("l_discount"))

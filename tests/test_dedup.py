@@ -126,3 +126,21 @@ def test_near_dup_clusters_match_union_find(spark, docs):
     # min-id labeling: cluster_id is the minimum member
     for cid, members in got.items():
         assert cid == min(members)
+
+
+def test_stratified_sample_fractions(spark, docs):
+    """sampleBy fractions within 5σ binomial CI per stratum."""
+    import math
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.skew import (
+        stratified_sample,
+    )
+
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    fractions = {lang: (0.2 if lang == "en" else 0.5) for lang in totals}
+    out = stratified_sample(docs, "lang", fractions)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n_total in totals.items():
+        p = fractions[lang]
+        sigma = math.sqrt(p * (1 - p) * n_total)
+        assert abs(got.get(lang, 0) - p * n_total) <= 5 * sigma + 1
