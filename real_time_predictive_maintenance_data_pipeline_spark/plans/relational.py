@@ -1836,3 +1836,52 @@ def rel_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("l_quantity").unionAll(profile("l_discount"))
+
+
+@register(
+    "rel_rollup_reuse",
+    oracle="""
+SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(SUM(1) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2 ORDER BY day, event_type
+""",
+    tags=("agg", "rollup"),
+)
+def rel_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate pattern (hypertable-style rollup): daily
+    stats served FROM a materialized hourly rollup, not the raw table.
+
+    sum/count compose across time buckets, so re-aggregating the hourly
+    rollup equals aggregating raw events — which is exactly what the
+    oracle computes. At 100 TB the hourly rollup is a streaming-updated
+    table ~3-4 orders of magnitude smaller than raw events; every
+    coarser query (day/week/month) reads it instead of the fact table.
+    """
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    # materialize the rollup (the "continuous aggregate" table)
+    path = tempfile.mkdtemp(prefix="rtpmdp_rollup_")
+    hourly.write.mode("overwrite").parquet(path)
+    rolled = spark.read.parquet(path)
+
+    return (
+        rolled.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("total_value"), 4).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
