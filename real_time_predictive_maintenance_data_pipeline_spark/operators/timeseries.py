@@ -1,0 +1,75 @@
+"""Time-series resampling + gap filling — sensor-data preparation ops
+(the predictive-maintenance domain's missing-data workhorse).
+
+The reference consumes a perfectly regular 1 Hz stream and a perfect
+1-minute historical grid, so it never needs this; real telemetry has
+gaps (dropped QoS-1 messages, machine downtime). ``resample_locf``
+regularizes an irregular series onto a fixed grid with
+last-observation-carried-forward semantics.
+
+Scale design: the grid is generated per key with ``sequence()``
+(JVM-side, no driver loop); observations are bucket-aggregated BEFORE
+the grid join so the join is grid×1 per bucket, never row×row; LOCF is
+one window pass per key ordered by bucket. Total: two shuffles on the
+key (agg + window), both on the same key so AQE/bucketing can reuse the
+exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Regularize (key, ts, value) onto a ``step_seconds`` grid.
+
+    Output: (key, bucket_ts, obs_avg, filled_avg, is_gap) — one row per
+    grid bucket from each key's first to last observation; ``obs_avg``
+    is the in-bucket mean (null for empty buckets), ``filled_avg``
+    carries the last non-null bucket mean forward, ``is_gap`` marks
+    filled rows.
+    """
+    step = F.lit(step_seconds)
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+    )
+
+    # per-bucket aggregation first — the grid join then matches 1:1
+    obs = (
+        df.select(F.col(key_col).alias("key"), bucket.alias("bucket_ts"), F.col(value_col).alias("v"))
+        .groupBy("key", "bucket_ts")
+        .agg(F.avg("v").alias("obs_avg"))
+    )
+
+    # per-key grid via sequence() — distributed, no driver materialization
+    spans = obs.groupBy("key").agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL {step_seconds} SECONDS"))
+        ).alias("bucket_ts"),
+    )
+
+    joined = grid.join(obs, ["key", "bucket_ts"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "key",
+        "bucket_ts",
+        "obs_avg",
+        F.last("obs_avg", ignorenulls=True).over(w).alias("filled_avg"),
+        F.col("obs_avg").isNull().alias("is_gap"),
+    )

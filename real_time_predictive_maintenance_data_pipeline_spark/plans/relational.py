@@ -1885,3 +1885,45 @@ def rel_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+@register(
+    "ts_gap_fill_hourly",
+    oracle="""
+WITH obs AS (
+  SELECT event_type AS key,
+         to_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600) AS bucket_ts,
+         AVG(value) AS obs_avg
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT key, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM obs GROUP BY key),
+grid AS (
+  SELECT key, UNNEST(range(lo, hi + INTERVAL 1 SECOND, INTERVAL 3600 SECOND)) AS bucket_ts
+  FROM spans
+)
+SELECT g.key, STRFTIME(g.bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_s,
+       ROUND(o.obs_avg, 4) AS obs_avg,
+       ROUND(last_value(o.obs_avg IGNORE NULLS) OVER (
+         PARTITION BY g.key ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_avg,
+       o.obs_avg IS NULL AS is_gap
+FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.bucket_ts = o.bucket_ts
+""",
+    tags=("timeseries", "window"),
+)
+def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-series regularization: hourly grid per event_type with
+    LOCF gap fill (operators/timeseries.resample_locf). The irregular
+    events table becomes a dense, model-ready series."""
+    from ..operators.timeseries import resample_locf
+
+    ev = _t(spark, sf_dir, "events")
+    out = resample_locf(ev, key_col="event_type", ts_col="ts", value_col="value",
+                        step_seconds=3600)
+    return out.select(
+        "key",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        F.round("obs_avg", 4).alias("obs_avg"),
+        F.round("filled_avg", 4).alias("filled_avg"),
+        "is_gap",
+    )
