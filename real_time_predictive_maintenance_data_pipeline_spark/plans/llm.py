@@ -470,3 +470,40 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {lang: (0.2 if lang == "en" else 0.5) for lang in langs}
     out = stratified_sample(d, "lang", fractions)
     return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "doc_bigrams",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+b AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM w WHERE len(words) >= 2
+)
+SELECT bigram, COUNT(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram LIMIT 20
+""",
+    tags=("text", "topk"),
+)
+def doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram generation + global top-20 — n-gram construction as a
+    pure higher-order expression (sequence → element_at pairs), no UDF.
+    The count shuffle keys on the bigram itself (high cardinality →
+    even spread); top-20 is TakeOrderedAndProject."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    return (
+        d.filter(F.size(words) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
