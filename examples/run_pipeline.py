@@ -1,0 +1,79 @@
+"""Run the full reference pipeline end-to-end, locally, in one process:
+
+    python examples/run_pipeline.py [seconds]
+
+Phase map (reference → here):
+  1. telemetry simulator (IoTSimulator)      → rate-source stream
+  2. relay keyed by machineId (IoT→Kinesis)  → same plan, value column
+  3. buffered gzip lake landing (Firehose→S3)→ lake_sink into ./_lake
+  4. RF training (sklearn notebook)          → MLlib pipeline, seeded
+  5. real-time scoring + alerts (subscriber) → scored_alert_stream →
+                                               console
+
+Runs for N seconds (default 15), prints live alert lines, then reports
+lake + quarantine contents.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_time_predictive_maintenance_data_pipeline_spark.ml.anomaly import (
+    train_and_eval,
+)
+from real_time_predictive_maintenance_data_pipeline_spark.session import get_spark
+from real_time_predictive_maintenance_data_pipeline_spark.sources.generator import (
+    historical_telemetry,
+)
+from real_time_predictive_maintenance_data_pipeline_spark.streaming import (
+    lake_sink,
+    parse_telemetry,
+    payload_stream,
+    quarantine_split,
+    scored_alert_stream,
+)
+
+
+def main(run_seconds: int = 15) -> None:
+    spark = get_spark("rtpmdp-demo", cpus="8")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="rtpmdp_demo_")
+
+    print("phase 4: training MLlib RandomForest on seeded historical table ...")
+    model, res = train_and_eval(historical_telemetry(spark))
+    print(f"  held-out precision={res.precision:.2f} recall={res.recall:.2f} "
+          f"(reference reports 1.00/1.00, README.md:106-108)")
+
+    print("phases 1-3+5: streaming simulate → parse → lake + score → console")
+    wire = payload_stream(spark, rows_per_second=20, num_partitions=2)
+    good, bad = quarantine_split(parse_telemetry(wire))
+
+    lake_q = lake_sink(good, f"{work}/lake", f"{work}/ck_lake",
+                       trigger="5 seconds")
+    alerts = scored_alert_stream(model, good).select("alert")
+    console_q = (
+        alerts.writeStream.format("console")
+        .option("truncate", False)
+        .outputMode("append")
+        .start()
+    )
+
+    time.sleep(run_seconds)
+    console_q.stop()
+    lake_q.stop()
+
+    landed = spark.read.json(f"{work}/lake/telemetry/*/*/*/*")
+    print(f"lake: {landed.count()} gzip JSON records under "
+          f"year=/month=/day=/hour= partitions at {work}/lake")
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 15)

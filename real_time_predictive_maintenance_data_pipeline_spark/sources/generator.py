@@ -41,6 +41,27 @@ def _uniform(lo: float, hi: float, seed: int):
     return F.rand(seed) * (hi - lo) + lo
 
 
+_HASH_MOD = 1_000_000_007
+
+
+def hash_uniform(col, salt: int):
+    """Deterministic U[0,1) keyed on a row-identity column.
+
+    Unlike ``F.rand(seed)`` — whose per-expression RNG state advances
+    with task-local row order, so two copies of the same seed can
+    silently diverge across plan stages or streaming micro-batches
+    (observed: anomaly delta applied to temperature but not vibration)
+    — a hash draw depends only on the row's identity. Every expression
+    that references the same (col, salt) sees the same value, under any
+    plan shape, retry, or micro-batch split. This also makes streaming
+    draws replay-stable: a recomputed partition regenerates identical
+    rows, preserving end-to-end exactly-once."""
+    return (
+        F.pmod(F.xxhash64(col, F.lit(salt)), F.lit(_HASH_MOD)).cast("double")
+        / _HASH_MOD
+    )
+
+
 def stream_telemetry_batch(
     spark: SparkSession,
     n: int = 1000,
@@ -51,11 +72,14 @@ def stream_telemetry_batch(
 
     Columns: machineId, temperature, vibration, timestamp (Unix seconds,
     LongType — IoTSimulator.java:182 uses currentTimeMillis()/1000).
+    Draws are hash-keyed on the row id (see ``hash_uniform``), so the
+    anomaly branch applies to temperature AND vibration atomically.
     """
     base = spark.range(n)  # distributed id grid — no driver loop
-    is_anom = F.rand(seed) < ANOMALY_PROBABILITY
-    temp = _uniform(TEMP_MIN, TEMP_MAX, seed + 1)
-    vib = _uniform(VIB_MIN, VIB_MAX, seed + 2)
+    rid = F.col("id")
+    is_anom = hash_uniform(rid, seed) < ANOMALY_PROBABILITY
+    temp = hash_uniform(rid, seed + 1) * (TEMP_MAX - TEMP_MIN) + TEMP_MIN
+    vib = hash_uniform(rid, seed + 2) * (VIB_MAX - VIB_MIN) + VIB_MIN
     return base.select(
         F.lit(MACHINE_ID).alias("machineId"),
         F.when(is_anom, temp + ANOMALY_TEMP_DELTA).otherwise(temp).alias("temperature"),

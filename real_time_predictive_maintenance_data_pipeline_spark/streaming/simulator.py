@@ -63,9 +63,17 @@ def telemetry_stream(
         machine = F.format_string(
             "NC_Machine_%03d", (F.col("value") % num_machines).cast("int")
         )
-    is_anom = F.rand(seed) < ANOMALY_PROBABILITY
-    temp = F.rand(seed + 1) * (TEMP_MAX - TEMP_MIN) + TEMP_MIN
-    vib = F.rand(seed + 2) * (VIB_MAX - VIB_MIN) + VIB_MIN
+    # Hash draws keyed on the rate source's monotonic `value`, NOT
+    # F.rand: duplicated rand(seed) expressions advance independent
+    # per-task RNG state and can diverge across plan stages/micro-
+    # batches (observed: +15°C spike without the paired +2 mm/s one).
+    # Hash draws are also replay-stable under failure recovery.
+    from ..sources.generator import hash_uniform
+
+    rid = F.col("value")
+    is_anom = hash_uniform(rid, seed) < ANOMALY_PROBABILITY
+    temp = hash_uniform(rid, seed + 1) * (TEMP_MAX - TEMP_MIN) + TEMP_MIN
+    vib = hash_uniform(rid, seed + 2) * (VIB_MAX - VIB_MIN) + VIB_MIN
     return rate.select(
         machine.alias("machineId"),
         F.when(is_anom, temp + ANOMALY_TEMP_DELTA).otherwise(temp).alias("temperature"),

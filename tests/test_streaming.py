@@ -409,3 +409,43 @@ def test_multi_machine_simulator(spark):
         assert hi <= 2 * lo + 2
     finally:
         q.stop()
+
+
+def test_end_to_end_reference_pipeline(spark, tmp_path):
+    """The reference's five phases as ONE composed streaming flow:
+    simulator (O1-O7) -> wire JSON -> parse+quarantine (O24/O15) ->
+    RF scoring (O25-O26) -> alert lines (O27), rate-source driven.
+    Asserts live flow, alert/normal split, and byte-exact formatting."""
+    from real_time_predictive_maintenance_data_pipeline_spark.streaming import (
+        payload_stream,
+    )
+
+    model = train(historical_telemetry(spark))
+    wire = payload_stream(spark, rows_per_second=200, num_partitions=2)
+    good, _bad = quarantine_split(parse_telemetry(wire))
+    alerts = scored_alert_stream(model, good)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("t_e2e")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if spark.table("t_e2e").count() >= 300:
+                break
+            time.sleep(1)
+        out = spark.table("t_e2e")
+        n = out.count()
+        assert n >= 300
+        split = {r.prediction: r["count"] for r in out.groupBy("prediction").count().collect()}
+        # ~10% anomaly injection should alert; both classes present
+        assert split.get(1, 0) > 0 and split.get(0, 0) > 0
+        assert split[1] / n < 0.3  # alerts are the minority class
+        mism = out.filter(
+            (F.col("temperature") > 80.0) != (F.col("prediction") == 1)
+        ).count()
+        assert mism == 0
+    finally:
+        q.stop()
