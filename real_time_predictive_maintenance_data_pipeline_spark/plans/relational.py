@@ -1927,3 +1927,26 @@ def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("filled_avg", 4).alias("filled_avg"),
         "is_gap",
     )
+
+
+@register(
+    "rel_null_funcs",
+    oracle="""
+SELECT e.event_id,
+       COALESCE(CAST(NULLIF(e.event_type, 'view') AS VARCHAR), 'filtered') AS et,
+       CASE WHEN e.value IS NULL THEN -1.0 ELSE ROUND(e.value, 4) END AS v,
+       (e.event_type IS NOT DISTINCT FROM 'purchase') AS is_purchase
+FROM events e WHERE e.event_id <= 500
+""",
+    tags=("functions", "null"),
+)
+def rel_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling function family: coalesce / nullif / null-safe
+    equality (<=>) / conditional null defaulting."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("view")), F.lit("filtered")).alias("et"),
+        F.when(F.col("value").isNull(), -1.0).otherwise(F.round("value", 4)).alias("v"),
+        F.col("event_type").eqNullSafe("purchase").alias("is_purchase"),
+    )

@@ -163,3 +163,21 @@ def test_partition_pruning_on_partitioned_dataset(spark, tmp_path):
     assert "PartitionFilters" in plan and "1997" in plan
     n_direct = src.filter(F.col("year") == 1997).count()
     assert back.count() == n_direct
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Parquet schema evolution: readers must handle datasets written
+    across schema versions (mergeSchema unions columns; old files read
+    null for new columns) — a pipeline-lifetime reality at 100 TB."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(5).select(F.col("id").alias("k"), F.lit(1.0).alias("a"))
+    v1.write.parquet(f"{path}/batch=1")
+    v2 = spark.range(5, 10).select(
+        F.col("id").alias("k"), F.lit(2.0).alias("a"), F.lit("x").alias("b")
+    )
+    v2.write.parquet(f"{path}/batch=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"k", "a", "b", "batch"}
+    assert merged.count() == 10
+    assert merged.filter(F.col("b").isNull()).count() == 5  # v1 rows
