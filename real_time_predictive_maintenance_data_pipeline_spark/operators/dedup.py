@@ -72,14 +72,17 @@ def ngram_jaccard_pairs(
     # hashed tokens equals word Jaccard up to xxhash64 collisions
     # (P ≈ n²·2⁻⁶⁵ per doc — negligible), same argument as
     # minhash_lsh_pairs.
-    d = df.select(
+    # Repartition BEFORE tokenizing so the hash pass (both the probe
+    # side and the broadcast build) parallelizes even when the file
+    # scan yields 1-2 partitions.
+    d = df.repartition(n_parts).select(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__blk"),
         F.array_distinct(
             F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
         ).alias("__words"),
     ).withColumn("__n", F.size("__words"))
-    a = d.repartition(n_parts).alias("a")
+    a = d.alias("a")
     b = d.alias("b")
     size_prune = (
         F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
@@ -137,8 +140,15 @@ def minhash_lsh_pairs(
     # arrays instead of strings — far cheaper to hash, compare, and
     # shuffle. Jaccard over hashed tokens equals word Jaccard up to
     # xxhash64 collisions (P ≈ n²·2⁻⁶⁵ per doc — negligible).
+    # Repartition BEFORE tokenizing: everything downstream (hash pass,
+    # k-minhash signatures, verify-side array builds) inherits this
+    # partitioning via narrow dependencies. A small file lands in 1-2
+    # scan partitions, which would otherwise serialize all of that
+    # compute; the shuffle moved here is raw (id, text) rows — paid once.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     d = (
-        df.select(
+        df.repartition(n_parts)
+        .select(
             F.col(id_col).alias("__id"),
             # single distinct AFTER hashing — distinct-then-hash-then-
             # distinct would pay the dedup pass twice (strings + longs)
@@ -172,18 +182,13 @@ def minhash_lsh_pairs(
     # columns never enter the bucket join. sigs is persisted because the
     # self-join references it on BOTH sides — without the persist Spark
     # recomputes the k-minhash expression twice.
+    # sigs inherits d's spread partitioning, so the stage that probes the
+    # candidate join (into which verification also pipelines, since the
+    # build sides are broadcast) parallelizes across the cluster.
     sigs = d.select(
         "__id", F.posexplode(F.array(*band_keys)).alias("__band", "__bucket")
     ).persist()
-    # The candidate join broadcasts the build side, so candidate
-    # generation AND verification pipeline into the stage that scans the
-    # probe side — which is this tiny cached frame (1-2 partitions).
-    # Round-robin repartition spreads that stage across the cluster: a
-    # shuffle of (id, band, bucket) rows, i.e. 24 bytes × b per doc —
-    # orders of magnitude cheaper than exchanging the O(candidate-pairs)
-    # set downstream.
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    a = sigs.repartition(n_parts).alias("a")
+    a = sigs.alias("a")
     b_ = sigs.alias("b")
     # A pair colliding in m bands appears m times here. Deduping NOW
     # costs a full shuffle of the candidate set (the largest
