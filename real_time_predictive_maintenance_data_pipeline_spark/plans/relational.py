@@ -1950,3 +1950,208 @@ def rel_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value").isNull(), -1.0).otherwise(F.round("value", 4)).alias("v"),
         F.col("event_type").eqNullSafe("purchase").alias("is_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-set / argument aggregates, reshaping, try-arithmetic, text source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_string_agg",
+    oracle="""
+SELECT r.r_name, STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+""",
+    tags=("agg", "string"),
+)
+def rel_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg semantics) as
+    array_sort ∘ collect_list ∘ array_join — deterministic regardless of
+    partial-aggregation arrival order, which raw listagg is not."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+        )
+    )
+
+
+@register(
+    "rel_arg_minmax",
+    oracle="""
+SELECT l_returnflag,
+       ARG_MAX(l_orderkey, l_extendedprice * 10000000 + l_orderkey) AS top_order,
+       ARG_MIN(l_orderkey, l_extendedprice * 10000000 + l_orderkey) AS bottom_order,
+       ROUND(MAX(l_extendedprice), 4) AS max_price,
+       ROUND(MIN(l_extendedprice), 4) AS min_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def rel_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument aggregates (max_by/min_by = DuckDB arg_max/arg_min).
+    The ordering expression folds the tie-break key into the score
+    (price step 0.01 × 1e7 ≫ max orderkey, and the sum stays < 2^53 so
+    the double arithmetic is exact) — max_by/arg_max tie behavior is
+    engine-defined, so ties must be impossible for hash parity."""
+    l = _t(spark, sf_dir, "lineitem")
+    ordexpr = F.col("l_extendedprice") * 10000000 + F.col("l_orderkey")
+    return l.groupBy("l_returnflag").agg(
+        F.max_by("l_orderkey", ordexpr).alias("top_order"),
+        F.min_by("l_orderkey", ordexpr).alias("bottom_order"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+    )
+
+
+@register(
+    "rel_corr_covar",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CORR(l_extendedprice, l_quantity), 4)       AS price_qty_corr,
+       ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+       ROUND(COVAR_POP(l_extendedprice, l_discount), 4)  AS price_disc_covar_pop
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def rel_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistical aggregates (corr / covar_samp / covar_pop)
+    — single-pass map-side-partial built-ins (Welford-style merge), no
+    extra shuffle beyond the groupBy."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+            "price_qty_covar"
+        ),
+        F.round(F.covar_pop("l_extendedprice", "l_discount"), 4).alias(
+            "price_disc_covar_pop"
+        ),
+    )
+
+
+@register(
+    "rel_unpivot",
+    oracle="""
+SELECT p_partkey, measure, ROUND(value, 4) AS value FROM (
+  UNPIVOT (SELECT p_partkey,
+                  CAST(p_retailprice AS DOUBLE) AS retailprice,
+                  CAST(p_size AS DOUBLE) AS psize
+           FROM part WHERE p_partkey <= 200)
+  ON retailprice, psize INTO NAME measure VALUE value)
+""",
+    tags=("reshape",),
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the native unpivot operator (inverse of
+    pivot) — a narrow per-row explode, no shuffle at any scale."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+            F.col("p_size").cast("double").alias("psize"),
+        )
+    )
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "psize"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).select("p_partkey", "measure", F.round("val", 4).alias("value"))
+
+
+@register(
+    "rel_histogram",
+    oracle="""
+SELECT LEAST(CAST(FLOOR(l_extendedprice / 5000) AS BIGINT), 10) AS bucket,
+       COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 4) AS revenue
+FROM lineitem GROUP BY 1
+""",
+    tags=("agg", "profiling"),
+)
+def rel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (width_bucket-style, clamped top
+    bucket) — the binning is a pure projection so the whole histogram is
+    one partial-aggregated groupBy on a small integer key; IEEE-754
+    division/floor is bit-identical across engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / 5000).cast("bigint"), F.lit(10)
+    )
+    return l.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+    )
+
+
+@register(
+    "rel_try_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice / NULLIF(l_quantity - 25, 0) AS per_unit_off25,
+       TRY_CAST(l_returnflag AS INT) AS rf_int,
+       TRY_CAST(CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS INT) AS qty_int
+FROM lineitem WHERE l_orderkey <= 1000
+""",
+    tags=("functions", "null"),
+)
+def rel_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant arithmetic: try_divide (null on /0, matching SQL
+    NULLIF guards) and try_cast (null on malformed input instead of
+    ANSI cast errors) — the declarative version of the reference's
+    per-record drop-on-parse-failure semantics
+    (realtime_inference.py:110-113)."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        # no ROUND here (unlike the aggregate convention): scalar IEEE
+        # division is bit-identical across engines, while a 4-dp round
+        # can land on exact .5 boundaries where Spark (HALF_UP) and
+        # DuckDB disagree
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias(
+            "per_unit_off25"
+        ),
+        F.col("l_returnflag").try_cast("int").alias("rf_int"),
+        # integral-valued double → bigint → string so both engines see a
+        # clean integer literal ('25', not '25.0' — Spark's ANSI try_cast
+        # rejects the decimal point where DuckDB would round)
+        F.col("l_quantity").cast("bigint").cast("string").try_cast("int").alias(
+            "qty_int"
+        ),
+    )
+
+
+@register(
+    "src_text_roundtrip",
+    oracle="""
+SELECT COUNT(*) AS n, MIN(n_name) AS first_name, MAX(LENGTH(n_name)) AS max_len
+FROM nation
+""",
+    tags=("source",),
+)
+def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink + source: write one name per line, read
+    back as the bare `value` column, aggregate. The text connector is
+    the degenerate schema case (single string column) — completes the
+    csv/json/orc/parquet source matrix."""
+    import tempfile
+
+    n = _t(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="rtpmdp_text_")
+    n.select(F.col("n_name").alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("first_name"),
+        F.max(F.length("value")).alias("max_len"),
+    )
