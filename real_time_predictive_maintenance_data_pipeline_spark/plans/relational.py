@@ -1082,21 +1082,32 @@ LIMIT 20
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style: who returned the most revenue.
 
-    Plan shape: lineitem filter pushes to scan; fact⋈fact shuffles on
-    orderkey/custkey; nation (25 rows) broadcast; final top-20 is
-    TakeOrderedAndProject — no global sort. Tie-break on c_custkey keeps
-    the LIMIT deterministic across engines."""
+    Plan shape: aggregate-before-join. Lineitem's R-flag filter pushes
+    to the scan, then revenue partial-aggregates on l_orderkey BEFORE
+    any join — the order⋈lineitem grain is orderkey, so the rollup is
+    lossless and the shuffles downstream carry one row per order
+    instead of every line item (~4× fewer rows, and no wide customer
+    columns ride through the fact shuffle). Re-aggregate on custkey
+    after the orders join, then join the small per-customer result to
+    customer; nation (25 rows) broadcast; final top-20 is
+    TakeOrderedAndProject — no global sort. Tie-break on c_custkey
+    keeps the LIMIT deterministic across engines."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
-    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
+    per_cust = (
+        o.join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("__rev"), 4).alias("revenue"))
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, o.o_orderkey == l.l_orderkey)
+        per_cust.join(c, per_cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(revenue, 4).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -1126,27 +1137,33 @@ LIMIT 100
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style large-volume orders: self-referential semi-join.
 
-    The HAVING subquery becomes a pre-aggregated keys frame left-semi
-    joined into lineitem — one extra shuffle on orderkey that AQE can
-    co-locate with the main join's shuffle (same key)."""
+    Plan shape: the HAVING subquery IS the aggregate the outer query
+    recomputes — the output grain is o_orderkey, so one groupBy on
+    lineitem produces both the >150 filter and sum_qty. The surviving
+    keys are a tiny fraction of orders, so AQE broadcasts them into
+    the orders scan (map-side filter, no orders shuffle) and the
+    then-small result broadcasts again into customer. The naive shape
+    (3-way join, re-aggregate every lineitem row after the join) pays
+    two full fact shuffles that this plan never takes — the difference
+    between O(|lineitem|) and O(|big orders|) shuffle bytes at 100 TB."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     big = (
-        l.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 150)
-    ).select("l_orderkey")
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 150)
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l.join(big, "l_orderkey", "left_semi"), o.o_orderkey == F.col("l_orderkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             _dstr("o_orderdate").alias("o_orderdate_s"),
             F.round(F.col("o_totalprice"), 4).alias("o_totalprice"),
-            "sum_qty",
+            F.round(F.col("__q"), 4).alias("sum_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
