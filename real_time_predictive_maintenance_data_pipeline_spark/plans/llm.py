@@ -507,3 +507,69 @@ def doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "doc_decontaminate",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i + 1])) AS grams
+  FROM w WHERE len(words) >= 2
+),
+bench AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+train AS (SELECT doc_id, len(grams) AS n_grams, UNNEST(grams) AS gram
+          FROM g WHERE doc_id % 20 <> 0)
+SELECT t.doc_id, t.n_grams, COUNT(*) AS n_hit,
+       ROUND(COUNT(*) * 1.0 / t.n_grams, 4) AS containment
+FROM train t JOIN bench b ON t.gram = b.gram
+GROUP BY t.doc_id, t.n_grams
+HAVING ROUND(COUNT(*) * 1.0 / t.n_grams, 4) >= 0.5
+""",
+    tags=("text", "dedup"),
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by n-gram containment: flag training
+    docs whose distinct word-bigram set is >=50% contained in the
+    benchmark corpus's bigram set (docs with doc_id % 20 == 0 stand in
+    for the held-out eval set). Containment — |A ∩ B| / |A| — catches
+    partial/embedded contamination that symmetric Jaccard misses.
+
+    Scale shape: the benchmark side is genuinely small at any corpus
+    size (eval suites are fixed), so its distinct-gram set broadcasts;
+    the training side is a narrow explode → broadcast-semi hash join →
+    re-aggregate on doc_id. No all-pairs stage anywhere — cost is
+    linear in training-corpus gram volume even at 100 TB."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        )
+    )
+    g = d.filter(F.size(words) >= 2).select("doc_id", grams.alias("grams"))
+    bench = (
+        g.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = g.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .withColumn(
+            "containment", F.round(F.col("n_hit") / F.col("n_grams"), 4)
+        )
+        .filter(F.col("containment") >= 0.5)
+        .select("doc_id", "n_grams", "n_hit", "containment")
+    )

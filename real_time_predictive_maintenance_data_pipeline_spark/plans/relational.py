@@ -2149,6 +2149,86 @@ def rel_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_join_right",
+    oracle="""
+SELECT n.n_name, COUNT(c.c_custkey) AS n_rich,
+       ROUND(COALESCE(SUM(c.c_acctbal), 0), 4) AS rich_bal
+FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("join",),
+)
+def rel_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join preserving unmatched right rows (nations with no
+    high-balance customers survive as zero-count rows) — completes the
+    inner/left/right/full/semi/anti/cross join matrix. The 25-row right
+    side stays the broadcast *build* side; right-outer requires the
+    preserved side to stream, which Spark handles by flipping to a
+    BroadcastHashJoin(leftouter) with sides swapped."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_rich"),
+            F.round(F.coalesce(F.sum("c_acctbal"), F.lit(0.0)), 4).alias("rich_bal"),
+        )
+    )
+
+
+@register(
+    "rel_explode",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+           FROM documents WHERE doc_id <= 20)
+SELECT doc_id, UNNEST(range(len(words))) AS pos, UNNEST(words) AS word
+FROM w
+""",
+    tags=("reshape", "array"),
+)
+def rel_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array explosion with ordinality (posexplode = UNNEST WITH
+    position). Generate-style operators are narrow — each input row
+    expands in place with no shuffle, so the explode itself costs only
+    output volume at any scale."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 20)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), "word")
+
+
+@register(
+    "rel_latest_by_key",
+    oracle="""
+SELECT user_id, event_id, event_type, ROUND(value, 4) AS value
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+    tags=("window", "cdc"),
+)
+def rel_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-wins compaction (CDC/upsert materialization): one
+    row per key, newest by (ts, event_id). The canonical change-log →
+    snapshot operator for incrementally-maintained 100 TB tables — one
+    shuffle on the key; with the log stored bucketed by key it is
+    shuffle-free. row_number (not max-struct) keeps the full row without
+    a self-join."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 4).alias("value"))
+    )
+
+
+@register(
     "src_text_roundtrip",
     oracle="""
 SELECT COUNT(*) AS n, MIN(n_name) AS first_name, MAX(LENGTH(n_name)) AS max_len
