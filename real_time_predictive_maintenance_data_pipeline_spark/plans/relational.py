@@ -1024,6 +1024,30 @@ def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("rel_approx_quantile", oracle=None, tags=("agg", "approx"))
+def rel_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable sketch, accuracy=1000) —
+    the scale path for percentiles: single pass, map-side partial
+    sketches merged at reduce, O(sketch) memory per group vs
+    rel_percentiles' exact per-group sort. No oracle: DuckDB's
+    approx_quantile uses a different sketch; the test asserts each
+    estimate lands within the 1/accuracy rank-error bound of exact."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)
+            ).alias("price_p50_p95")
+        )
+        .select(
+            "l_returnflag",
+            F.col("price_p50_p95")[0].alias("p50"),
+            F.col("price_p50_p95")[1].alias("p95"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style headline queries (widened bench surface)
 # ---------------------------------------------------------------------------

@@ -61,3 +61,37 @@ def test_approx_distinct_within_epsilon(spark):
     assert set(approx) == set(exact)
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_approx_quantile_within_rank_error(spark):
+    """approx_percentile estimate within the ±1/accuracy rank-error
+    band of the exact quantile (rel_approx_quantile is rows-only — this
+    is its accuracy gate): the approx p50/p95 must lie between the
+    exact quantiles at q ∓ 2/accuracy."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in all_queries()["rel_approx_quantile"].spark(spark, sf).collect()
+    }
+    eps = 2 / 1000.0
+    li = spark.read.parquet(sf + "/lineitem.parquet")
+    bands = {
+        r.l_returnflag: r.bands
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_extendedprice",
+                F.array(*[F.lit(q) for q in (0.5 - eps, 0.5 + eps, 0.95 - eps, 0.95 + eps)]),
+            ).alias("bands")
+        )
+        .collect()
+    }
+    assert set(approx) == set(bands)
+    for k, (p50, p95) in approx.items():
+        lo50, hi50, lo95, hi95 = bands[k]
+        assert lo50 <= p50 <= hi50, (k, p50, lo50, hi50)
+        assert lo95 <= p95 <= hi95, (k, p95, lo95, hi95)
