@@ -573,3 +573,130 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.5)
         .select("doc_id", "n_grams", "n_hit", "containment")
     )
+
+
+@register(
+    "doc_chunk",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE doc_id <= 50
+),
+c AS (
+  SELECT doc_id,
+         UNNEST(range(0, CAST(ceil(len(words) / 20.0) AS BIGINT))) AS chunk_id,
+         UNNEST(list_transform(range(0, CAST(ceil(len(words) / 20.0) AS BIGINT)),
+                i -> array_to_string(words[i*20+1 : LEAST((i+1)*20, len(words))],
+                                     ' '))) AS chunk
+  FROM w
+)
+SELECT doc_id, chunk_id, chunk,
+       len(string_split(chunk, ' ')) AS n_tokens
+FROM c
+""",
+    tags=("text", "reshape"),
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size document chunking (20-word windows, no overlap) — the
+    context-length shaping step of every LLM training pipeline. Chunk
+    construction is a pure higher-order projection (sequence → slice →
+    concat) followed by a narrow posexplode: each doc expands in place,
+    no shuffle, linear in corpus size at 100 TB. Overlapping windows are
+    the same expression with a stride < width."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 50)
+    words = F.split("text", " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(20.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 20 + 1, 20)),
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk",
+        F.size(F.split("chunk", " ")).cast("bigint").alias("n_tokens"),
+    )
+
+
+@register(
+    "doc_pii_redact",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))
+         + len(regexp_extract_all(text, '[0-9]{4,}')) AS n_redactions
+FROM documents WHERE doc_id <= 200
+""",
+    tags=("text", "functions"),
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing by pattern redaction (emails, long digit runs) —
+    pre-training hygiene. Pure JVM regexp projection: no shuffle, no
+    UDF; at 100 TB this is a map-only pass whose cost is regex
+    throughput per executor core. Patterns are kept to the regex subset
+    with identical semantics across engines."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 200)
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    num = r"[0-9]{4,}"
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), num, "<NUM>"
+        ).alias("redacted"),
+        (
+            F.regexp_count("text", F.lit(email)) + F.regexp_count("text", F.lit(num))
+        ).cast("bigint").alias("n_redactions"),
+    )
+
+
+@register(
+    "doc_repetition",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id, len(words) AS n_words,
+         list_distinct(words) AS uw,
+         list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i + 1]) AS bigrams
+  FROM w WHERE len(words) >= 2
+)
+SELECT doc_id,
+       ROUND(1.0 - len(uw) * 1.0 / n_words, 4) AS dup_word_frac,
+       ROUND(1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams), 4)
+         AS dup_bigram_frac
+FROM g
+""",
+    tags=("text", "quality"),
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (duplicate word / bigram
+    fractions) — the Gopher-style quality signal that catches boilerplate
+    and degenerate generations. All higher-order array expressions over
+    each row independently: map-only, shuffle-free at any scale; the
+    downstream pipeline filters on these columns before tokenization."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    g = d.filter(F.size(words) >= 2).select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_uniq_words"),
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_uniq_bigrams"),
+    )
+    return g.select(
+        "doc_id",
+        F.round(1.0 - F.col("n_uniq_words") / F.col("n_words"), 4).alias(
+            "dup_word_frac"
+        ),
+        F.round(1.0 - F.col("n_uniq_bigrams") / F.col("n_bigrams"), 4).alias(
+            "dup_bigram_frac"
+        ),
+    )
