@@ -700,3 +700,77 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_bigram_frac"
         ),
     )
+
+
+@register(
+    "emb_quantize_int8",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+)
+SELECT e.vec_id,
+       ROUND(s.scale, 6) AS scale,
+       list_transform(e.embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) / s.scale) AS INT)) AS qvec
+FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+""",
+    tags=("similarity", "array"),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (scale = max|x|/127) — the
+    4× memory/IO compression step that makes a 100 TB embedding corpus
+    scannable for ANN (int8 dot products, rescale scores by scale_a ×
+    scale_b). Pure map-side higher-order expressions — no shuffle, no
+    UDF; the DuckDB join in the oracle is expressed in Spark as a single
+    projection reusing the scale subexpression."""
+    e = _embs(spark, sf_dir)
+    vec = F.col("embedding").cast("array<double>")
+    scale = (
+        F.array_max(F.transform(vec, lambda x: F.abs(x))) / 127.0
+    )
+    d = e.select("vec_id", vec.alias("__v"), scale.alias("__scale"))
+    return d.select(
+        "vec_id",
+        F.round("__scale", 6).alias("scale"),
+        F.transform(
+            "__v", lambda x: F.round(x / F.col("__scale")).cast("int")
+        ).alias("qvec"),
+    )
+
+
+@register(
+    "emb_label_centroids",
+    oracle="""
+WITH x AS (
+  SELECT label,
+         UNNEST(range(len(embedding))) AS pos,
+         UNNEST(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+  FROM embeddings
+)
+SELECT label, pos, COUNT(*) AS n, ROUND(AVG(v), 4) + 0.0 AS centroid_v
+FROM x GROUP BY label, pos
+""",
+    tags=("similarity", "agg"),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in long form (label, dimension,
+    mean) — the building block of IVF cell training and class
+    prototypes. posexplode is narrow; the aggregate shuffles on
+    (label, pos) — cardinality labels × dims, evenly spread — with
+    map-side partial sums, so shuffle volume is O(labels × dims ×
+    partitions), independent of corpus row count."""
+    e = _embs(spark, sf_dir)
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.avg("v"), 4) + 0.0).alias("centroid_v"),
+        )
+    )

@@ -14,6 +14,9 @@ Oracle-parity conventions (keep these or hashes diverge):
 - Cast DuckDB ``SUM(int)`` (HUGEINT) to BIGINT to match Spark's long.
 - Never emit raw timestamps: project dates via ``yyyy-MM-dd`` strings
   and timestamps via Unix-microsecond bigints on both sides.
+- Rounded floats that can land near zero need ``+ 0.0`` on BOTH sides:
+  engines disagree on whether a tiny negative rounds to -0.0 or 0.0,
+  and the harness distinguishes signed zeros.
 """
 
 from __future__ import annotations
