@@ -5,7 +5,10 @@ and the improvement-mode stateful ops (dedup, event-time windows)."""
 from .pipeline import (  # noqa: F401
     alert_foreach_batch_sink,
     dedup_stream,
+    enrich_stream,
     lake_sink,
+    machine_dim,
+    maintenance_correlation_stream,
     parse_telemetry,
     quarantine_sink,
     quarantine_split,

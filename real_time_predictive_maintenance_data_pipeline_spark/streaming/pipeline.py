@@ -253,3 +253,72 @@ def windowed_stats_stream(
         F.round(F.avg("vibration"), 2).alias("avg_vib"),
         F.round(F.max("vibration"), 2).alias("max_vib"),
     )
+
+
+def machine_dim(spark, machine_ids: list[str]) -> DataFrame:
+    """Deterministic machine-metadata dimension (site, per-machine alert
+    threshold) for stream enrichment — the stand-in for the asset
+    registry a real plant keeps. Hash-derived attributes, so any
+    machineId set gets stable metadata with no external state."""
+    dim = spark.createDataFrame([(m,) for m in machine_ids], ["machineId"])
+    return dim.select(
+        "machineId",
+        F.concat(F.lit("site_"), (F.abs(F.xxhash64("machineId")) % 3).cast("string")).alias("site"),
+        (F.lit(80.0) + (F.abs(F.xxhash64("machineId", F.lit(1))) % 5).cast("double")).alias("temp_alert_threshold"),
+    )
+
+
+def enrich_stream(parsed_good: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: attach dimension attributes to each telemetry
+    row and derive a per-machine threshold breach flag.
+
+    The static side is broadcast (dims are small by definition); the
+    join is stateless — each micro-batch joins against the CURRENT dim
+    snapshot, so dim updates between batches are picked up for free.
+    At 100 TB/day stream volume this stays a map-only operator: no
+    shuffle, no state store. The per-machine threshold generalizes the
+    reference's global 80 °C rule (realtime_inference.py / model
+    boundary) to asset-specific operating envelopes."""
+    return parsed_good.join(F.broadcast(dim), "machineId", "left").withColumn(
+        "over_threshold",
+        (F.col("temperature") > F.col("temp_alert_threshold")).cast("int"),
+    )
+
+
+def maintenance_correlation_stream(
+    telemetry: DataFrame,
+    maintenance: DataFrame,
+    lookback: str = "2 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each telemetry reading with
+    maintenance work orders for the same machine opened in the
+    preceding ``lookback`` — "was this anomaly preceded by (or during)
+    a maintenance event?" is the first question a maintenance engineer
+    asks of an alert.
+
+    ``maintenance`` carries (machineId, maint_time timestamp,
+    maint_kind). Both sides are watermarked, and the join condition
+    bounds maint_time to [event_time - lookback, event_time], which
+    lets Spark expire join state on both sides — state is
+    O(rate × (watermark + lookback)) per machine, independent of
+    stream length. The join shuffles both streams on machineId — the
+    reference's shard key (phase2-iot-kinesis.yaml:66) — so state
+    co-locates per machine."""
+    tele = telemetry.withColumn(
+        "event_time", F.timestamp_seconds(F.col("timestamp"))
+    ).withWatermark("event_time", watermark)
+    maint = maintenance.withWatermark("maint_time", watermark)
+    cond = (
+        (tele.machineId == maint.machineId)
+        & (F.col("maint_time") >= F.col("event_time") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("maint_time") <= F.col("event_time"))
+    )
+    return tele.join(maint, cond, "inner").select(
+        tele.machineId.alias("machineId"),
+        "event_time",
+        "temperature",
+        "vibration",
+        "maint_time",
+        "maint_kind",
+    )

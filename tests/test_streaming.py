@@ -449,3 +449,71 @@ def test_end_to_end_reference_pipeline(spark, tmp_path):
         assert mism == 0
     finally:
         q.stop()
+
+
+def test_enrich_stream_static_join(spark, payload_dir):
+    """Stream-static dim enrichment: every good row picks up its
+    machine's site + threshold, and the breach flag matches the
+    threshold comparison row-by-row."""
+    from real_time_predictive_maintenance_data_pipeline_spark.streaming import (
+        enrich_stream,
+        machine_dim,
+    )
+
+    raw = _read_lines(spark, payload_dir)
+    good, _ = quarantine_split(parse_telemetry(raw))
+    dim = machine_dim(spark, ["NC_Machine_AC"])
+    _drain_to_memory(enrich_stream(good, dim), "t_enrich")
+    rows = spark.table("t_enrich").collect()
+    assert len(rows) == N_GOOD
+    thr = dim.collect()[0]
+    for r in rows:
+        assert r.site == dim.collect()[0].site
+        assert r.temp_alert_threshold == thr.temp_alert_threshold
+        assert r.over_threshold == int(r.temperature > thr.temp_alert_threshold)
+
+
+def test_maintenance_stream_stream_join(spark, payload_dir, tmp_path):
+    """Watermarked stream-stream interval join: each maintenance order
+    pairs with the telemetry readings of the following 2 minutes; the
+    streaming result must equal the batch-computed expectation."""
+    import datetime as dt
+
+    from real_time_predictive_maintenance_data_pipeline_spark.streaming import (
+        maintenance_correlation_stream,
+    )
+
+    # batch view of the good telemetry for the expectation
+    raw_b = spark.read.text(str(payload_dir))
+    good_b, _ = quarantine_split(parse_telemetry(raw_b))
+    ts = sorted(r.timestamp for r in good_b.select("timestamp").collect())
+    t0 = ts[0]
+    maint_epochs = [t0 + 50, t0 + 117]
+
+    def iso(e):
+        return dt.datetime.fromtimestamp(e, dt.timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S"
+        )
+
+    mdir = tmp_path / "maint"
+    mdir.mkdir()
+    (mdir / "orders.json").write_text(
+        "\n".join(
+            json.dumps(
+                {"machineId": "NC_Machine_AC", "maint_time": iso(e), "maint_kind": k}
+            )
+            for e, k in zip(maint_epochs, ["inspection", "lubrication"])
+        )
+    )
+    expected = sum(1 for t in ts for e in maint_epochs if e <= t <= e + 120)
+
+    maint_schema = "machineId string, maint_time timestamp, maint_kind string"
+    maint = spark.readStream.schema(maint_schema).json(str(mdir))
+    raw_s = _read_lines(spark, payload_dir)
+    good_s, _ = quarantine_split(parse_telemetry(raw_s))
+    joined = maintenance_correlation_stream(good_s, maint, lookback="2 minutes")
+    _drain_to_memory(joined, "t_maint")
+    out = spark.table("t_maint")
+    assert out.count() == expected
+    kinds = {r.maint_kind for r in out.collect()}
+    assert kinds == {"inspection", "lubrication"}
