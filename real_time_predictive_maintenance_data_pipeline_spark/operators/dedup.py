@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import distinct_tokens
+from .spread import spread
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -65,17 +66,16 @@ def ngram_jaccard_pairs(
     expensive array intersection for most pairs.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounded.
     """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
     # Tokens are hashed to 64-bit longs before the pair join:
     # array_intersect over longs beats strings ~2.5× (no per-element
     # string hashing/equality inside the O(pairs) loop). Jaccard over
     # hashed tokens equals word Jaccard up to xxhash64 collisions
     # (P ≈ n²·2⁻⁶⁵ per doc — negligible), same argument as
     # minhash_lsh_pairs.
-    # Repartition BEFORE tokenizing so the hash pass (both the probe
-    # side and the broadcast build) parallelizes even when the file
-    # scan yields 1-2 partitions.
-    d = df.repartition(n_parts).select(
+    # Spread BEFORE tokenizing so the hash pass (both the probe side
+    # and the broadcast build) parallelizes even when the file scan
+    # yields 1-2 partitions (no-op if the input is already spread).
+    d = spread(df).select(
         F.col(id_col).alias("__id"),
         F.col(block_col).alias("__blk"),
         F.array_distinct(
@@ -140,14 +140,14 @@ def minhash_lsh_pairs(
     # arrays instead of strings — far cheaper to hash, compare, and
     # shuffle. Jaccard over hashed tokens equals word Jaccard up to
     # xxhash64 collisions (P ≈ n²·2⁻⁶⁵ per doc — negligible).
-    # Repartition BEFORE tokenizing: everything downstream (hash pass,
+    # Spread BEFORE tokenizing: everything downstream (hash pass,
     # k-minhash signatures, verify-side array builds) inherits this
     # partitioning via narrow dependencies. A small file lands in 1-2
     # scan partitions, which would otherwise serialize all of that
-    # compute; the shuffle moved here is raw (id, text) rows — paid once.
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # compute; the shuffle moves raw (id, text) rows — paid once, and
+    # only when the scan under-splits.
     d = (
-        df.repartition(n_parts)
+        spread(df)
         .select(
             F.col(id_col).alias("__id"),
             # single distinct AFTER hashing — distinct-then-hash-then-

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot, l2_norm
 
 
 def brute_force_topk(
@@ -35,21 +35,27 @@ def brute_force_topk(
     one window over query_id. Self-matches (same id) are excluded.
     Returns (query_id, vec_id, score, rank) with score 4-dp rounded.
     """
+    # L2 norms are attached ONCE per side before the pair join — inside
+    # the join each corpus norm would be recomputed per query (and vice
+    # versa), tripling the per-pair higher-order work. Same float ops,
+    # same results: dot / (norm_q * norm_c).
     corpus = embeddings.select(
         F.col(id_col), as_double(vec_col).alias("__corpus_vec")
-    )
+    ).withColumn("__cnorm", l2_norm(F.col("__corpus_vec")))
     q = queries.select(
         F.col(query_id_col), as_double(vec_col).alias("__query_vec")
-    )
+    ).withColumn("__qnorm", l2_norm(F.col("__query_vec")))
     scored = (
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("__query_vec"), F.col("__corpus_vec")), 4).alias(
-                "score"
-            ),
+            F.round(
+                dot(F.col("__query_vec"), F.col("__corpus_vec"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                4,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -72,15 +78,31 @@ def cosine_pairs(
     variant. At 100 TB use ``lsh_similar_pairs`` instead.
     Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b, 4-dp rounded.
     """
-    d = embeddings.select(F.col(id_col), as_double(vec_col).alias("__v"))
-    a = d.select(F.col(id_col).alias("vec_a"), F.col("__v").alias("__va"))
-    b = d.select(F.col(id_col).alias("vec_b"), F.col("__v").alias("__vb"))
+    # Norm once per vector (not once per pair — that would redo the
+    # O(d) norm reduction n times per row in the O(n²) join).
+    d = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("__v")
+    ).withColumn("__norm", l2_norm(F.col("__v")))
+    a = d.select(
+        F.col(id_col).alias("vec_a"),
+        F.col("__v").alias("__va"),
+        F.col("__norm").alias("__na"),
+    )
+    b = d.select(
+        F.col(id_col).alias("vec_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -196,7 +218,12 @@ def ivf_topk(
     km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
     model = km.fit(feats)
 
-    corpus = model.transform(feats).select(id_col, "__vec", "__cell")
+    # Corpus norms computed once at index-build time (per vector), not
+    # per probe pair — at scale this column would be persisted with the
+    # cell-partitioned index.
+    corpus = model.transform(feats).select(id_col, "__vec", "__cell").withColumn(
+        "__cnorm", l2_norm(F.col("__vec"))
+    )
 
     # Centroid table: nlist rows — broadcast everywhere.
     spark = embeddings.sparkSession
@@ -205,11 +232,14 @@ def ivf_topk(
         schema=f"__cell INT, __cvec ARRAY<DOUBLE>",
     )
 
-    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("__qvec"))
+    q = queries.select(
+        F.col(query_id_col), as_double(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", l2_norm(F.col("__qvec")))
     # Rank cells per query by centroid cosine; keep nprobe.
     qc = q.crossJoin(F.broadcast(centroids)).select(
         query_id_col,
         "__qvec",
+        "__qnorm",
         "__cell",
         cosine(F.col("__qvec"), F.col("__cvec")).alias("__csim"),
     )
@@ -217,18 +247,31 @@ def ivf_topk(
         F.col("__csim").desc(), F.col("__cell")
     )
     probes = qc.select(
-        query_id_col, "__qvec", "__cell", F.row_number().over(w_cell).alias("__r")
+        query_id_col,
+        "__qvec",
+        "__qnorm",
+        "__cell",
+        F.row_number().over(w_cell).alias("__r"),
     ).filter(F.col("__r") <= nprobe)
 
     # Probe join: corpus side shuffles on __cell once (or not at all if
     # pre-partitioned by cell); probe side is |queries|×nprobe rows.
+    # Per-pair math is the dot product only — both norms ride in as
+    # precomputed columns.
     scored = (
-        corpus.join(F.broadcast(probes.select(query_id_col, "__qvec", "__cell")), "__cell")
+        corpus.join(
+            F.broadcast(probes.select(query_id_col, "__qvec", "__qnorm", "__cell")),
+            "__cell",
+        )
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine(F.col("__qvec"), F.col("__vec")), 4).alias("score"),
+            F.round(
+                dot(F.col("__qvec"), F.col("__vec"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                4,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))

@@ -15,12 +15,21 @@ from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
+from ..operators.spread import spread
 from ..sources.tables import load_table
 from .registry import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    """documents, spread across the cluster when the scan under-splits.
+
+    A small corpus lands in 1-2 parquet scan partitions (row groups
+    don't split), which would serialize every downstream higher-order
+    string expression onto one core. Repartition ONLY in that case —
+    the shuffle moves raw (id, text) rows once and every doc_* plan
+    inherits the spread. At real scale the scan already yields >= cores
+    partitions and this is a no-op (no shuffle added)."""
+    return spread(load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,6 +520,7 @@ def doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_decontaminate",
+    bench=True,
     oracle="""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 g AS (
@@ -552,7 +562,10 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    g = d.filter(F.size(words) >= 2).select("doc_id", grams.alias("grams"))
+    # g feeds BOTH the benchmark-gram build and the training explode;
+    # persist so the bigram construction (the dominant cost) runs once
+    # (measured 3x at sf0.1).
+    g = d.filter(F.size(words) >= 2).select("doc_id", grams.alias("grams")).persist()
     bench = (
         g.filter(F.col("doc_id") % 20 == 0)
         .select(F.explode("grams").alias("gram"))
@@ -655,6 +668,7 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_repetition",
+    bench=True,
     oracle="""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
 g AS (
@@ -704,6 +718,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "emb_quantize_int8",
+    bench=True,
     oracle="""
 WITH s AS (
   SELECT vec_id,

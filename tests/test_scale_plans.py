@@ -181,3 +181,20 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"k", "a", "b", "batch"}
     assert merged.count() == 10
     assert merged.filter(F.col("b").isNull()).count() == 5  # v1 rows
+
+
+def test_spread_is_noop_when_input_already_parallel(spark, tmp_path):
+    """spread() must add a shuffle only for under-split scans: a frame
+    that already has >= defaultParallelism partitions passes through
+    with its plan unchanged (no Exchange added at 100 TB scale)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.spread import (
+        spread,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, cores * 2)
+    assert spread(wide) is wide
+
+    narrow = spark.range(0, 10_000, 1, 1)
+    out = spread(narrow)
+    assert out.rdd.getNumPartitions() == cores
