@@ -40,6 +40,20 @@ def main() -> None:
     # Warm the executors/codegen once so per-query numbers measure the
     # plan, not JVM spin-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Then warm each headline PLAN at the smallest scale factor: the
+    # generated code for giant higher-order expression trees (minhash,
+    # jaccard verify) JIT-compiles on first execution — a 3-4× one-time
+    # cost that would otherwise be billed to whichever query runs first.
+    # Steady-state throughput is what the bench compares across rounds.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir.rstrip("/"):
+        for name in sorted(queries):
+            try:
+                queries[name].spark(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass  # warmup is best-effort; the timed run surfaces real errors
     if any(n.startswith("telemetry_") for n in queries):
         # train-once model cache: the scoring headline should time
         # vectorized inference, not RF training
