@@ -1316,6 +1316,42 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_partitioned_pruned",
+    oracle="""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year,
+       o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 4) AS total
+FROM orders
+WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+GROUP BY 1, 2
+""",
+    tags=("source", "partitioning"),
+)
+def src_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned dataset write + partition-pruned read: the
+    lake layout that makes time-range queries cheap at 100 TB. orders is
+    written ``partitionBy(order_year)``; the year filter on the read
+    side never touches non-matching directories (PartitionFilters in the
+    scan, asserted in tests/test_scale_plans.py) — pruning happens at
+    planning time from the file listing, zero data IO for other years."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = tempfile.mkdtemp(prefix="rtpmdp_part_")
+    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1996)
+    return back.groupBy(
+        F.col("order_year").cast("bigint").alias("order_year"), "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@register(
     "src_json_roundtrip",
     oracle="""
 SELECT r_regionkey, r_name FROM region
