@@ -42,6 +42,24 @@ def spark_confs() -> dict[str, str]:
     }
 
 
+def streaming_state_confs() -> dict[str, str]:
+    """Opt-in state-store configuration for LARGE streaming state.
+
+    The default HDFS-backed state store keeps every key in executor
+    heap — fine for the parity pipeline (one machine ≈ one key), fatal
+    for 100 TB-scale keyed state (billions of dedup keys / sessions).
+    RocksDB spills state to local disk with incremental checkpointing;
+    changelog checkpointing ships only per-batch deltas. Apply via
+    ``spark.conf.set`` before starting the stateful query (runtime
+    settable), or merge into the builder."""
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+
 def get_spark(app_name: str = "rtpmdp-engine", cpus: str | None = None) -> SparkSession:
     """Build (or fetch) the tuned local session.
 

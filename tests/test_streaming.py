@@ -517,3 +517,32 @@ def test_maintenance_stream_stream_join(spark, payload_dir, tmp_path):
     assert out.count() == expected
     kinds = {r.maint_kind for r in out.collect()}
     assert kinds == {"inspection", "lubrication"}
+
+
+def test_dedup_with_rocksdb_state_store(spark, payload_dir):
+    """The large-state scale path: the watermarked dedup runs (and
+    dedups correctly) on the RocksDB state-store provider — the
+    configuration a 100 TB keyed-state deployment uses instead of the
+    heap-backed default."""
+    from real_time_predictive_maintenance_data_pipeline_spark.session import (
+        streaming_state_confs,
+    )
+
+    old = {}
+    for k, v in streaming_state_confs().items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        raw = _read_lines(spark, payload_dir).union(_read_lines(spark, payload_dir))
+        good, _ = quarantine_split(parse_telemetry(raw))
+        _drain_to_memory(dedup_stream(good), "t_dedup_rocks")
+        assert spark.table("t_dedup_rocks").count() == N_GOOD
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
