@@ -789,3 +789,65 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.avg("v"), 4) + 0.0).alias("centroid_v"),
         )
     )
+
+
+@register(
+    "doc_winnow",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+a AS (
+  SELECT doc_id,
+         list_transform(words, t -> CAST(ascii(t) * 31 + length(t) AS BIGINT)) AS ah,
+         len(words) AS nw
+  FROM w WHERE len(words) >= 5
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, nw), i -> (ah[i] * 131 + ah[i + 1]) % 1000000007) AS hs
+  FROM a
+)
+SELECT doc_id, len(hs) AS n_grams,
+       list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
+                                              i -> list_min(hs[i:i+3])))) AS fps
+FROM h
+""",
+    tags=("text", "dedup"),
+)
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): min bigram-hash per sliding
+    window of 4, deduplicated — the position-robust fingerprint set
+    used for overlap detection between documents. Guarantees every
+    match of length >= window+gram is witnessed by a shared
+    fingerprint, with density ~2/(window+1) of all grams.
+
+    Pure higher-order expressions, map-only / shuffle-free at any
+    corpus size. The gram hash here is a portable polynomial (so the
+    DuckDB oracle computes bit-identical values); production would use
+    ``xxhash64`` exactly as ``operators.dedup`` does — the winnowing
+    structure is hash-agnostic."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    ah = F.transform(
+        words, lambda t: (F.ascii(t) * 31 + F.length(t)).cast("long")
+    )
+    d2 = d.filter(F.size(words) >= 5).select(
+        "doc_id", ah.alias("__ah"), F.size(words).alias("__nw")
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.col("__nw") - 1),
+        lambda i: (
+            F.element_at("__ah", i) * 131 + F.element_at("__ah", i + 1)
+        ) % 1000000007,
+    )
+    d3 = d2.select("doc_id", hs.alias("__hs"), F.size(hs).alias("n_grams"))
+    fps = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__hs") - 3),
+                lambda i: F.array_min(F.slice("__hs", i, 4)),
+            )
+        )
+    )
+    return d3.select(
+        "doc_id", F.col("n_grams").cast("bigint").alias("n_grams"), fps.alias("fps")
+    )
