@@ -17,6 +17,14 @@ Oracle-parity conventions (keep these or hashes diverge):
 - Rounded floats that can land near zero need ``+ 0.0`` on BOTH sides:
   engines disagree on whether a tiny negative rounds to -0.0 or 0.0,
   and the harness distinguishes signed zeros.
+- When the data is fixed-decimal (prices/readings with 2 dp) and the
+  aggregate's magnitude is large (>= ~1e9) or the result is an AVG,
+  sum EXACT INTEGER CENTS — ``SUM(ROUND(x * 100)) / 100`` — with NO
+  final round: integral doubles sum exactly in any partial-agg order,
+  so both engines produce bit-identical results. A raw double sum's
+  order-dependent error can exceed the 4-dp round at large magnitude,
+  and ROUND itself diverges on exact .xxxx5 (Spark rounds the
+  shortest-decimal string HALF_UP; DuckDB rounds the binary value).
 """
 
 from __future__ import annotations

@@ -118,20 +118,25 @@ def rel_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderstatus,
        COUNT(DISTINCT o_custkey)  AS n_customers,
        COUNT(*)                   AS n_orders,
-       ROUND(SUM(o_totalprice), 4) AS revenue
+       SUM(ROUND(o_totalprice * 100)) / 100 AS revenue
 FROM orders GROUP BY o_orderstatus
 """,
     tags=("agg",),
 )
 def rel_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """countDistinct alongside plain aggs (Spark expands to two-phase)."""
+    """countDistinct alongside plain aggs (Spark expands to two-phase).
+
+    Revenue sums exact integer cents (prices are 2-dp): at 1e10+ total
+    magnitude a raw double sum's order-dependent error exceeds the 4-dp
+    round, so the usual ROUND convention stops hash-matching — integral
+    doubles sum exactly in any order and need no rounding at all."""
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            (F.sum(F.round(F.col("o_totalprice") * 100)) / 100).alias("revenue"),
         )
     )
 
@@ -1970,7 +1975,7 @@ def rel_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH obs AS (
   SELECT event_type AS key,
          to_timestamp(CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600) AS bucket_ts,
-         AVG(value) AS obs_avg
+         AVG(ROUND(value * 100)) AS obs_cents
   FROM events GROUP BY 1, 2
 ),
 spans AS (SELECT key, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi FROM obs GROUP BY key),
@@ -1979,11 +1984,11 @@ grid AS (
   FROM spans
 )
 SELECT g.key, STRFTIME(g.bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket_s,
-       ROUND(o.obs_avg, 4) AS obs_avg,
-       ROUND(last_value(o.obs_avg IGNORE NULLS) OVER (
+       o.obs_cents / 100 AS obs_avg,
+       last_value(o.obs_cents IGNORE NULLS) OVER (
          PARTITION BY g.key ORDER BY g.bucket_ts
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_avg,
-       o.obs_avg IS NULL AS is_gap
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100 AS filled_avg,
+       o.obs_cents IS NULL AS is_gap
 FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.bucket_ts = o.bucket_ts
 """,
     tags=("timeseries", "window"),
@@ -1991,17 +1996,28 @@ FROM grid g LEFT JOIN obs o ON g.key = o.key AND g.bucket_ts = o.bucket_ts
 def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sensor-series regularization: hourly grid per event_type with
     LOCF gap fill (operators/timeseries.resample_locf). The irregular
-    events table becomes a dense, model-ready series."""
+    events table becomes a dense, model-ready series.
+
+    ``value`` carries 2-decimal readings, so the bucket mean is taken
+    over exact integer cents: integral doubles sum exactly (< 2^53)
+    in ANY partial-aggregation order, so both engines produce
+    bit-identical binary averages and NO rounding is needed (a raw
+    double AVG differs by 1 ulp between engines on 98 of the sf0.1
+    buckets; and any 4-dp ROUND of an exact .xxxx5 diverges because
+    Spark rounds the shortest-decimal string HALF_UP while DuckDB
+    rounds the binary value)."""
     from ..operators.timeseries import resample_locf
 
-    ev = _t(spark, sf_dir, "events")
-    out = resample_locf(ev, key_col="event_type", ts_col="ts", value_col="value",
-                        step_seconds=3600)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100)
+    )
+    out = resample_locf(ev, key_col="event_type", ts_col="ts",
+                        value_col="value_cents", step_seconds=3600)
     return out.select(
         "key",
         F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
-        F.round("obs_avg", 4).alias("obs_avg"),
-        F.round("filled_avg", 4).alias("filled_avg"),
+        (F.col("obs_avg") / 100).alias("obs_avg"),
+        (F.col("filled_avg") / 100).alias("filled_avg"),
         "is_gap",
     )
 
