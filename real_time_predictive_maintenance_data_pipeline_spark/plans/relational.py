@@ -2328,3 +2328,152 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("first_name"),
         F.max(F.length("value")).alias("max_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H-style variants: q4, q12, q22
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+""",
+    tags=("join", "agg", "subquery"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders with at least one slow line item (shipped
+    > 60 days after order date — the fixture schema's stand-in for
+    commit < receipt).
+
+    The correlated EXISTS becomes a left-semi join whose condition
+    mixes an equi conjunct (orderkey — drives the hash join) with a
+    non-equi date conjunct evaluated as a join residual. Semi joins
+    short-circuit per key: no fan-out, no downstream dedup. The date
+    range pushes to the orders scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == l.l_orderkey) & (
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY l.l_linestatus
+""",
+    tags=("join", "agg"),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: returned-shipment counts by line status and
+    priority bucket (the fixture schema has no shipmode/receipt dates;
+    returnflag + shipdate stand in). Conditional aggregation
+    (when/otherwise inside SUM) turns a would-be pivot into one pass;
+    both line-item predicates push to the scan before the orderkey
+    shuffle, and the output key is 2 values — the shuffle after the
+    join carries partial sums only."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_returnflag") == "R")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+WITH avg_bal AS (
+  SELECT AVG(ROUND(c_acctbal * 100)) / 100 AS a
+  FROM customer WHERE c_acctbal > 0.0
+    AND SUBSTRING(c_name, 1, 9) = 'Customer#'
+),
+eligible AS (
+  SELECT SUBSTRING(CAST(c_custkey AS VARCHAR), 1, 1) AS cntrycode, c_acctbal, c_custkey
+  FROM customer WHERE c_acctbal > (SELECT a FROM avg_bal)
+)
+SELECT e.cntrycode, COUNT(*) AS numcust,
+       SUM(ROUND(e.c_acctbal * 100)) / 100 AS totacctbal
+FROM eligible e
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = e.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-09-01')
+GROUP BY e.cntrycode
+""",
+    tags=("join", "agg", "subquery"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: high-balance customers who never ordered,
+    bucketed by a code prefix — here "never ordered" is "no order since
+    2000-09" so the result is non-degenerate on the fixture (orders
+    span 1995-2001). The scalar
+    AVG subquery is computed once and injected as a literal-free
+    crossJoin-broadcast (one row); NOT EXISTS is a left-anti join on
+    custkey with the date filter pushed to the orders scan. Balance aggregates use
+    exact integer cents (see registry conventions). The country-code
+    stand-in is the leading custkey digit (fixture customers share one
+    name prefix)."""
+    c = _t(spark, sf_dir, "customer")
+    base = c.filter(
+        (F.col("c_acctbal") > 0.0)
+        & (F.substring("c_name", 1, 9) == "Customer#")
+    )
+    avg_bal = base.agg(
+        (F.avg(F.round(F.col("c_acctbal") * 100)) / 100).alias("a")
+    )
+    eligible = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select(
+            F.substring(F.col("c_custkey").cast("string"), 1, 1).alias("cntrycode"),
+            "c_acctbal",
+            "c_custkey",
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-09-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        eligible.join(o, eligible.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(F.round(F.col("c_acctbal") * 100)) / 100).alias("totacctbal"),
+        )
+    )
