@@ -56,3 +56,26 @@ def per_group_trend(df: DataFrame, group_col: str = "event_type", x_col: str = "
         )
 
     return df.groupBy(group_col).applyInPandas(fit, TREND_SCHEMA)
+
+
+def grouped_median_udf():
+    """GROUPED_AGG pandas_udf: exact median per group (Arrow-batched).
+
+    Selection-based (no floating summation), so the result is
+    order-independent and bit-stable — safe to oracle-check. Scale
+    caveat, stated plainly: a grouped-agg pandas UDF materializes each
+    group's column in executor memory; at 100 TB group cardinality use
+    ``approx_percentile(0.5)`` (mergeable sketch) instead and keep this
+    surface for moderate-sized groups that need exact or bespoke math.
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import
+    # annotations` stringifies the signature, which defeats Spark's
+    # type-hint inference for the GROUPED_AGG variant.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udf(v):
+        return float(np.median(v.to_numpy()))
+
+    return median_udf

@@ -2477,3 +2477,30 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(F.col("c_acctbal") * 100)) / 100).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "rel_grouped_median_pandas",
+    oracle="""
+SELECT l_returnflag, MEDIAN(l_extendedprice) AS med_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("udf", "agg"),
+)
+def rel_grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf surface (exact per-group median via
+    numpy) checked against ANSI MEDIAN — completes the Python UDF
+    matrix (scalar exprs / grouped-map applyInPandas /
+    grouped-agg pandas_udf / mapInPandas). Median is selection-based,
+    so no float-order divergence; see operators.grouped for the
+    100 TB guidance (approx_percentile sketch)."""
+    from ..operators.grouped import grouped_median_udf
+
+    med = grouped_median_udf()
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        # a GROUPED_AGG pandas UDF cannot share an agg() with JVM
+        # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — single-column agg
+        .agg(med("l_extendedprice").alias("med_price"))
+    )
