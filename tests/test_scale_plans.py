@@ -198,3 +198,20 @@ def test_spread_is_noop_when_input_already_parallel(spark, tmp_path):
     narrow = spark.range(0, 10_000, 1, 1)
     out = spread(narrow)
     assert out.rdd.getNumPartitions() == cores
+
+
+def test_q18_aggregates_before_join(spark):
+    """The q18 rewrite's signature: lineitem is scanned ONCE (the
+    HAVING aggregate IS the output aggregate — grain is orderkey), and
+    the scan reads only the two needed columns. The naive shape scans
+    lineitem twice and re-aggregates every row after a 3-way join."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    df = all_queries()["q18_large_orders"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("lineitem.parquet") == 1, plan
+    li_scan = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "l_orderkey" in ln
+    ]
+    assert li_scan and "l_quantity" in li_scan[0]
+    assert "l_extendedprice" not in li_scan[0]  # column pruning held
