@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -172,3 +173,51 @@ def frame_sample(df: DataFrame, every_n: int = 4, id_col: str = "doc_id") -> Dat
             )
 
     return pruned.mapInPandas(batches, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+AUDIO_WINDOW = 64
+
+
+def audio_window_rms(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio-shaped operator: windowed RMS energy over the payload
+    interpreted as 8-bit PCM samples (STUB for a torchaudio/ffmpeg
+    decode — the container ships no audio codecs; charter: stub the
+    codec, keep the Spark plumbing real).
+
+    1→many contract like a real frame/window DSP op: each payload emits
+    ceil(n/64) windows of (index, sample count, RMS). numpy does the
+    math per Arrow batch — vectorized, bounded memory, no JVM↔Python
+    per-row chatter. RMS of integer samples sums exactly in float64,
+    so the result is bit-stable and DuckDB-oracle-checkable.
+    """
+    import numpy as np
+
+    pruned = df.select(F.col(id_col).alias("doc_id"), "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, counts, rms = [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.float64)
+                n = len(samples)
+                n_win = max(1, -(-n // AUDIO_WINDOW))
+                for w in range(n_win):
+                    win = samples[w * AUDIO_WINDOW : (w + 1) * AUDIO_WINDOW]
+                    ids.append(int(doc_id))
+                    idxs.append(w)
+                    counts.append(len(win))
+                    rms.append(float(np.sqrt(np.sum(win * win) / len(win))) if len(win) else 0.0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": idxs, "n_samples": counts, "rms": rms}
+            )
+
+    return pruned.mapInPandas(batches, AUDIO_SCHEMA)

@@ -851,3 +851,39 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d3.select(
         "doc_id", F.col("n_grams").cast("bigint").alias("n_grams"), fps.alias("fps")
     )
+
+
+@register(
+    "mm_audio_rms",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) + 1),
+                        i -> ascii(substring(text, i, 1))) AS s
+  FROM documents WHERE doc_id <= 100
+),
+w AS (
+  SELECT doc_id,
+         UNNEST(range(0, CAST(ceil(len(s) / 64.0) AS BIGINT))) AS window_idx,
+         UNNEST(list_transform(range(0, CAST(ceil(len(s) / 64.0) AS BIGINT)),
+                w -> s[w*64+1 : LEAST((w+1)*64, len(s))])) AS win
+  FROM chars
+)
+SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
+       CAST(len(win) AS INT) AS n_samples,
+       sqrt(list_reduce(list_transform(win, x -> CAST(x * x AS DOUBLE)),
+                        (a, b) -> a + b) / len(win)) AS rms
+FROM w
+""",
+    tags=("multimodal",),
+)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing (binary→windowed-DSP mapInPandas, 1→many):
+    windowed RMS over payload bytes as 8-bit PCM. The oracle recomputes
+    the same windows from character codes (the corpus is ASCII, so
+    payload byte == char code) — integer squares sum exactly in
+    float64, making even the sqrt bit-comparable."""
+    d = M.attach_binary_payload(
+        _docs(spark, sf_dir).filter(F.col("doc_id") <= 100)
+    )
+    return M.audio_window_rms(d)
