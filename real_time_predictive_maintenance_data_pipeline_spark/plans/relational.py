@@ -2504,3 +2504,71 @@ def rel_grouped_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — single-column agg
         .agg(med("l_extendedprice").alias("med_price"))
     )
+
+
+@register(
+    "rel_interval_join_banded",
+    oracle="""
+WITH days AS (
+  SELECT UNNEST(range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01',
+                      INTERVAL 1 DAY)) AS d
+),
+win AS (
+  SELECT d, d + INTERVAL 9 HOUR AS s, d + INTERVAL 11 HOUR AS e FROM days
+)
+SELECT STRFTIME(w.d, '%Y-%m-%d') AS day, COUNT(ev.event_id) AS n_in_window
+FROM win w LEFT JOIN events ev ON ev.ts >= w.s AND ev.ts < w.e
+GROUP BY 1
+""",
+    tags=("join", "timeseries"),
+)
+def rel_interval_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (NO equi key: events × daily 09:00-11:00
+    maintenance windows) executed as a BANDED equi join — the 100 TB
+    technique for range/interval joins that would otherwise plan as a
+    nested-loop cross product.
+
+    Both sides map to fixed-width hour bands: an event belongs to its
+    hour; a window expands to the hours it covers (narrow explode,
+    bounded by window span / band width = 2 rows here). The join is
+    then a plain hash equi join on the band key, with the exact
+    interval predicate as a residual filter — O(n) shuffle instead of
+    O(n × windows) nested-loop compares. The left join that keeps
+    empty windows re-joins the matched counts onto the window spine
+    (tiny, broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    days = spark.sql(
+        "SELECT explode(sequence(timestamp'2024-01-01', "
+        "timestamp'2024-01-31', interval 1 day)) AS d"
+    )
+    win = days.select(
+        "d",
+        (F.col("d") + F.expr("INTERVAL 9 HOURS")).alias("s"),
+        (F.col("d") + F.expr("INTERVAL 11 HOURS")).alias("e"),
+    )
+    # band expansion: every hour bucket the window overlaps
+    win_b = win.select(
+        "d", "s", "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", F.col("e") - F.expr("INTERVAL 1 SECOND")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("band"),
+    )
+    ev_b = ev.select("event_id", "ts", F.date_trunc("hour", "ts").alias("band"))
+    matched = (
+        ev_b.join(win_b, "band")
+        .filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+    )
+    return (
+        win.select("d")
+        .join(matched, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n_in_window"), F.lit(0)).alias("n_in_window"),
+        )
+    )
