@@ -95,3 +95,18 @@ def telemetry_scored_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("alert").alias("sample_alert"),
     )
+
+
+@register("telemetry_train_metrics", oracle=None, tags=("telemetry", "ml"))
+def telemetry_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O28 quality surface as a query: train on the seeded historical
+    table with an 80/20 split and return held-out precision/recall/
+    test-row-count as one row — the reference's published result is
+    1.00/1.00 (README.md:106-108); tests/test_ml.py pins the gate."""
+    from ..ml.anomaly import train_and_eval
+
+    _, ev = train_and_eval(historical_telemetry(spark))
+    return spark.createDataFrame(
+        [(float(ev.precision), float(ev.recall), int(ev.n_test))],
+        "precision double, recall double, n_test bigint",
+    )
