@@ -2572,3 +2572,92 @@ def rel_interval_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_in_window"), F.lit(0)).alias("n_in_window"),
         )
     )
+
+
+@register(
+    "rel_rolling_zscore",
+    oracle="""
+WITH w AS (
+  SELECT user_id, event_id, ts, value,
+         AVG(value) OVER win AS mu,
+         STDDEV_SAMP(value) OVER win AS sigma,
+         COUNT(*) OVER win AS n_win
+  FROM events
+  WHERE value IS NOT NULL
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id,
+       ROUND(value, 4) AS value,
+       ROUND((value - mu) / sigma, 2) + 0.0 AS zscore,
+       ABS((value - mu) / sigma) > 3.0 AS is_outlier
+FROM w WHERE n_win >= 10 AND sigma > 0
+""",
+    tags=("window", "timeseries", "ml"),
+)
+def rel_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — the classic
+    predictive-maintenance batch analytic: each reading scored against
+    the trailing 20 observations of ITS OWN series (frame excludes the
+    current row, so the score is out-of-sample). One shuffle on the
+    series key; the frame is ROWS-bounded so state per row is O(20) at
+    any scale. The z-score is rounded to 2 dp (a ratio of two
+    noise-accumulating floats supports ~2 stable digits across
+    engines, and + 0.0 normalizes signed zeros per registry
+    conventions); the 3-sigma outlier flag mirrors the reference's
+    threshold-alert semantics (realtime_inference.py:126-139) without
+    a trained model."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(win)
+    sigma = F.stddev_samp("value").over(win)
+    n_win = F.count(F.lit(1)).over(win)
+    z = (F.col("value") - mu) / sigma
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            (F.round(z, 2) + 0.0).alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_outlier"),
+            n_win.alias("__n"),
+            sigma.alias("__s"),
+        )
+        .filter((F.col("__n") >= 10) & (F.col("__s") > 0))
+        .drop("__n", "__s")
+    )
+
+
+@register(
+    "rel_skew_kurtosis",
+    oracle="""
+SELECT l_returnflag, n,
+       ROUND(skew_samp * (n - 2) / sqrt(n * (n - 1.0)), 4) AS skew_pop,
+       ROUND((kurt_samp * (n - 2.0) * (n - 3) / (n - 1) - 6) / (n + 1), 4)
+         AS kurt_excess_pop
+FROM (
+  SELECT l_returnflag, COUNT(*) AS n,
+         skewness(l_extendedprice) AS skew_samp,
+         kurtosis(l_extendedprice) AS kurt_samp
+  FROM lineitem GROUP BY l_returnflag
+)
+""",
+    tags=("agg", "stats"),
+)
+def rel_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment aggregates (3rd/4th standardized moments) —
+    single-pass mergeable built-ins. Spark reports POPULATION skewness
+    and EXCESS population kurtosis; DuckDB reports the sample-adjusted
+    (g1→G1, g2→G2) forms, so the oracle applies the exact rational
+    bias-correction inverse — a worked example of reconciling moment
+    conventions across engines rather than avoiding the functions."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("skew_pop"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_excess_pop"),
+    )
