@@ -2661,3 +2661,415 @@ def rel_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_extendedprice"), 4).alias("skew_pop"),
         F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_excess_pop"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H variants, second wave (no partsupp table in the fixtures; each
+# query adapts the classic's PLAN SHAPE to the available columns)
+# ---------------------------------------------------------------------------
+
+
+def _extprice_e4():
+    """l_extendedprice*(1-l_discount) as an exact integer in 1e-4 dollar
+    units: cents x (100 - discount-hundredths). Both factors are exact
+    integers recovered from 2-dp doubles, so partial sums are
+    order-independent and hash-match without rounding."""
+    return F.round(F.col("l_extendedprice") * 100) * (
+        100 - F.round(F.col("l_discount") * 100)
+    )
+
+
+_EXTPRICE_E4_SQL = "ROUND(l_extendedprice*100) * (100 - ROUND(l_discount*100))"
+
+
+@register(
+    "q2_best_supplier",
+    oracle=f"""
+WITH link AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+best AS (
+  SELECT l_partkey, MAX(s_acctbal) AS best_bal
+  FROM link JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, s_name, s_acctbal
+FROM part
+JOIN link ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN best ON best.l_partkey = p_partkey AND s_acctbal = best_bal
+WHERE p_type = 'ECONOMY' AND p_size <= 15
+""",
+    tags=("join", "subquery", "topk"),
+)
+def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part) adapted: for each
+    small ECONOMY part, the supplier(s) with the highest account balance
+    among suppliers who actually shipped it. The classic correlated MAX
+    subquery is decorrelated by hand into aggregate-then-rejoin — the
+    same rewrite Catalyst/DuckDB do internally — so the plan is two hash
+    joins plus one small agg instead of a per-row subplan.
+
+    Scale: the part->supplier link is DISTINCT over two int keys of the
+    fact table (map-side partial distinct collapses it to |parts| x
+    |suppliers-per-part| rows); supplier and the aggregated best-balance
+    table are both dim-sized, so every join after the distinct is a
+    broadcast. Equality on s_acctbal is safe: both sides compare the
+    SAME parquet double, no arithmetic."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    )
+    link = l.select("l_partkey", "l_suppkey").distinct()
+    linked = link.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+    best = linked.groupBy("l_partkey").agg(F.max("s_acctbal").alias("best_bal"))
+    return (
+        linked.join(
+            F.broadcast(best.withColumnRenamed("l_partkey", "b_partkey")),
+            (F.col("b_partkey") == F.col("l_partkey"))
+            & (F.col("s_acctbal") == F.col("best_bal")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q9_nation_profit",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       SUM({_EXTPRICE_E4_SQL}
+           - ROUND(p_retailprice*100) * l_quantity * 60) / 10000.0 AS profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+""",
+    bench=True,
+    tags=("join", "agg"),
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) adapted: five-way join, profit per
+    supplier nation per order year. With no ps_supplycost column, cost
+    is modeled as 60% of the part's retail price per unit.
+
+    Scale: the only fact-fact edge is lineitem⋈orders on l_orderkey —
+    one shuffle. part/supplier/nation are dim-sized and broadcast, and
+    the p_name filter prunes lineitem rows BEFORE the shuffle (filter
+    through the broadcast join first, then exchange). Profit is summed
+    in exact 1e-4-dollar integer units (prices are 2-dp, quantity is
+    integral), so partial-agg order never changes the hash."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amount = _extprice_e4() - F.round(
+        F.col("p_retailprice") * 100
+    ) * F.col("l_quantity") * 60
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg((F.sum(amount) / 10000.0).alias("profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey, SUM(ROUND(l_extendedprice*100)) AS value_cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, value_cents / 100 AS part_value
+FROM pv
+WHERE value_cents > (SELECT 1.2 * AVG(value_cents) FROM pv)
+""",
+    tags=("agg", "subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identified by a global-share
+    threshold): per-part shipped value, kept only when it exceeds 1.2x
+    the mean part value — a scalar aggregate over the aggregate itself.
+    The mean-relative threshold (unlike Q11's fixed fraction) is scale
+    invariant, so the query returns rows at every sf.
+
+    Scale: one shuffle for the per-part agg; the scalar is a one-row
+    broadcast (cross join) against the dim-sized aggregate, not a
+    second pass over the fact. Values are exact integer cents so the
+    threshold double (same sum, same division, same 1.2 multiply) is
+    bit-identical in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    pv = l.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100)).alias("value_cents")
+    )
+    thr = pv.agg((F.avg("value_cents") * 1.2).alias("thr"))
+    return (
+        pv.join(F.broadcast(thr))
+        .filter(F.col("value_cents") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value_cents") / 100).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_EXTPRICE_E4_SQL}) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_e4 / 10000.0 AS total_revenue
+FROM supplier JOIN rev ON l_suppkey = s_suppkey
+WHERE rev_e4 = (SELECT MAX(rev_e4) FROM rev)
+""",
+    tags=("agg", "subquery", "topk"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier by quarterly revenue — the classic
+    view + MAX-of-aggregate query). Ties are all returned, exactly as
+    the spec demands; the tie comparison is between exact integer
+    revenue units so it can never be lost to float noise.
+
+    Scale: the quarter filter pushes to the parquet scan; one shuffle
+    to aggregate by supplier; the MAX scalar and the supplier dim are
+    broadcasts against the supplier-sized aggregate."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(F.sum(_extprice_e4()).alias("rev_e4"))
+    mx = rev.agg(F.max("rev_e4").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("rev_e4") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", (F.col("rev_e4") / 10000.0).alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+""",
+    tags=("agg", "join", "subquery"),
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part class, with an
+    excluded-supplier NOT IN): distinct supplier count per
+    (brand, type, size) over shipped parts, excluding low-balance
+    suppliers. NOT IN over a provably non-null key column is planned as
+    a left-anti join (no null-semantics nested loop).
+
+    Scale: the anti join's build side is the filtered supplier dim
+    (broadcast); the part filter prunes before the distinct-agg
+    shuffle; COUNT(DISTINCT) runs as Spark's two-phase expand."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000)
+    return (
+        l.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_heavy_suppliers",
+    oracle="""
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT l_suppkey FROM sp WHERE qty > (SELECT 2.0 * AVG(qty) FROM sp)
+  )
+  AND s_nationkey IN (
+    SELECT n_nationkey FROM nation JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+  )
+""",
+    tags=("join", "subquery", "agg"),
+)
+def q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess stock of a part family):
+    two nested IN subqueries — one aggregated over the fact (suppliers
+    who shipped >2x the mean quantity of some 'small%' part), one
+    dim-only (Asian nations) — both planned as semi joins. Q20's fixed
+    absolute threshold is replaced by a mean-relative one so the query
+    selects at every scale factor (per-group quantity shrinks as the
+    part/supplier space grows).
+
+    Scale: the part-name filter broadcasts into lineitem before the
+    (l_suppkey, l_partkey) agg shuffle — the only fact shuffle; the
+    threshold scalar and the HAVING output are dim-sized, so the
+    remaining joins are broadcasts. Quantity is integral, so the
+    threshold double (same exact sum, same divide, same 2x) is
+    bit-identical in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sp = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    thr = sp.agg((F.avg("qty") * 2.0).alias("thr"))
+    heavy = (
+        sp.join(F.broadcast(thr))
+        .filter(F.col("qty") > F.col("thr"))
+        .select("l_suppkey")
+    )
+    asian = n.join(
+        F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")
+    ).select("n_nationkey")
+    return (
+        s.join(
+            F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(
+            F.broadcast(asian),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q21_sole_returner",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+""",
+    bench=True,
+    tags=("join", "subquery", "agg"),
+)
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for each
+    finalized multi-supplier order, count lines whose supplier is the
+    ONLY one with returned ('R') lines in that order. The classic plan
+    is EXISTS + NOT EXISTS correlated self-joins on the fact table
+    (the oracle states it that way); the Spark plan replaces BOTH
+    self-joins with one per-order aggregate — distinct supplier count
+    and distinct returning-supplier count — joined back to the
+    candidate rows:
+      EXISTS(other supplier)          == n_supp >= 2
+      NOT EXISTS(other 'R' supplier)  == n_r_supp = 1  (l1 itself is 'R')
+
+    Scale: the fact is shuffled on l_orderkey once for the aggregate
+    and once for the rejoin — both hash-partitioned on the same key, so
+    AQE plans a co-partitioned join with no third exchange; the classic
+    form would shuffle the fact three times. orders arrives on the same
+    key; supplier is a broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    cand = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        cand.join(
+            per_order.withColumnRenamed("l_orderkey", "po_orderkey"),
+            F.col("po_orderkey") == F.col("l_orderkey"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "rel_agg_bool_bit",
+    oracle="""
+SELECT l_returnflag,
+       bool_and(l_quantity >= 1)               AS all_qty_pos,
+       bool_or(l_discount > 0.09)              AS any_big_disc,
+       count_if(l_quantity > 45)               AS n_heavy,
+       bit_and(CAST(l_linenumber AS BIGINT))   AS ln_and,
+       bit_or(CAST(l_linenumber AS BIGINT))    AS ln_or,
+       bit_xor(CAST(l_linenumber AS BIGINT))   AS ln_xor,
+       median(l_quantity)                      AS med_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "functions"),
+)
+def rel_agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean / bitwise / conditional-count / median aggregate
+    built-ins — the long tail of the aggregate function surface, all
+    single-pass mergeable JVM aggs. median() is selection-based (no
+    summation), so it hash-matches across engines without rounding
+    (see registry conventions on preferring selection stats)."""
+    l = _t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber").cast("long")
+    return l.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_qty_pos"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+        F.count_if(F.col("l_quantity") > 45).alias("n_heavy"),
+        F.bit_and(ln).alias("ln_and"),
+        F.bit_or(ln).alias("ln_or"),
+        F.bit_xor(ln).alias("ln_xor"),
+        F.median("l_quantity").alias("med_qty"),
+    )

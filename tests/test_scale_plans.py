@@ -215,3 +215,44 @@ def test_q18_aggregates_before_join(spark):
     ]
     assert li_scan and "l_quantity" in li_scan[0]
     assert "l_extendedprice" not in li_scan[0]  # column pruning held
+
+
+def test_q9_dims_broadcast_filter_before_shuffle(spark):
+    """q9's five-way join must broadcast every dim (part/supplier/
+    nation) and prune the lineitem scan to the six needed columns; the
+    p_name filter must reach the part scan so the fact is thinned by
+    the broadcast join before any exchange."""
+    df = all_queries()["q9_nation_profit"].spark(spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    li = re.search(
+        r"Location: InMemoryFileIndex \[[^\]]*lineitem\.parquet\].*?ReadSchema: struct<(.*?)>",
+        plan,
+        re.S,
+    ).group(1)
+    cols = sorted(c.split(":")[0] for c in li.split(","))
+    assert cols == [
+        "l_discount",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        "l_suppkey",
+    ], f"lineitem scan reads {cols}"
+    part = re.search(
+        r"Location: InMemoryFileIndex \[[^\]]*part\.parquet\].*?PushedFilters: \[(.*?)\]",
+        plan,
+        re.S,
+    ).group(1)
+    assert "p_name" in part, "p_name filter not pushed to part scan"
+
+
+def test_q21_single_fact_aggregate_no_self_join(spark):
+    """q21's rewrite signature: the EXISTS / NOT EXISTS correlated
+    self-joins are replaced by ONE per-order aggregate, so lineitem is
+    scanned exactly twice (candidate rows + aggregate input) instead of
+    three times, and no nested-loop join appears anywhere."""
+    df = all_queries()["q21_sole_returner"].spark(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("lineitem.parquet") == 2, plan
+    assert "NestedLoop" not in plan
