@@ -27,6 +27,7 @@ from typing import TYPE_CHECKING, Any, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -104,6 +105,92 @@ def alarm_transitions(scored: DataFrame, threshold: int = 3) -> DataFrame:
         _make_fn(threshold),
         outputStructType=TRANSITION_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA drift monitor (second arbitrary-state operator)
+# ---------------------------------------------------------------------------
+
+#: Drift rows: reading that deviated from the tracked EWMA.
+DRIFT_SCHEMA = StructType(
+    [
+        StructField("machineId", StringType()),
+        StructField("timestamp", LongType()),
+        StructField("temperature", StringType()),  # '%.2f' parity formatting
+        StructField("ewma", StringType()),
+        StructField("n_seen", IntegerType()),
+    ]
+)
+
+#: (ewma, observation count); ewma is null until the first reading.
+DRIFT_STATE_SCHEMA = StructType(
+    [
+        StructField("ewma", DoubleType()),
+        StructField("n", IntegerType()),
+    ]
+)
+
+
+def _make_drift_fn(alpha: float, delta: float, warmup: int):
+    def fn(key: tuple, pdfs: Iterator["pd.DataFrame"], state: Any) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (machine_id,) = key
+        ewma, n = state.get if state.exists else (None, 0)
+        out_ts, out_temp, out_ewma, out_n = [], [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp")
+            for ts, temp in zip(pdf["timestamp"], pdf["temperature"]):
+                temp = float(temp)
+                if n >= warmup and abs(temp - ewma) > delta:
+                    out_ts.append(int(ts))
+                    out_temp.append(f"{temp:.2f}")
+                    out_ewma.append(f"{ewma:.2f}")
+                    out_n.append(n)
+                ewma = temp if ewma is None else alpha * temp + (1 - alpha) * ewma
+                n += 1
+        state.update((float(ewma), int(n)))
+        yield pd.DataFrame(
+            {
+                "machineId": [machine_id] * len(out_ts),
+                "timestamp": out_ts,
+                "temperature": out_temp,
+                "ewma": out_ewma,
+                "n_seen": out_n,
+            }
+        )
+
+    return fn
+
+
+def drift_monitor(
+    parsed: DataFrame, alpha: float = 0.2, delta: float = 5.0, warmup: int = 3
+) -> DataFrame:
+    """Per-machine EWMA drift detector (arbitrary-state streaming op).
+
+    Tracks an exponentially weighted moving average of temperature per
+    machineId in the state store; after ``warmup`` observations, any
+    reading deviating from the prior EWMA by more than ``delta`` emits
+    a drift row (the model-free complement of the reference's trained
+    anomaly scorer, realtime_inference.py:117-126 — same keying, same
+    '%.2f' formatting as its alert lines).
+
+    Implemented on ``applyInPandasWithState``. Spark 4 ships
+    ``transformWithStateInPandas`` as the successor API (named state
+    variables, TTL, timers), but its Python state-server protocol
+    requires google.protobuf, which this runtime does not provide —
+    the semantics here are identical for a single ValueState.
+
+    Scale: state per key is (ewma, count) — O(1), same keying as the
+    reference's machineId sharding (phase2-iot-kinesis.yaml:66); the
+    RocksDB state-store confs in session.py apply unchanged."""
+    return parsed.groupBy("machineId").applyInPandasWithState(
+        _make_drift_fn(alpha, delta, warmup),
+        outputStructType=DRIFT_SCHEMA,
+        stateStructType=DRIFT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
     )

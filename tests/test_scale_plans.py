@@ -249,10 +249,11 @@ def test_q9_dims_broadcast_filter_before_shuffle(spark):
 
 def test_q21_single_fact_aggregate_no_self_join(spark):
     """q21's rewrite signature: the EXISTS / NOT EXISTS correlated
-    self-joins are replaced by ONE per-order aggregate, so lineitem is
-    scanned exactly twice (candidate rows + aggregate input) instead of
-    three times, and no nested-loop join appears anywhere."""
+    self-joins AND the candidate rejoin collapse into one
+    (order, supplier)-grain aggregate + window counts, so lineitem is
+    scanned exactly ONCE (the classic plan scans it three times), and
+    no nested-loop join appears anywhere."""
     df = all_queries()["q21_sole_returner"].spark(spark, SF)
     plan = _plan(df, "simple")
-    assert plan.count("lineitem.parquet") == 2, plan
+    assert plan.count("lineitem.parquet") == 1, plan
     assert "NestedLoop" not in plan

@@ -546,3 +546,53 @@ def test_dedup_with_rocksdb_state_store(spark, payload_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_drift_monitor_ewma_state(spark, tmp_path):
+    """EWMA drift detector: state carries across micro-batches; only
+    post-warmup deviations > delta emit."""
+    from real_time_predictive_maintenance_data_pipeline_spark.streaming.stateful import (
+        drift_monitor,
+    )
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    # M1: 3 stable readings (warmup), then a +20° jump in batch 2.
+    f1 = [
+        '{"machineId":"M1","temperature":66.0,"vibration":1.3,"timestamp":100}',
+        '{"machineId":"M1","temperature":66.0,"vibration":1.3,"timestamp":101}',
+        '{"machineId":"M1","temperature":66.0,"vibration":1.3,"timestamp":102}',
+    ]
+    f2 = [
+        '{"machineId":"M1","temperature":86.0,"vibration":1.3,"timestamp":103}',
+        '{"machineId":"M1","temperature":66.5,"vibration":1.3,"timestamp":104}',
+    ]
+    (d / "a.json").write_text("\n".join(f1))
+    raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(d))
+    good, _ = quarantine_split(parse_telemetry(raw))
+    out = drift_monitor(good, alpha=0.2, delta=5.0, warmup=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_drift")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        time.sleep(5)  # let batch 1 (warmup, no output) process
+        (d / "b.json").write_text("\n".join(f2))
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("t_drift").count() < 1:
+            time.sleep(1)
+        time.sleep(3)  # settle: no further rows may appear
+        rows = spark.table("t_drift").collect()
+        # ts=103: |86 - 66| = 20 > 5 drifts against the stable EWMA.
+        # ts=104: EWMA has moved to 0.2*86 + 0.8*66 = 70.0 and
+        # |66.5 - 70.0| = 3.5 < 5 — no drift. Exactly one row total,
+        # and its state (EWMA from batch 1) crossed the batch boundary.
+        assert len(rows) == 1
+        assert rows[0].timestamp == 103 and rows[0].temperature == "86.00"
+        assert rows[0].ewma == "66.00" and rows[0].n_seen == 3
+    finally:
+        q.stop()
