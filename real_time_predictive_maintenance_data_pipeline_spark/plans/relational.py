@@ -3111,3 +3111,96 @@ def rel_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+SELECT YEAR(o.o_orderdate) AS o_year,
+       SUM(CASE WHEN sn.n_name = 'NATION_3'
+                THEN ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                ELSE 0 END)
+         / SUM(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000))
+         AS mkt_share,
+       COUNT(*) AS n
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE p.p_type = 'ECONOMY'
+  AND r.r_name = 'AMERICA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_year
+ORDER BY o_year
+""",
+    bench=True,
+    tags=("join", "agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: of the volume sold into
+    one region's market for one part type over two years, what share
+    came from the target supplier nation, per year. The widest TPC-H
+    join tree (8 tables).
+
+    Scale plan: every dimension is broadcast — part (type filter),
+    customer-nation⋈region (market filter), supplier⋈nation (share
+    flag) — so the ONLY shuffles are the two fact-side equi joins
+    lineitem⋈orders (orderkey) and orders⋈customer (custkey). The
+    part-type filter broadcasts first and prunes ~5/6 of the fact
+    before either shuffle; the date filter pushes into the orders
+    scan. customer is mid-sized but bounded (0.15 × SF rows), within
+    the AQE broadcast threshold after the region semi-filter at any
+    realistic cluster memory.
+
+    The share is a quotient of two exact integral sums (volume has 4
+    decimals → ×10000 integers sum exactly in any order below 2^53),
+    so both engines divide bit-identical doubles — no final ROUND,
+    per the registry float-parity conventions."""
+    vol_i = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_suppkey", vol_i.alias("vol_i")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA").select(
+        "r_regionkey"
+    )
+    cn = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol_i")).otherwise(0.0))
+                / F.sum("vol_i")
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_year")
+    )

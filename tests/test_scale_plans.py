@@ -247,6 +247,31 @@ def test_q9_dims_broadcast_filter_before_shuffle(spark):
     assert "p_name" in part, "p_name filter not pushed to part scan"
 
 
+def test_q8_dims_broadcast_fact_thinned_before_shuffle(spark):
+    """q8's eight-way join: every dimension side (part, region⋈nation,
+    nation-joined customer/supplier prep) plans as a broadcast, the
+    p_type filter reaches the part scan (so the broadcast join thins
+    the fact ~6x before the orderkey shuffle), and the date filter
+    pushes into the orders scan."""
+    df = all_queries()["q8_market_share"].spark(spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "NestedLoop" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    part = re.search(
+        r"Location: InMemoryFileIndex \[[^\]]*part\.parquet\].*?PushedFilters: \[(.*?)\]",
+        plan,
+        re.S,
+    ).group(1)
+    assert "EqualTo(p_type,ECONOMY)" in part
+    orders = re.search(
+        r"Location: InMemoryFileIndex \[[^\]]*orders\.parquet\].*?PushedFilters: \[(.*?)\]",
+        plan,
+        re.S,
+    ).group(1)
+    assert "o_orderdate" in orders
+
+
 def test_q21_single_fact_aggregate_no_self_join(spark):
     """q21's rewrite signature: the EXISTS / NOT EXISTS correlated
     self-joins AND the candidate rejoin collapse into one
