@@ -3204,3 +3204,54 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "rel_recursive_cte",
+    oracle="""
+WITH RECURSIVE chain AS (
+  SELECT n_nationkey, n_name, n_nationkey AS root_key, 0 AS depth
+  FROM nation WHERE n_nationkey < 5
+  UNION ALL
+  SELECT n.n_nationkey, n.n_name, c.root_key, c.depth + 1
+  FROM nation n JOIN chain c ON n.n_nationkey = c.n_nationkey + 5
+)
+SELECT root_key, COUNT(*) AS chain_len, MAX(depth) AS max_depth,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MAX(n_name) AS deepest_name
+FROM chain GROUP BY root_key ORDER BY root_key
+""",
+    tags=("sql", "recursive"),
+)
+def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative/hierarchical traversal via ``WITH RECURSIVE`` (new in
+    Spark 4): five synthetic parent chains over nation
+    (key -> key + 5) walked to their leaves, then rolled up per root.
+    The recursion the reference cannot express at all, and the one
+    relational form Catalyst executes as an iterative union of
+    micro-plans rather than a single DAG.
+
+    Scale: each recursion step is a self-contained equi join of the
+    frontier against the base table — the frontier stays tiny (≤ #roots
+    per level) while the base side broadcasts, so depth, not data
+    volume, bounds the iteration count. For billion-row hierarchies the
+    same statement holds; frontier growth is what to watch, not table
+    size."""
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT n_nationkey, n_name, n_nationkey AS root_key, 0 AS depth
+          FROM nation WHERE n_nationkey < 5
+          UNION ALL
+          SELECT n.n_nationkey, n.n_name, c.root_key, c.depth + 1
+          FROM nation n JOIN chain c ON n.n_nationkey = c.n_nationkey + 5
+        )
+        SELECT root_key, COUNT(*) AS chain_len, MAX(depth) AS max_depth,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+               MAX(n_name) AS deepest_name
+        FROM chain GROUP BY root_key ORDER BY root_key
+        """
+    )

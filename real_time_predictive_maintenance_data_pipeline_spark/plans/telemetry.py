@@ -110,3 +110,36 @@ def telemetry_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(float(ev.precision), float(ev.recall), int(ev.n_test))],
         "precision double, recall double, n_test bigint",
     )
+
+
+@register("telemetry_pysource_stats", oracle=None, tags=("telemetry", "source"))
+def telemetry_pysource_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource (sources/pysource.py) as a scan:
+    ``format("telemetry_sim")`` reads 20k deterministic rows across 8
+    input partitions, then a normal/anomaly breakdown aggregates on
+    top — proving the source composes with the relational surface like
+    any built-in format. Engine-generated (row-id-keyed draws), so no
+    SQL oracle; the driver's rows-only check plus
+    tests/test_pysource.py's distribution/determinism/pushdown/offset
+    assertions cover it."""
+    from ..sources.pysource import TelemetryDataSource
+
+    spark.dataSource.register(TelemetryDataSource)
+    df = (
+        spark.read.format("telemetry_sim")
+        .option("rows", 20_000)
+        .option("partitions", 8)
+        .load()
+    )
+    is_anom = (F.col("temperature") >= 80.0).cast("int")
+    return (
+        df.groupBy(is_anom.alias("is_anomaly"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("temperature"), 2).alias("avg_temp"),
+            F.round(F.avg("vibration"), 2).alias("avg_vib"),
+            F.min("timestamp").alias("ts_min"),
+            F.max("timestamp").alias("ts_max"),
+        )
+        .orderBy("is_anomaly")
+    )

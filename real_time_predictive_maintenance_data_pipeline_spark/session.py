@@ -39,6 +39,9 @@ def spark_confs() -> dict[str, str]:
         # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long (nanos) and convert in the loader.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Let custom Python data sources (sources/pysource.py) receive
+        # pushed filters; off by default in Spark 4.1.
+        "spark.sql.python.filterPushdown.enabled": "true",
     }
 
 
