@@ -116,6 +116,51 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS od_b")
 
 
+def test_topk_per_group_rank_pushdown(spark):
+    """Grouped top-k must plan a WindowGroupLimit: the rank predicate
+    pushes below the window so each map task keeps only k rows per
+    group before AND after the shuffle — the difference between
+    shuffling k rows/group and shuffling the whole fact at 100 TB."""
+    df = all_queries()["rel_topk_per_group"].spark(spark, SF)
+    plan = _plan(df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_runtime_bloom_filter_injected_on_fact_side(spark):
+    """Runtime row-level filtering: when a selective dim filter feeds a
+    shuffle join, Spark injects a bloom filter (`might_contain`) on the
+    fact side so non-matching rows die at the scan, not in the shuffle.
+    At 100 TB the default size thresholds trigger this automatically;
+    sf0.01 sits below them, so the thresholds are pinned here to assert
+    the at-scale plan shape (and that results are unchanged)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        od = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = _plan(j, "simple")
+        assert "might_contain" in plan, plan
+        n = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert n == li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).count()
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must not change semantics: salted inner join == plain
     inner join row-for-row (including duplicate multiplicity)."""
