@@ -3255,3 +3255,32 @@ def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain GROUP BY root_key ORDER BY root_key
         """
     )
+
+
+@register("rel_hll_partial_merge", oracle=None, tags=("agg", "approx", "sketch"))
+def rel_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, new
+    in Spark 3.5+/4): build one sketch per month over o_custkey, then
+    union the *sketches* up to year level and estimate.
+
+    This is THE 100 TB pattern for distinct counts: per-partition
+    (e.g. daily) sketch aggregates are small, precomputable, and
+    re-aggregatable to any coarser grain without touching raw data —
+    a plain countDistinct must reshuffle the full fact for every new
+    grouping. Merged and direct coarse-grain sketches agree to within
+    HLL error (sparse→dense promotion on union costs a few counts at
+    small cardinality; tests/test_properties.py pins a 2% merge-drift
+    and 5% vs-exact bound). Engine-only surface: DuckDB has no sketch
+    algebra, so the driver records the rows-only check."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return (
+        monthly.groupBy(F.year("mo").alias("yr"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
+            F.count(F.lit(1)).alias("n_months"),
+        )
+        .orderBy("yr")
+    )

@@ -102,3 +102,30 @@ def test_exact_dedup_partition_property(spark, texts):
     assert len(out) == len(set(texts))
     keepers = {r.keeper_id for r in out}
     assert keepers <= set(range(len(texts)))
+
+
+def test_hll_sketch_merge_is_consistent_and_accurate(spark):
+    """HLL sketch algebra: union of monthly sketches at year grain
+    agrees with a direct year-level sketch to within 2% (a union of
+    sparse-mode sketches promotes to dense HLL, so small-cardinality
+    estimates can differ by a few counts — not bit-equal), and both
+    land within 5% of the exact distinct count — the precondition for
+    precomputed rollup sketches at 100 TB."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    merged = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .groupBy(F.year("mo").alias("yr"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    direct = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est"),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    m = {r.yr: r.est for r in merged.collect()}
+    for r in direct.collect():
+        assert abs(m[r.yr] - r.est) / r.exact < 0.02, f"merge drift for {r.yr}"
+        assert abs(r.est - r.exact) / r.exact < 0.05
+        assert abs(m[r.yr] - r.exact) / r.exact < 0.05

@@ -116,6 +116,42 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS od_b")
 
 
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact laid out with partitionBy(key) must be dynamically pruned
+    when joined to a filtered dim on that key: the dim's surviving keys
+    become a runtime partition filter (`dynamicpruning` subquery) so
+    only matching directories are scanned. At 100 TB a date-partitioned
+    lake + a filtered date dim reads days, not the lake. (useStats is
+    disabled so tiny-fixture size estimates don't veto the rewrite the
+    way real-scale stats never would.)"""
+    fact_dir = str(tmp_path / "orders_part")
+    (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .mode("overwrite")
+        .parquet(fact_dir)
+    )
+    saved = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+        fact = spark.read.parquet(fact_dir)
+        dim = spark.createDataFrame(
+            [(y, f"t{y}") for y in range(1995, 2002)], "y int, tag string"
+        ).filter(F.col("tag") == "t1996")
+        j = fact.join(dim, fact.o_year == dim.y)
+        plan = _plan(j)
+        assert "dynamicpruning" in plan.lower(), plan
+        expected = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .filter(F.year("o_orderdate") == 1996)
+            .count()
+        )
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", saved)
+
+
 def test_topk_per_group_rank_pushdown(spark):
     """Grouped top-k must plan a WindowGroupLimit: the rank predicate
     pushes below the window so each map task keeps only k rows per
