@@ -3284,3 +3284,46 @@ def rel_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
+
+
+@register(
+    "rel_lateral_topk",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c CROSS JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey <= 100
+ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+""",
+    tags=("sql", "join", "subquery"),
+)
+def rel_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer top-2 orders) — the
+    ANSI form of grouped top-k, new SQL surface in Spark 4. The same
+    statement text runs on both engines.
+
+    Catalyst decorrelates the per-row subquery into a relational plan
+    (rank-style rewrite over the correlation key) rather than
+    re-executing it per outer row, so at scale this costs one fact
+    shuffle — the same plan class as rel_topk_per_group — not
+    #customers probe queries; the tie-break on o_orderkey makes the
+    result deterministic for the hash compare."""
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c CROSS JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 100
+        ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )

@@ -129,3 +129,28 @@ def test_hll_sketch_merge_is_consistent_and_accurate(spark):
         assert abs(m[r.yr] - r.est) / r.exact < 0.02, f"merge drift for {r.yr}"
         assert abs(r.est - r.exact) / r.exact < 0.05
         assert abs(m[r.yr] - r.exact) / r.exact < 0.05
+
+
+def test_observe_metrics_single_pass(spark):
+    """Pipeline observability without a second scan: df.observe attaches
+    aggregate metrics (row count, anomaly count, avg) that materialize
+    as a side effect of the one action — at 100 TB a data-quality
+    readout costs zero extra passes."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("quality")
+    df = (
+        spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.count_if(F.col("l_quantity") > 45).alias("big_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+        .filter(F.col("l_quantity") > 45)
+    )
+    kept = df.count()
+    m = obs.get
+    assert m["rows_seen"] > kept > 0
+    assert m["big_qty"] == kept  # metric saw pre-filter rows, counted the same predicate
