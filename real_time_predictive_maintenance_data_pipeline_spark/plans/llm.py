@@ -728,8 +728,10 @@ WITH s AS (
 )
 SELECT e.vec_id,
        ROUND(s.scale, 6) AS scale,
-       list_transform(e.embedding,
-                      x -> CAST(round(CAST(x AS DOUBLE) / s.scale) AS INT)) AS qvec
+       array_to_string(
+         list_transform(e.embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / s.scale) AS INT)),
+         ',') AS qvec
 FROM embeddings e JOIN s ON e.vec_id = s.vec_id
 """,
     tags=("similarity", "array"),
@@ -740,7 +742,10 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     scannable for ANN (int8 dot products, rescale scores by scale_a ×
     scale_b). Pure map-side higher-order expressions — no shuffle, no
     UDF; the DuckDB join in the oracle is expressed in Spark as a single
-    projection reusing the scale subexpression."""
+    projection reusing the scale subexpression. The int8 vector is
+    emitted as a comma-joined string: the driver's hash canonicalization
+    (pandas sort_values) cannot factorize array cells, and the CSV form
+    is lossless for integers."""
     e = _embs(spark, sf_dir)
     vec = F.col("embedding").cast("array<double>")
     scale = (
@@ -750,8 +755,11 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "vec_id",
         F.round("__scale", 6).alias("scale"),
-        F.transform(
-            "__v", lambda x: F.round(x / F.col("__scale")).cast("int")
+        F.array_join(
+            F.transform(
+                "__v", lambda x: F.round(x / F.col("__scale")).cast("int")
+            ),
+            ",",
         ).alias("qvec"),
     )
 
@@ -807,8 +815,10 @@ h AS (
   FROM a
 )
 SELECT doc_id, len(hs) AS n_grams,
-       list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
-                                              i -> list_min(hs[i:i+3])))) AS fps
+       array_to_string(
+         list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
+                                                i -> list_min(hs[i:i+3])))),
+         ',') AS fps
 FROM h
 """,
     tags=("text", "dedup"),
@@ -824,7 +834,10 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. The gram hash here is a portable polynomial (so the
     DuckDB oracle computes bit-identical values); production would use
     ``xxhash64`` exactly as ``operators.dedup`` does — the winnowing
-    structure is hash-agnostic."""
+    structure is hash-agnostic. The fingerprint set is emitted as a
+    comma-joined string so the driver's pandas-based hash
+    canonicalization (which cannot factorize array cells) can compare
+    it; lossless for integer hashes."""
     d = _docs(spark, sf_dir)
     words = F.split("text", " ")
     ah = F.transform(
@@ -849,7 +862,9 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d3.select(
-        "doc_id", F.col("n_grams").cast("bigint").alias("n_grams"), fps.alias("fps")
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.array_join(fps, ",").alias("fps"),
     )
 
 

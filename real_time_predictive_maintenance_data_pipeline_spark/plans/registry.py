@@ -49,6 +49,142 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+# The driver's per-round correctness harness compares the FIRST 50 queries in
+# catalog order against the DuckDB oracle. Round 1 verified the 48 names in
+# ``_DRIVER_VERIFIED`` (hash-green or rows-only-by-contract) — see
+# CORRECTNESS_r01.json. To get CORRECTNESS rows onto the rest of the catalog,
+# ``all_queries()`` orders the catalog as:
+#   1. ``_RECHECK_FIRST``   — round-1 hard failures whose fix must re-verify
+#   2. ``_WINDOW_PRIORITY`` — curated not-yet-verified set (telemetry parity,
+#      windows, top-k, set ops, sources, TPC-H tail) packed into the window
+#   3. every other not-yet-verified query, in registration order
+#   4. ``_DRIVER_VERIFIED`` — already green; rotated to the back
+# Rotate newly-verified names into ``_DRIVER_VERIFIED`` each round until the
+# whole catalog has driver rows.
+_RECHECK_FIRST: tuple[str, ...] = ("emb_quantize_int8", "doc_winnow")
+
+_WINDOW_PRIORITY: tuple[str, ...] = (
+    # telemetry parity queries (SURVEY §2.1) — registered last, never checked
+    "telemetry_historical_stats",
+    "telemetry_stream_roundtrip",
+    "telemetry_score_500k",
+    "telemetry_scored_alerts",
+    "telemetry_train_metrics",
+    "telemetry_pysource_stats",
+    # window functions
+    "rel_window_rank",
+    "rel_window_running",
+    "rel_window_moving_avg",
+    "rel_window_distribution",
+    "rel_window_range_frame",
+    # top-k
+    "rel_topk_global",
+    "rel_topk_per_group",
+    # set ops
+    "rel_union",
+    "rel_intersect",
+    "rel_except",
+    "rel_except_all",
+    "rel_intersect_all",
+    # sources / sinks round-trips
+    "src_csv_roundtrip",
+    "src_partitioned_pruned",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "src_text_roundtrip",
+    # TPC-H tail
+    "q2_best_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q20_heavy_suppliers",
+    "q21_sole_returner",
+    "q22_global_sales_opportunity",
+    # remaining join / plan-shape specials
+    "rel_asof_join",
+    "rel_join_right",
+    "rel_salted_join",
+    "rel_recursive_cte",
+    "rel_hll_partial_merge",
+    "rel_sql_api",
+)
+
+_DRIVER_VERIFIED: tuple[str, ...] = (
+    # round 1 (CORRECTNESS_r01.json): hash-green or rows-only by contract
+    "doc_token_stats",
+    "doc_quality",
+    "doc_langid",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_pairs",
+    "sim_topk_bruteforce",
+    "sim_knn_batch",
+    "sim_ann_lsh",
+    "mm_binary_stats",
+    "mm_feature_extract",
+    "sim_ivf_topk",
+    "mm_resize",
+    "mm_frame_sample",
+    "doc_token_regex",
+    "doc_punct_ratio",
+    "dedup_clusters",
+    "doc_top_terms",
+    "ml_kmeans_embeddings",
+    "doc_stratified_sample",
+    "doc_bigrams",
+    "doc_decontaminate",
+    "doc_chunk",
+    "doc_pii_redact",
+    "doc_repetition",
+    "emb_label_centroids",
+    "mm_audio_rms",
+    "q1_pricing_summary",
+    "rel_agg_stats",
+    "rel_agg_distinct",
+    "rel_having",
+    "rel_rollup",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_pivot_status",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "rel_join_inner",
+    "rel_join_left",
+    "rel_join_full",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_cross",
+    "rel_range_join",
+    "rel_scalar_subquery",
+)
+
+
+def _catalog_order(names: list[str]) -> list[str]:
+    """Order the catalog so the driver's fixed correctness window lands on
+    not-yet-verified queries (see comment on the lists above)."""
+    rank = {n: (0, i) for i, n in enumerate(_RECHECK_FIRST)}
+    for i, n in enumerate(_WINDOW_PRIORITY):
+        rank.setdefault(n, (1, i))
+    for i, n in enumerate(_DRIVER_VERIFIED):
+        rank.setdefault(n, (3, i))
+    reg = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: rank.get(n, (2, reg[n])))
+
 
 def register(
     name: str,
@@ -77,7 +213,7 @@ def all_queries() -> dict[str, Query]:
     from . import load_all
 
     load_all()
-    return dict(_REGISTRY)
+    return {n: _REGISTRY[n] for n in _catalog_order(list(_REGISTRY))}
 
 
 def get_query(name: str) -> Query:

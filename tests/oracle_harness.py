@@ -52,6 +52,23 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """Assert spark result == duckdb result (order-insensitive)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    # The driver canonicalizes via pandas sort_values, which CANNOT factorize
+    # array/map/struct cells (round-1 shipped two red rows this way: the local
+    # tuple-conversion masked it). Mirror the driver's limitation: oracled
+    # queries must emit flat columns — serialize arrays with array_join/to_json.
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"oracled query emits complex-typed columns {complex_cols}; the "
+        "driver's hash canonicalization crashes on these — serialize with "
+        "array_join/to_json on both sides"
+    )
+
     duck = con.execute(sql)
     duck_cols = [d[0] for d in duck.description]
     duck_rows = duck.fetchall()
