@@ -20,6 +20,8 @@ document into 8 bytes, so the pair join moves minimal data.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,16 +56,24 @@ def ngram_jaccard_pairs(
     """Exact word-set Jaccard similarity pairs within a blocking key.
 
     jaccard = |A ∩ B| / |A ∪ B| over distinct whitespace tokens.
-    Quadratic within block — pick blocking keys so group sizes stay
-    bounded (lang × length-bucket at real scale).
 
-    Physical strategy: the blocking key is LOW-cardinality (5 langs), so
-    an equi-join on it would collapse onto 5 shuffle keys (5 active
-    tasks). Instead the right side is broadcast and the left side
-    repartitioned round-robin, so pair generation parallelizes over
-    left rows. A size-ratio prune (J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|)
-    ≥ t) runs as a cheap int predicate inside the join, skipping the
-    expensive array intersection for most pairs.
+    Physical strategy: a shuffle EQUI-join on the composite key
+    (block, length-bucket). The raw blocking key alone is
+    LOW-cardinality (5 langs → 5 shuffle keys → 5 active tasks, and
+    the earlier broadcast-the-corpus alternative caps out at executor
+    memory). The length bucket multiplies key cardinality by ~40-60
+    while staying LOSSLESS: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t ⇒
+    |ln|A| − ln|B|| ≤ ln(1/t), so with bucket = floor(ln n / ln(1/t))
+    any qualifying pair differs by at most one bucket. The probe side
+    emits {bk−1, bk, bk+1} and the build side its own bk; exactly one
+    probe key matches per pair, so each (doc_a < doc_b) pair appears
+    exactly once — no post-join dedup. Neither side is broadcast, so
+    the plan survives corpora that dwarf executor memory; quadratic
+    cost is bounded per (block, bucket) group.
+
+    The same size-ratio prune also runs as a cheap int residual
+    predicate inside the join, skipping the expensive array
+    intersection for cross-neighbor-bucket pairs that can't qualify.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounded.
     """
     # Tokens are hashed to 64-bit longs before the pair join:
@@ -82,7 +92,17 @@ def ngram_jaccard_pairs(
             F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
         ).alias("__words"),
     ).withColumn("__n", F.size("__words"))
-    a = d.alias("a")
+    if 0.0 < threshold < 1.0:
+        width = math.log(1.0 / threshold)
+        bucket = F.floor(
+            F.log(F.greatest(F.col("__n"), F.lit(1)).cast("double")) / F.lit(width)
+        )
+    else:  # t<=0 admits any size ratio — no bucket pruning possible
+        bucket = F.lit(0)
+    d = d.withColumn("__bk", bucket.cast("long"))
+    a = d.withColumn(
+        "__pk", F.explode(F.array(F.col("__bk") - 1, F.col("__bk"), F.col("__bk") + 1))
+    ).alias("a")
     b = d.alias("b")
     size_prune = (
         F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
@@ -94,8 +114,9 @@ def ngram_jaccard_pairs(
     jac = F.round(inter.cast("double") / union, 4)
     return (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__pk") == F.col("b.__bk"))
             & (F.col("a.__id") < F.col("b.__id"))
             & size_prune,
         )

@@ -53,14 +53,26 @@ def stratified_sample(
     strata_col: str,
     fractions: dict,
     seed: int = 42,
+    default: float | None = None,
 ) -> DataFrame:
-    """Per-stratum Bernoulli sampling (``sampleBy``) — the training-data
-    rebalancing primitive (e.g. downsample dominant languages, keep all
-    rare ones).
+    """Per-stratum Bernoulli sampling — the training-data rebalancing
+    primitive (e.g. downsample dominant languages, keep all rare ones).
 
     Map-side only: each task flips a seeded coin per row — no shuffle,
     no global pass, linear at any scale. Fractions are exact in
     expectation (binomial per stratum); for exact counts use the
     rank-over-random pattern from ``sources/generator`` instead.
+
+    With ``default=None`` this is ``sampleBy`` (strata absent from
+    ``fractions`` are dropped). A non-None ``default`` covers every
+    OTHER stratum — so callers never need to enumerate the strata
+    domain first (a full corpus scan at 100 TB just to build the
+    fractions dict): the per-row fraction is a when-chain evaluated
+    map-side.
     """
-    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+    if default is None:
+        return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+    frac = F.lit(float(default))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, float(v)).otherwise(frac)
+    return df.filter(F.rand(seed) < frac)

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import epoch_us
+
 
 def resample_locf(
     df: DataFrame,
@@ -38,8 +40,10 @@ def resample_locf(
     filled rows.
     """
     step = F.lit(step_seconds)
+    # epoch_us handles TIMESTAMP_NTZ inputs (unix_timestamp would fall
+    # back to a second-granularity string parse on NTZ)
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+        (epoch_us(F.col(ts_col)) / F.lit(1_000_000) / step).cast("long") * step
     )
 
     # per-bucket aggregation first — the grid join then matches 1:1

@@ -469,15 +469,15 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("doc_stratified_sample", oracle=None, tags=("sampling",))
 def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-rebalanced corpus sample (downsample 'en' to 20 %, keep
-    half of everything else) — per-stratum binomial, map-side only.
+    half of everything else) — per-stratum binomial, map-side only; the
+    ``default`` fraction covers unlisted strata so NO pass over the
+    corpus is needed to discover the language domain first.
     Rows-only (sampling RNG is engine-specific); fraction accuracy
     asserted in tests."""
     from ..operators.skew import stratified_sample
 
     d = _docs(spark, sf_dir)
-    langs = [r.lang for r in d.select("lang").distinct().collect()]
-    fractions = {lang: (0.2 if lang == "en" else 0.5) for lang in langs}
-    out = stratified_sample(d, "lang", fractions)
+    out = stratified_sample(d, "lang", {"en": 0.2}, default=0.5)
     return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import epoch_seconds, epoch_us
 from ..sources.tables import load_table
 from .registry import register
 
@@ -900,7 +901,7 @@ def rel_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
-            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_start_us"),
+            epoch_us(F.date_trunc("hour", F.col("ts"))).alias("hour_start_us"),
             "event_type",
         )
         .agg(
@@ -945,7 +946,7 @@ def rel_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            | (epoch_us("ts") - epoch_us(F.lag("ts").over(w)) > gap_us),
             1,
         )
         .otherwise(0)
@@ -1000,8 +1001,8 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("purchase_ts_us"),
-        F.unix_micros("s_ts").alias("signup_ts_us"),
+        epoch_us("ts").alias("purchase_ts_us"),
+        epoch_us("s_ts").alias("signup_ts_us"),
     )
 
 
@@ -1613,9 +1614,9 @@ def rel_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
-        # cast-to-double keeps fractional seconds (micros), matching
-        # DuckDB's epoch(); unix_timestamp() would truncate to seconds
-        F.col("ts").cast("double").alias("x"),
+        # fractional epoch seconds (micros precision), matching DuckDB's
+        # epoch(); unix_timestamp() would truncate to seconds and reject NTZ
+        epoch_seconds("ts").alias("x"),
         F.col("value").alias("y"),
     )
     out = per_group_trend(ev, group_col="event_type", x_col="x", y_col="y")

@@ -112,6 +112,41 @@ def telemetry_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("telemetry_artifact_score", oracle=None, tags=("telemetry", "ml"))
+def telemetry_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O22/O26 artifact parity: persist a model artifact (joblib when
+    installed — the reference's format, realtime_inference.py:58-65 —
+    else pickle), then score a 50 k-row telemetry batch through
+    ``predict_batch_udf`` (executor-side lazy load + Arrow-batched
+    ``model.predict``). Agreement with the MLlib path on the separable
+    region is pinned in tests/test_ml.py; rows-only here (model +
+    generated inputs live outside the oracle tables)."""
+    import os
+    import tempfile
+
+    from ..ml.artifact import (
+        score_with_artifact,
+        save_artifact,
+        train_reference_artifact,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), "rtpmdp_rf_artifact.bin")
+    if "artifact_path" not in _MODEL_CACHE:
+        save_artifact(train_reference_artifact(historical_telemetry(spark)), path)
+        _MODEL_CACHE["artifact_path"] = path
+    s = stream_telemetry_batch(spark, n=50_000)
+    scored = score_with_artifact(s, _MODEL_CACHE["artifact_path"])
+    return (
+        scored.groupBy("prediction")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("temperature"), 2).alias("avg_temp"),
+            F.round(F.avg("vibration"), 2).alias("avg_vib"),
+        )
+        .orderBy("prediction")
+    )
+
+
 @register("telemetry_pysource_stats", oracle=None, tags=("telemetry", "source"))
 def telemetry_pysource_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The custom Python DataSource (sources/pysource.py) as a scan:

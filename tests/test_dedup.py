@@ -144,3 +144,21 @@ def test_stratified_sample_fractions(spark, docs):
         p = fractions[lang]
         sigma = math.sqrt(p * (1 - p) * n_total)
         assert abs(got.get(lang, 0) - p * n_total) <= 5 * sigma + 1
+
+
+def test_stratified_sample_default_fraction(spark, docs):
+    """default= path: no strata enumeration, unlisted langs fall back to
+    the default fraction; within 5σ binomial CI per stratum."""
+    import math
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.skew import (
+        stratified_sample,
+    )
+
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = stratified_sample(docs, "lang", {"en": 0.2}, default=0.5)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n_total in totals.items():
+        p = 0.2 if lang == "en" else 0.5
+        sigma = math.sqrt(p * (1 - p) * n_total)
+        assert abs(got.get(lang, 0) - p * n_total) <= 5 * sigma + 1

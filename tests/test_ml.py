@@ -63,3 +63,48 @@ def test_model_save_load_roundtrip(spark, hist, tmp_path):
     a = score(model, batch).agg(F.sum("prediction").alias("s")).first().s
     b = score(reloaded, batch).agg(F.sum("prediction").alias("s")).first().s
     assert a == b
+
+
+def test_artifact_roundtrip_and_batch_udf_scoring(spark, hist, tmp_path):
+    """O22/O26 artifact contract: save/load roundtrip (joblib when
+    installed, else pickle) + predict_batch_udf scoring agrees with the
+    MLlib RF on the separable region (both must realize the same
+    decision function there — the reference reports 1.00/1.00)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.ml.anomaly import score, train
+    from real_time_predictive_maintenance_data_pipeline_spark.ml.artifact import (
+        load_artifact,
+        save_artifact,
+        score_with_artifact,
+        train_reference_artifact,
+    )
+
+    art = train_reference_artifact(hist)
+    path = str(tmp_path / "rf_artifact.bin")
+    save_artifact(art, path)
+    import numpy as np
+
+    loaded = load_artifact(path)
+    X = np.array([[68.0, 1.8], [90.0, 4.0], [70.0, 1.5], [85.0, 3.5]])
+    assert loaded.predict(X).tolist() == art.predict(X).tolist() == [0, 1, 0, 1]
+
+    # separable region only: normal ≤ 3σ bounds, anomalies ≥ generator
+    # spike floors — inside it EVERY competent model agrees, outside it
+    # model-specific boundaries legitimately differ (SURVEY §7.4 #5).
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.generator import (
+        stream_telemetry_batch,
+    )
+
+    s = stream_telemetry_batch(spark, n=5_000)
+    sep = s.filter(
+        ((F.col("temperature") <= 77.0) & (F.col("vibration") <= 2.7))
+        | ((F.col("temperature") >= 80.0) | (F.col("vibration") >= 3.0))
+    )
+    mllib = score(train(hist), sep).select("timestamp", "prediction")
+    artifact = score_with_artifact(sep, path).select(
+        "timestamp", F.col("prediction").alias("prediction_art")
+    )
+    joined = mllib.join(artifact, "timestamp")
+    n = joined.count()
+    n_disagree = joined.filter(F.col("prediction") != F.col("prediction_art")).count()
+    assert n > 3000  # the separable region covers most of the batch
+    assert n_disagree == 0

@@ -363,3 +363,19 @@ def test_q21_single_fact_aggregate_no_self_join(spark):
     plan = _plan(df, "simple")
     assert plan.count("lineitem.parquet") == 1, plan
     assert "NestedLoop" not in plan
+
+
+def test_ngram_jaccard_no_corpus_broadcast(spark):
+    """The (lang, length-bucket) blocking key makes pair generation an
+    EQUI join. With broadcast off (the 100 TB shape — a corpus never
+    fits executor memory) the plan must stay a shuffle equi-join, never
+    a nested-loop, and never a forced broadcast of the corpus side."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_queries()["dedup_ngram_jaccard"].spark(spark, SF)
+        plan = _plan(df, "simple")
+        assert "BroadcastNestedLoop" not in plan
+        assert "BroadcastHashJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -68,7 +68,7 @@ def _read_lines(spark, path):
     return spark.readStream.text(path)  # column: value
 
 
-def _drain_to_memory(df, name):
+def _drain_to_memory(df, name, timeout=600):
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -76,7 +76,10 @@ def _drain_to_memory(df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination(t) returns False on timeout without raising; a
+    # partially-drained sink then fails downstream counts confusingly
+    # (and flakily, under full-suite load). Assert completion instead.
+    assert q.awaitTermination(timeout), f"stream {name!r} still running after {timeout}s"
     return q
 
 
@@ -126,8 +129,8 @@ def test_lake_sink_gzip_partitioned(spark, payload_dir, tmp_path):
     lake = str(tmp_path / "lake")
     q1 = lake_sink(good, lake, str(tmp_path / "ck1"), available_now=True)
     q2 = quarantine_sink(bad, lake, str(tmp_path / "ck2"), available_now=True)
-    q1.awaitTermination(120)
-    q2.awaitTermination(120)
+    assert q1.awaitTermination(600)
+    assert q2.awaitTermination(600)
 
     gz = glob.glob(f"{lake}/telemetry/year=*/month=*/day=*/hour=*/*.json.gz")
     assert gz, "no gzip partitioned output files"
@@ -168,7 +171,7 @@ def test_windowed_stats(spark, payload_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     out = spark.table("t_win")
     wins = out.collect()
     assert len(wins) == 4
@@ -301,7 +304,7 @@ def test_session_windows(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
     rows = sorted(spark.table("t_sess").collect(), key=lambda r: r.session.start)
     assert len(rows) == 2
     assert rows[0].n == 5 and rows[1].n == 2
@@ -337,7 +340,7 @@ def test_checkpoint_recovery(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(600)
 
     run_once()  # batch 1: rows 0..49
     (src / "b.json").write_text(mk_lines(50, 80))
@@ -363,7 +366,7 @@ def test_foreach_batch_alert_sink(spark, payload_dir, tmp_path):
     out = str(tmp_path / "alerts")
     ck = str(tmp_path / "ck")
     q = alert_foreach_batch_sink(scored, out, ck, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(600)
 
     summary = spark.read.json(f"{out}/batch_id=*")
     rows = {r.prediction: r.n for r in summary.collect()}
@@ -372,7 +375,7 @@ def test_foreach_batch_alert_sink(spark, payload_dir, tmp_path):
 
     # replay with same checkpoint: no new batches, totals unchanged
     q2 = alert_foreach_batch_sink(scored, out, ck, available_now=True)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600)
     rows2 = {
         r.prediction: r.n
         for r in spark.read.json(f"{out}/batch_id=*").collect()
