@@ -291,10 +291,34 @@ def mm_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_feature_extract", oracle=None, tags=("multimodal",))
+@register(
+    "mm_feature_extract",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0, LEAST(n, 64)),
+               i -> CAST(CAST(concat('0x', substring(hx, 2*i+1, 2)) AS INTEGER) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 1000000007) AS checksum
+  FROM h
+)
+SELECT doc_id, CAST(n AS INTEGER) AS n_bytes, checksum,
+       CAST(16 + n % 64 AS INTEGER) AS fake_width,
+       CAST(16 + checksum % 64 AS INTEGER) AS fake_height
+FROM c
+""",
+    tags=("multimodal",),
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
-    (decode step is a deterministic stub — no media codecs in container)."""
+    (decode step is a deterministic stub — no media codecs in container,
+    so the fake decode is byte arithmetic the DuckDB oracle replicates
+    via hex-pair extraction + list_reduce: a full hash check on a
+    Python-UDF operator output)."""
     d = M.attach_binary_payload(_docs(spark, sf_dir))
     return M.extract_features(d)
 
@@ -311,13 +335,45 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e, q, k=3, nlist=16, nprobe=6)
 
 
-@register("mm_resize", oracle=None, tags=("multimodal",))
+@register(
+    "mm_resize",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+), p AS (
+  SELECT doc_id, hx, n, GREATEST(1, n // 1024) AS stride FROM h
+)
+SELECT doc_id, 1024 AS n_bytes, 32 AS width, 32 AS height,
+       list_sum(list_transform(range(0, 16),
+         i -> CASE WHEN i * stride < n
+                   THEN CAST(CAST(concat('0x', substring(hx, 2*i*stride+1, 2)) AS INTEGER) AS BIGINT)
+                   ELSE 0 END)) AS out16
+FROM p
+""",
+    tags=("multimodal",),
+)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub resize (binary→binary mapInPandas, 1:1). Rows-only check;
-    output-size invariants asserted in tests/test_multimodal.py."""
+    """Stub resize (binary→binary mapInPandas, 1:1). The output payload
+    is always width*height bytes (strided sample of the source,
+    zero-padded); ``out16`` — the sum of the first 16 OUTPUT bytes,
+    extracted JVM-side via hex/conv — lets the DuckDB oracle verify the
+    stride sampling byte-exactly, upgrading this from a rows-only
+    check."""
     d = M.attach_binary_payload(_docs(spark, sf_dir))
     out = M.resize_stub(d, width=32, height=32)
-    return out.select("doc_id", F.length("payload").alias("n_bytes"), "width", "height")
+    hx = F.hex("payload")
+    out16 = None
+    for i in range(16):
+        term = F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+        out16 = term if out16 is None else out16 + term
+    return out.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        "width",
+        "height",
+        out16.alias("out16"),
+    )
 
 
 @register(
