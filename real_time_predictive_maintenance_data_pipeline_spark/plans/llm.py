@@ -958,3 +958,161 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir).filter(F.col("doc_id") <= 100)
     )
     return M.audio_window_rms(d)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 wave: embedding normalization, hard-negative mining,
+# quality-pipeline composition, corpus length profiling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_normalize",
+    oracle="""
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nrm
+  FROM embeddings
+)
+SELECT e.vec_id,
+       ROUND(n.nrm, 4) AS norm,
+       array_to_string(list_transform(e.embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) / n.nrm * 10000) AS INT)), ',') AS unit_q
+FROM embeddings e JOIN n USING (vec_id)
+""",
+    tags=("similarity", "array"),
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column — the standard prep
+    before cosine ANN / clustering. Pure higher-order expressions
+    (map-only, no shuffle, codegen-friendly); the unit vector is
+    emitted as exact integer ten-thousandths joined to a string so the
+    driver hash can canonicalize it (same convention as
+    emb_quantize_int8)."""
+    from ..functions.vectors import as_double, l2_norm
+
+    e = _embs(spark, sf_dir)
+    v = as_double("embedding")
+    nrm = l2_norm(v)
+    return e.select(
+        "vec_id",
+        F.round(nrm, 4).alias("norm"),
+        F.array_join(
+            F.transform(v, lambda x: F.round(x / nrm * 10000).cast("int")), ","
+        ).alias("unit_q"),
+    )
+
+
+@register(
+    "sim_hard_negatives",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding, q.qv), 4) AS score
+  FROM embeddings e, q
+  WHERE e.label <> q.qlabel
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    tags=("similarity", "topk"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-3 most-similar vectors with a DIFFERENT label. Queries
+    broadcast, label inequality prunes before scoring, one window
+    shuffle for the top-k (operators/similarity.hard_negatives)."""
+    return S.hard_negatives(_embs(spark, sf_dir), k=3, n_queries=10)
+
+
+@register(
+    "doc_keep_decision",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         ROUND(0.5 * LEAST(1.0, len(string_split(text, ' ')) / 50.0)
+             + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' '))), 4) AS quality,
+         doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_keeper
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN quality >= 0.5 AND is_keeper AND n_tokens >= 5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(SUM(CASE WHEN quality >= 0.5 AND is_keeper AND n_tokens >= 5
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS keep_rate
+FROM k GROUP BY lang
+""",
+    tags=("text", "dedup", "pipeline"),
+)
+def doc_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style keep/drop composition — the decision a real cleaning
+    pipeline materializes: quality gate AND exact-dup keeper AND
+    minimum length, summarized per language.
+
+    The keeper window partitions on the 256-bit text digest (the
+    shuffle carries 64-char hashes, not documents — same trick as
+    exact_dedup; the oracle partitions on the text itself, which is
+    equivalent up to SHA-256 collisions)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.sha2("text", 256))
+    keep = (
+        (T.quality_score("text") >= 0.5)
+        & (F.col("doc_id") == F.min("doc_id").over(w))
+        & (T.token_count("text") >= 5)
+    )
+    return (
+        d.select("lang", keep.cast("int").alias("__keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__keep").alias("n_keep"),
+            F.round(F.sum("__keep") / F.count(F.lit(1)), 4).alias("keep_rate"),
+        )
+    )
+
+
+@register(
+    "doc_length_buckets",
+    oracle="""
+SELECT lang, CAST(length(bin(n_chars)) AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang, bucket
+""",
+    tags=("text", "agg"),
+)
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: power-of-two char-length buckets per
+    language (bucket = bit-length of n_chars — integer-exact, unlike
+    floor(log2) whose float rounding can flip at exact powers of two).
+    The profile that drives chunking / packing decisions upstream of
+    training."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(
+            "lang", F.length(F.bin("n_chars")).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -3328,3 +3328,74 @@ def rel_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
         """
     )
+
+
+@register(
+    "src_xml_roundtrip",
+    oracle="""
+SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       ROUND(SUM(ROUND(s_acctbal * 100)) / 100, 2) AS total_bal
+FROM supplier GROUP BY s_nationkey
+""",
+    tags=("source",),
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source (built-in connector since Spark 4): write
+    supplier rows as <supplier> elements, read them back with an
+    explicit schema, aggregate. Exact integer cents for the balance sum
+    (registry float conventions)."""
+    import tempfile
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
+    path = tempfile.mkdtemp(prefix="rtpmdp_xml_")
+    s.write.mode("overwrite").format("xml").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE")
+        .load(path)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (F.round(F.sum(F.round(F.col("s_acctbal") * 100)) / 100, 2)).alias("total_bal"),
+    )
+
+
+@register(
+    "rel_python_udtf",
+    oracle="""
+WITH w AS (
+  SELECT UNNEST(string_split(p_name, ' ')) AS word FROM part
+)
+SELECT word, COUNT(*) AS n, CAST(MIN(length(word)) AS INT) AS wlen
+FROM w GROUP BY word ORDER BY n DESC, word LIMIT 15
+""",
+    tags=("udf", "udtf"),
+)
+def rel_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 3.5+ ``@udtf``) — the
+    1→many row UDF shape as a SQL-composable relation, completing the
+    UDF surface matrix (scalar pandas_udf, grouped-agg, grouped-map,
+    mapInPandas, UDTF). Tokenizes part names via LATERAL join, then a
+    plain JVM-side aggregation on top. Arrow-optimized when available;
+    the hot path stays in the aggregate, not the UDTF."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, wlen: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                yield w, len(w)
+
+    spark.udtf.register("rtpmdp_split_words", SplitWords)
+    p = _t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("rtpmdp_part_v")
+    return spark.sql(
+        """
+        SELECT t.word, COUNT(*) AS n, CAST(MIN(t.wlen) AS INT) AS wlen
+        FROM rtpmdp_part_v p, LATERAL rtpmdp_split_words(p.p_name) t
+        GROUP BY t.word ORDER BY n DESC, word LIMIT 15
+        """
+    )
