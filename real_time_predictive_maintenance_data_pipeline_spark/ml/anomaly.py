@@ -47,16 +47,27 @@ class EvalResult:
     n_test: int
 
 
+def _strip_summary(model: PipelineModel) -> PipelineModel:
+    """Return a copy without the RF training summary.
+
+    The summary pins the fitting SparkSession (and its non-serializable
+    ObservationManager) into the model object; task serialization of
+    any later scoring query — batch or streaming — then fails with
+    'Task not serializable' whenever observation state is live.
+    ``copy()`` rebuilds the JVM model without the summary."""
+    return model.copy()
+
+
 def train(df: DataFrame, seed: int = 42) -> PipelineModel:
     """Fit on the full frame (caller handles splitting)."""
-    return build_pipeline(seed).fit(df)
+    return _strip_summary(build_pipeline(seed).fit(df))
 
 
 def train_and_eval(df: DataFrame, seed: int = 42) -> tuple[PipelineModel, EvalResult]:
     """80/20 split → fit → held-out precision/recall for label 1
     (README.md:106-108 quality gate)."""
     train_df, test_df = df.randomSplit([0.8, 0.2], seed=seed)
-    model = build_pipeline(seed).fit(train_df)
+    model = _strip_summary(build_pipeline(seed).fit(train_df))
     scored = model.transform(test_df)
     agg = scored.agg(
         F.sum(((F.col("prediction") == 1) & (F.col(LABEL_COL) == 1)).cast("int")).alias("tp"),

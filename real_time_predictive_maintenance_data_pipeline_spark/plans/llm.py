@@ -1116,3 +1116,107 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@register(
+    "doc_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT lang, doc_id, doc_id % 8 AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT lang, CAST(shard AS BIGINT) AS shard,
+       CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM c GROUP BY lang, shard, bin
+""",
+    tags=("text", "pipeline", "window"),
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-batch construction: documents are
+    packed greedily (in doc_id order) into 256-token bins via a running
+    token sum — the classic pretraining packing step, as one window +
+    one aggregate, all integer arithmetic (hash-exact).
+
+    Scale: the window partitions on (lang, shard) where shard =
+    doc_id % 8 — a pure-integer salt that bounds each window partition
+    regardless of language skew. 5 langs alone would collapse the sort
+    onto 5 tasks at 100 TB; lang × shard spreads it 8× wider at the
+    cost of 8 independent packings per lang (bins don't cross shards —
+    exactly how a distributed packer shards in practice)."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "lang",
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        T.token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.select(
+            "lang",
+            F.col("shard").cast("bigint").alias("shard"),
+            F.floor((F.col("cum") - F.col("n_tokens")) / 256).alias("bin"),
+            "n_tokens",
+        )
+        .groupBy("lang", "shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+    )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS nw FROM tok GROUP BY w),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT t.doc_id, ROUND(AVG(-log2(f.nw * 1.0 / tot.n)), 4) AS bits_per_token
+FROM tok t JOIN freq f USING (w), tot
+GROUP BY t.doc_id
+""",
+    tags=("text", "pipeline"),
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: average per-token surprisal
+    (-log2 p) under the corpus's own unigram model — the cheap LM-based
+    filter step (docs full of rare tokens score high, boilerplate
+    scores low).
+
+    Two aggregations + one join, no UDF. The vocabulary (word, count)
+    table is orders of magnitude smaller than the corpus — Spark's
+    size estimate broadcasts it at this sf, and at 100 TB a
+    whitespace-token vocab still fits the broadcast threshold after a
+    min-count floor; the token→freq join then stays map-side. The
+    1-row total is a broadcast-joined aggregate, not a driver
+    collect."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    bits = -F.log2(F.col("nw") / F.col("n"))
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(bits), 4).alias("bits_per_token"))
+    )

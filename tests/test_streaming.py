@@ -198,7 +198,8 @@ def test_rate_simulator_live(spark):
         .start()
     )
     try:
-        deadline = time.time() + 30
+        # early-exit poll; generous deadline for full-suite load
+        deadline = time.time() + 240
         n = 0
         while time.time() < deadline:
             n = spark.table("t_live").count()
@@ -395,7 +396,8 @@ def test_multi_machine_simulator(spark):
         .start()
     )
     try:
-        deadline = time.time() + 30
+        # early-exit poll; generous deadline for full-suite load
+        deadline = time.time() + 240
         while time.time() < deadline:
             if spark.table("t_fleet").count() >= 100:
                 break
@@ -434,7 +436,10 @@ def test_end_to_end_reference_pipeline(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 45
+        # generous deadline: exits as soon as enough rows land, but a
+        # fully-loaded 32-thread suite can stall micro-batches for
+        # minutes (45 s produced ZERO batches under full-suite load)
+        deadline = time.time() + 300
         while time.time() < deadline:
             if spark.table("t_e2e").count() >= 300:
                 break
@@ -599,3 +604,50 @@ def test_drift_monitor_ewma_state(spark, tmp_path):
         assert rows[0].ewma == "66.00" and rows[0].n_seen == 3
     finally:
         q.stop()
+
+
+def test_artifact_scored_stream(spark, payload_dir, tmp_path):
+    """O22/O26 artifact path composes with Structured Streaming: the
+    predict_batch_udf scorer (executor-side artifact load, Arrow
+    batches) runs inside a streaming plan, same decision function as
+    the MLlib path on the separable generator data."""
+    from real_time_predictive_maintenance_data_pipeline_spark.ml.artifact import (
+        save_artifact,
+        score_with_artifact,
+        train_reference_artifact,
+    )
+
+    path = str(tmp_path / "art.bin")
+    save_artifact(train_reference_artifact(historical_telemetry(spark)), path)
+    raw = _read_lines(spark, payload_dir)
+    good, _ = quarantine_split(parse_telemetry(raw))
+    scored = score_with_artifact(good, path)
+    assert scored.isStreaming
+    _drain_to_memory(scored, "t_art")
+    out = spark.table("t_art")
+    assert out.count() == N_GOOD
+    mism = out.filter(
+        (F.col("temperature") > 80.0) != (F.col("prediction") == 1)
+    ).count()
+    assert mism == 0
+
+
+def test_scored_stream_survives_pending_observation(spark, payload_dir):
+    """Regression for the round-1 flake: a PENDING Observation anywhere
+    in the session makes the SparkSession's ObservationManager
+    non-serializable; a fitted RF model used to pin that session into
+    its training summary, so task serialization of the scoring stream
+    failed with 'Task not serializable' — but only when another test
+    had left an observation registered (hence the flakiness).
+    ml.anomaly.train now strips the summary; this test poisons the
+    session deliberately and scores a stream."""
+    from pyspark.sql import Observation
+
+    obs = Observation("poison-pending")
+    spark.range(10).observe(obs, F.count(F.lit(1)).alias("n"))  # never executed
+    model = train(historical_telemetry(spark))
+    assert not model.stages[-1].hasSummary
+    raw = _read_lines(spark, payload_dir)
+    good, _ = quarantine_split(parse_telemetry(raw))
+    _drain_to_memory(scored_alert_stream(model, good), "t_obs_poison")
+    assert spark.table("t_obs_poison").count() == N_GOOD
