@@ -3399,3 +3399,31 @@ def rel_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.word ORDER BY n DESC, word LIMIT 15
         """
     )
+
+
+@register(
+    "src_binaryfile_ingest",
+    oracle="""
+SELECT CAST(SUM(octet_length(encode(text)) + 1) AS BIGINT) AS total_bytes
+FROM documents WHERE doc_id < 50
+""",
+    tags=("source", "multimodal"),
+)
+def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source (built-in): ingest opaque files as
+    (path, length, content: binary) rows — the entry point a multimodal
+    corpus (images/audio) uses at 100 TB. Round-trip: 50 documents
+    written as text part-files, re-ingested as raw bytes; the oracle
+    checks the partition-layout-independent invariant (total content
+    bytes = text bytes + one newline per row)."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    path = tempfile.mkdtemp(prefix="rtpmdp_binf_")
+    d.select("text").write.mode("overwrite").text(path)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(path)
+    )
+    return files.agg(F.sum(F.length("content")).alias("total_bytes"))

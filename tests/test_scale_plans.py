@@ -379,3 +379,34 @@ def test_ngram_jaccard_no_corpus_broadcast(spark):
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The token→frequency join must broadcast the vocabulary side —
+    the corpus side never shuffles on the word key (which would move
+    every token occurrence at 100 TB)."""
+    plan = _plan(all_queries()["doc_unigram_logprob"].spark(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the final per-doc aggregate is the only wide exchange keyed on data
+    assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    """ANN mining joins corpus x queries: the query side (always the
+    small side) must broadcast; scoring is map-side, and the only
+    shuffle is the per-query top-k window."""
+    plan = _plan(all_queries()["sim_hard_negatives"].spark(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi (label !=) join
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_sequences_single_exchange_reused(spark):
+    """Packing = one window + one aggregate on compatible keys: the
+    (lang, shard) hash exchange that feeds the running-sum window must
+    be the ONLY data shuffle (the groupBy on (lang, shard, bin) reuses
+    the window's partitioning via partial aggregation)."""
+    df = all_queries()["doc_pack_sequences"].spark(spark, SF)
+    plan = _plan(df, "simple")
+    # exchanges: the spread() round-robin (scan under-split guard) plus
+    # ONE hashpartitioning on (lang, shard); AQE may add nothing else
+    assert plan.count("hashpartitioning(lang") == 1, plan
