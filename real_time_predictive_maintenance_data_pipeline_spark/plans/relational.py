@@ -3427,3 +3427,61 @@ def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
     )
     return files.agg(F.sum(F.length("content")).alias("total_bytes"))
+
+
+@register(
+    "rel_merge_upsert",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         (ROUND(o_totalprice * 100) + 100) / 100 AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', 100.0
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+merged AS (
+  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+              ELSE t.o_orderstatus END AS o_orderstatus,
+         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+              ELSE t.o_totalprice END AS o_totalprice
+  FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders) t
+  FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS total_cents
+FROM merged GROUP BY o_orderstatus
+""",
+    tags=("merge", "join"),
+)
+def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over plain parquet: a deterministic CDC
+    batch (price bump + status 'U' for keys % 97, brand-new 'N' rows
+    for keys % 101 shifted out of range) applied with
+    ``operators.merge.merge_upsert`` (full-outer join, whole-row
+    source-wins), then an audit aggregate. Exact integer cents
+    throughout (registry float conventions)."""
+    from ..operators.merge import merge_upsert
+
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100)
+    updates = t.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        ((cents + 100) / 100).alias("o_totalprice"),
+    )
+    inserts = t.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    merged = merge_upsert(t, updates.union(inserts), key_cols=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("total_cents"),
+    )

@@ -651,3 +651,65 @@ def test_scored_stream_survives_pending_observation(spark, payload_dir):
     good, _ = quarantine_split(parse_telemetry(raw))
     _drain_to_memory(scored_alert_stream(model, good), "t_obs_poison")
     assert spark.table("t_obs_poison").count() == N_GOOD
+
+
+def test_append_mode_watermark_finalization_and_late_drop(spark, tmp_path):
+    """Append-mode window semantics (§2.3 late-data row): a window is
+    emitted only once the watermark passes its end, and a row arriving
+    after the watermark has passed its window is DROPPED from state.
+
+    Batch 1: 120 rows at t0..t0+119 (windows W0, W1 full).
+    Batch 2: one row far in the future (advances watermark past all
+    earlier windows) plus one LATE row back in W0.
+    With a 10 s watermark: after batch 2 the finalized output must
+    contain W0 with its ORIGINAL count (late row dropped) and W1."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    t0 = 1_700_000_000 - (1_700_000_000 % 60)  # window-aligned epoch
+
+    def mk(ts):
+        return _json.dumps(
+            {"machineId": "NC_Machine_AC", "temperature": 68.0,
+             "vibration": 1.4, "timestamp": ts}
+        )
+
+    (src / "a.json").write_text("\n".join(mk(t0 + i) for i in range(120)))
+
+    out = str(tmp_path / "out")
+
+    def run_batch():
+        raw = spark.readStream.text(str(src))
+        good, _ = quarantine_split(parse_telemetry(raw))
+        stats = windowed_stats_stream(good, window="1 minute", watermark="10 seconds")
+        flat = stats.select(
+            F.col("win.start").cast("long").alias("win_start"), "n"
+        )
+        q = (
+            flat.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(600)
+
+    def emitted():
+        return {r.win_start: r.n for r in spark.read.json(out).collect()}
+
+    run_batch()
+    # availableNow's closing batch advances the watermark to
+    # max_event - 10 s = t0+109, which finalizes W0 (ends t0+60) but
+    # not W1 (ends t0+120): append mode emits exactly W0
+    assert emitted() == {t0: 60}, emitted()
+
+    # batch 2: watermark-advancer (far future) + one late row into W0.
+    # The checkpointed restart must append W1 finalized — and NOT a
+    # re-emitted/updated W0, which is exactly the late-row-dropped
+    # semantics (the late row would otherwise bump W0 to 61).
+    (src / "b.json").write_text("\n".join([mk(t0 + 3600), mk(t0 + 5)]))
+    run_batch()
+    assert emitted() == {t0: 60, t0 + 60: 60}, emitted()
