@@ -46,3 +46,48 @@ def merge_upsert(
             for c in cols
         ]
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 apply: historize an update
+    batch against a versioned dimension.
+
+    ``history`` carries (keys, attrs, valid_from, valid_to) with
+    ``valid_to IS NULL`` marking current rows. ``updates`` carries
+    (keys, attrs, valid_from) — the new version's effective timestamp.
+    Result: current rows of updated keys are CLOSED (valid_to := the
+    update's valid_from), update rows append as the new open version,
+    and all other history passes through untouched.
+
+    Scale: one shuffle of each side on the key (the updates side is a
+    CDC batch — broadcast by size estimate in practice); closed-row
+    rewrite touches only matched current rows. This is the plan a
+    lakehouse SCD2 MERGE compiles to, minus the file rewrite.
+    """
+    cols = history.columns
+    if set(updates.columns) | {end_col} != set(cols):
+        raise ValueError("updates must carry history's columns minus end_col")
+    upd_keyed = updates.select(
+        *[F.col(k).alias(f"__uk_{k}") for k in key_cols],
+        F.col(ts_col).alias("__new_from"),
+    )
+    cond = [history[k].eqNullSafe(F.col(f"__uk_{k}")) for k in key_cols]
+    is_current = history[end_col].isNull()
+    joined = history.join(F.broadcast(upd_keyed), cond, "left")
+    matched_current = is_current & F.col("__new_from").isNotNull()
+    closed = joined.select(
+        *[
+            F.when(matched_current, F.col("__new_from")).otherwise(history[c]).alias(c)
+            if c == end_col
+            else history[c].alias(c)
+            for c in cols
+        ]
+    )
+    opened = updates.withColumn(end_col, F.lit(None).cast(history.schema[end_col].dataType)).select(*cols)
+    return closed.unionByName(opened)

@@ -3485,3 +3485,59 @@ def rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias("total_cents"),
     )
+
+
+@register(
+    "rel_scd2_history",
+    oracle="""
+WITH hist AS (
+  SELECT c_custkey, c_mktsegment, DATE '2024-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey, 'UPDATED' AS c_mktsegment, DATE '2024-06-01' AS valid_from
+  FROM customer WHERE c_custkey % 53 = 0
+),
+closed AS (
+  SELECT h.c_custkey, h.c_mktsegment, h.valid_from,
+         CASE WHEN h.valid_to IS NULL AND u.c_custkey IS NOT NULL
+              THEN u.valid_from ELSE h.valid_to END AS valid_to
+  FROM hist h LEFT JOIN upd u ON h.c_custkey = u.c_custkey
+),
+scd AS (
+  SELECT * FROM closed
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, valid_from, CAST(NULL AS DATE) FROM upd
+)
+SELECT c_mktsegment,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+       CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
+FROM scd GROUP BY c_mktsegment
+""",
+    tags=("merge", "temporal"),
+)
+def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 historization (operators.merge.scd2_apply): a
+    deterministic update batch re-segments every 53rd customer;
+    current rows close at the update date, new versions open, history
+    passes through. Audit: per-segment current/closed version counts."""
+    from ..operators.merge import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    hist = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd = c.filter(F.col("c_custkey") % 53 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit("2024-06-01").cast("date").alias("valid_from"),
+    )
+    scd = scd2_apply(hist, upd, key_cols=["c_custkey"])
+    return scd.groupBy("c_mktsegment").agg(
+        F.sum(F.col("valid_to").isNull().cast("int")).cast("bigint").alias("n_current"),
+        F.sum(F.col("valid_to").isNotNull().cast("int")).cast("bigint").alias("n_closed"),
+    )

@@ -162,3 +162,33 @@ def test_stratified_sample_default_fraction(spark, docs):
         p = 0.2 if lang == "en" else 0.5
         sigma = math.sqrt(p * (1 - p) * n_total)
         assert abs(got.get(lang, 0) - p * n_total) <= 5 * sigma + 1
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Exact dedup composes with Structured Streaming: digests stream
+    through dropDuplicates, collapsing duplicate documents across
+    micro-batches (the streaming twin of operators.dedup.exact_dedup —
+    state carries the 64-char digest, not the document)."""
+    import json
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon", "gamma delta"]
+    (src / "a.jsonl").write_text(
+        "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in enumerate(texts))
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string").json(str(src))
+        .withColumn("digest", F.sha2("text", 256))
+        .dropDuplicates(["digest"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_docdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    kept = sorted(r.text for r in spark.table("t_docdedup").collect())
+    assert kept == ["alpha beta", "epsilon", "gamma delta"]

@@ -35,3 +35,37 @@ def test_merge_upsert_rejects_column_drift(spark):
     source = spark.createDataFrame([(1,)], "k bigint")
     with pytest.raises(ValueError, match="identical column sets"):
         merge_upsert(target, source, ["k"])
+
+
+def test_scd2_apply_versions(spark):
+    """SCD2: current row closes at the update ts, new version opens,
+    already-closed history rows pass through untouched, unmatched keys
+    keep their open row."""
+    import datetime as dt
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    d = dt.date
+    hist = spark.createDataFrame(
+        [
+            (1, "a1", d(2024, 1, 1), d(2024, 3, 1)),  # closed old version
+            (1, "a2", d(2024, 3, 1), None),           # current
+            (2, "b1", d(2024, 1, 1), None),           # current, untouched
+        ],
+        "k bigint, attr string, valid_from date, valid_to date",
+    )
+    upd = spark.createDataFrame(
+        [(1, "a3", d(2024, 6, 1))], "k bigint, attr string, valid_from date"
+    )
+    out = sorted(
+        (r.k, r.attr, str(r.valid_from), str(r.valid_to) if r.valid_to else None)
+        for r in scd2_apply(hist, upd, ["k"]).collect()
+    )
+    assert out == [
+        (1, "a1", "2024-01-01", "2024-03-01"),
+        (1, "a2", "2024-03-01", "2024-06-01"),  # closed by the update
+        (1, "a3", "2024-06-01", None),          # new current version
+        (2, "b1", "2024-01-01", None),
+    ]

@@ -154,3 +154,47 @@ def test_observe_metrics_single_pass(spark):
     m = obs.get
     assert m["rows_seen"] > kept > 0
     assert m["big_qty"] == kept  # metric saw pre-filter rows, counted the same predicate
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 20), st.text("abc", max_size=3)),
+        min_size=1,
+        max_size=25,
+    ),
+    updates=st.lists(
+        st.tuples(st.integers(0, 25), st.one_of(st.none(), st.text("xyz", max_size=3))),
+        max_size=10,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_merge_upsert_properties(spark, rows, updates):
+    """MERGE algebra: (a) idempotent — applying the same batch twice
+    equals once; (b) key-complete — result keys = target ∪ source keys;
+    (c) source rows appear verbatim (null updates included)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    tgt = {k: v for k, v in rows}
+    src = {k: v for k, v in updates}
+    target = spark.createDataFrame(list(tgt.items()), "k bigint, v string")
+    if src:
+        source = spark.createDataFrame(list(src.items()), "k bigint, v string")
+    else:
+        source = spark.createDataFrame([], "k bigint, v string")
+
+    once = {r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()}
+    twice = {
+        r.k: r.v
+        for r in merge_upsert(
+            merge_upsert(target, source, ["k"]), source, ["k"]
+        ).collect()
+    }
+    assert once == twice  # idempotent
+    assert set(once) == set(tgt) | set(src)  # key-complete
+    for k, v in src.items():
+        assert once[k] == v  # source wins, nulls honored
+    for k, v in tgt.items():
+        if k not in src:
+            assert once[k] == v  # untouched rows persist
