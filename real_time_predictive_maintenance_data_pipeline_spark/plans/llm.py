@@ -1064,21 +1064,30 @@ def doc_keep_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline materializes: quality gate AND exact-dup keeper AND
     minimum length, summarized per language.
 
-    The keeper window partitions on the 256-bit text digest (the
-    shuffle carries 64-char hashes, not documents — same trick as
-    exact_dedup; the oracle partitions on the text itself, which is
-    equivalent up to SHA-256 collisions)."""
+    The keeper window partitions on the 256-bit text digest, and every
+    per-doc metric (digest, quality, token count) is derived in a
+    map-side projection BEFORE the window — so the exchange carries
+    ~90 bytes/row of derived columns, never the document text (the
+    naive formulation shuffles the whole corpus). The oracle partitions
+    on the text itself — equivalent up to SHA-256 collisions."""
     from pyspark.sql.window import Window
 
     d = _docs(spark, sf_dir)
-    w = Window.partitionBy(F.sha2("text", 256))
+    m = d.select(
+        "lang",
+        "doc_id",
+        F.sha2("text", 256).alias("__digest"),
+        T.quality_score("text").alias("__quality"),
+        T.token_count("text").alias("__ntok"),
+    )
+    w = Window.partitionBy("__digest")
     keep = (
-        (T.quality_score("text") >= 0.5)
+        (F.col("__quality") >= 0.5)
         & (F.col("doc_id") == F.min("doc_id").over(w))
-        & (T.token_count("text") >= 5)
+        & (F.col("__ntok") >= 5)
     )
     return (
-        d.select("lang", keep.cast("int").alias("__keep"))
+        m.select("lang", keep.cast("int").alias("__keep"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

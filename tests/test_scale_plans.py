@@ -410,3 +410,22 @@ def test_pack_sequences_single_exchange_reused(spark):
     # exchanges: the spread() round-robin (scan under-split guard) plus
     # ONE hashpartitioning on (lang, shard); AQE may add nothing else
     assert plan.count("hashpartitioning(lang") == 1, plan
+
+
+def test_keep_decision_window_exchange_carries_no_text(spark):
+    """The dedup-keeper window shuffles on the 256-bit digest with all
+    per-doc metrics derived map-side first — document text must never
+    enter a hash exchange (only spread()'s round-robin under-split
+    guard, a no-op at real scale, may carry it)."""
+    df = all_queries()["doc_keep_decision"].spark(spark, SF)
+    plan = _plan(df)
+    hash_exchanges = [
+        m.group(1)
+        for m in re.finditer(
+            r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\nArguments: ([^\n]*)",
+            plan,
+        )
+        if "hashpartitioning" in m.group(2)
+    ]
+    assert hash_exchanges, "expected hash exchanges in the plan"
+    assert not any("text" in e for e in hash_exchanges), hash_exchanges
