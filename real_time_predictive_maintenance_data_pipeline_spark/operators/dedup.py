@@ -300,6 +300,66 @@ def simhash_signatures(
     return df.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_banded_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Blocking-free SimHash near-dup pairs via 16-bit chunk banding
+    (the classic Manku/Google-dedup construction).
+
+    Pigeonhole: two 64-bit signatures within Hamming distance ≤ 3 agree
+    EXACTLY on at least one of four 16-bit chunks — so candidates are
+    generated by an equi-join on (chunk_index, chunk_value), never an
+    all-pairs comparison, and recall is 1.0 for ``max_hamming ≤ 3``
+    (probabilistic above it). Verification is one XOR+popcount on the
+    8-byte signatures.
+
+    Scale: 4 rows/doc explode; the shuffle keys on (chunk, value) —
+    2^16 values per chunk spread evenly by construction (signature bits
+    are hash-sign votes); candidate rows carry 24 bytes. Quadratic cost
+    only inside identical chunks, i.e. true near-dup neighborhoods.
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, exactly once.
+    """
+    shr = lambda h, i: F.call_function("shiftright", h, i)  # noqa: E731
+    sigs = simhash_signatures(df, text_col, id_col).select(
+        F.col(id_col).alias("__id"), "simhash"
+    )
+    chunks = sigs.select(
+        "__id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    shr(F.col("simhash"), F.lit(16 * i)).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("__chunk", "__val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.__chunk") == F.col("b.__chunk"))
+            & (F.col("a.__val") == F.col("b.__val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair within distance d agrees on >= 4-d chunks → appears up
+        # to 4 times; the verified set is the smallest place to dedup
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     block_col: str = "lang",
@@ -310,9 +370,8 @@ def simhash_pairs(
     """Near-dup pairs by SimHash Hamming distance within a block.
 
     The join moves only (id, block, 8-byte signature) — at corpus scale
-    the candidate join is tiny even when the corpus is not. A banded
-    (4×16-bit chunk) equi-join variant drops the block requirement; the
-    chunk trick is left to the LSH path which covers that need.
+    the candidate join is tiny even when the corpus is not. For the
+    blocking-free variant see ``simhash_banded_pairs``.
     Returns (doc_a, doc_b, hamming).
     """
     sigs = simhash_signatures(df, text_col, id_col).join(

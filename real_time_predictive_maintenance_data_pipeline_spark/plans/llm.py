@@ -1229,3 +1229,13 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.avg(bits), 4).alias("bits_per_token"))
     )
+
+
+@register("dedup_simhash_banded", oracle=None, tags=("dedup", "approx"))
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-free SimHash near-dup pairs via 16-bit chunk banding
+    (pigeonhole: Hamming ≤ 3 ⇒ one of four chunks matches exactly, so
+    candidates come from an equi-join, recall 1.0). Rows-only (xxhash64
+    signatures aren't DuckDB-expressible); exact set equality against
+    brute-force Hamming pairs is pinned in tests/test_dedup.py."""
+    return D.simhash_banded_pairs(_docs(spark, sf_dir), max_hamming=3)

@@ -192,3 +192,30 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert q.awaitTermination(600)
     kept = sorted(r.text for r in spark.table("t_docdedup").collect())
     assert kept == ["alpha beta", "epsilon", "gamma delta"]
+
+
+def test_simhash_banded_equals_bruteforce(spark, docs):
+    """Banded chunk join must reproduce brute-force Hamming pairs
+    EXACTLY for max_hamming <= 3 (pigeonhole recall 1.0, XOR-verified
+    precision 1.0)."""
+    banded = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_banded_pairs(docs, max_hamming=3).collect()
+    }
+    sigs = D.simhash_signatures(docs)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+    assert len(brute) > 0  # corpus contains near-dups by construction
