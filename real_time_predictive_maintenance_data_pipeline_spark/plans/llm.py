@@ -1239,3 +1239,67 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures aren't DuckDB-expressible); exact set equality against
     brute-force Hamming pairs is pinned in tests/test_dedup.py."""
     return D.simhash_banded_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(list_distinct(string_split(text, ' '))) AS w
+  FROM documents
+),
+df_w AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+lang_tf AS (SELECT lang, w, COUNT(*) AS tf FROM tok GROUP BY lang, w),
+scored AS (
+  SELECT t.lang, t.w,
+         ROUND(t.tf * ln(n.n * 1.0 / d.df), 4) AS tfidf
+  FROM lang_tf t JOIN df_w d USING (w), n_docs n
+),
+ranked AS (
+  SELECT lang, w, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, w) AS rnk
+  FROM scored
+)
+SELECT lang, w AS term, tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+    tags=("text", "topk"),
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 terms by TF-IDF (document frequency over the
+    whole corpus, term frequency per language) — the signature-term
+    surfacing step of corpus exploration.
+
+    Scale: distinct-token explode (map-side), two aggregations keyed on
+    the term (high cardinality → even shuffle spread), document-
+    frequency side broadcast into the scoring join (vocab ≪ corpus),
+    and a WindowGroupLimit top-5 per language."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    tok = d.select(
+        "doc_id", "lang", F.explode(T.distinct_tokens("text")).alias("w")
+    )
+    df_w = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    lang_tf = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        lang_tf.join(F.broadcast(df_w), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "w",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 4).alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "w")
+    return (
+        scored.select(
+            "lang",
+            F.col("w").alias("term"),
+            "tfidf",
+            F.row_number().over(win).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
