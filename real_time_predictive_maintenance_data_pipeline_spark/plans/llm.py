@@ -1303,3 +1303,112 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 5)
     )
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+WITH d AS (
+  SELECT vec_id, UNNEST(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+)
+SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n,
+       ROUND(AVG(CAST(x AS DOUBLE)), 4) AS mean,
+       ROUND(STDDEV_POP(CAST(x AS DOUBLE)), 4) AS std
+FROM d GROUP BY dim
+""",
+    tags=("similarity", "array", "agg"),
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std across the embedding corpus — the
+    statistics a whitening / normalization step consumes. posexplode
+    pivots (vec, dim) pairs; the aggregate shuffles on the dimension
+    index (bounded cardinality = embedding width, perfectly even)."""
+    e = _embs(spark, sf_dir)
+    d = e.select(F.posexplode("embedding").alias("dim", "x"))
+    return d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("x").cast("double")), 4).alias("mean"),
+        F.round(F.stddev_pop(F.col("x").cast("double")), 4).alias("std"),
+    )
+
+
+@register(
+    "emb_centroid_outliers",
+    oracle="""
+WITH d AS (
+  SELECT vec_id, label, UNNEST(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+c AS (
+  SELECT label, dim, AVG(CAST(x AS DOUBLE)) AS cx
+  FROM d GROUP BY label, dim
+),
+dist AS (
+  SELECT d.vec_id, d.label,
+         SQRT(SUM((CAST(d.x AS DOUBLE) - c.cx) * (CAST(d.x AS DOUBLE) - c.cx)))
+           AS rawdist
+  FROM d JOIN c ON d.label = c.label AND d.dim = c.dim
+  GROUP BY d.vec_id, d.label
+),
+ranked AS (
+  SELECT label, vec_id, ROUND(rawdist, 4) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY ROUND(rawdist, 4) DESC, vec_id) AS rnk
+  FROM dist
+)
+SELECT label, vec_id, dist, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 3
+""",
+    tags=("similarity", "quality"),
+)
+def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-conditional outlier mining: per label, the 3 vectors
+    farthest from their label centroid — the mislabeled/noisy-example
+    surfacing step of embedding-space QA.
+
+    Scale: centroids aggregate to (n_labels x dims) rows — broadcast
+    into the distance join, so the corpus never shuffles on the label;
+    the per-vector distance is a map-side higher-order expression over
+    the array + broadcast centroid, and the only wide exchange is the
+    per-label top-3 window. Rank ties break on the ROUNDED distance +
+    vec_id, so cross-engine float noise cannot reorder rows."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import as_double
+
+    e = _embs(spark, sf_dir)
+    d = e.select("vec_id", "label", F.posexplode("embedding").alias("dim0", "x"))
+    cents = d.groupBy("label", F.col("dim0").alias("dim")).agg(
+        F.avg(F.col("x").cast("double")).alias("cx")
+    )
+    centroid_arr = cents.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "cx"))
+        ).alias("__dc")
+    ).select(
+        "label", F.transform("__dc", lambda s: s.cx).alias("__centroid")
+    )
+    diff = (
+        e.select("vec_id", "label", as_double("embedding").alias("__v"))
+        .join(F.broadcast(centroid_arr), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with("__v", "__centroid", lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+                4,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return diff.select(
+        "label", "vec_id", "dist", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
