@@ -32,6 +32,7 @@ trainer is MLlib in ``ml.anomaly``).
 
 from __future__ import annotations
 
+import os
 import pickle
 from typing import Any
 
@@ -78,12 +79,18 @@ class ThresholdAnomalyModel:
 
 def save_artifact(model: Any, path: str) -> None:
     """Persist with joblib when available (the reference's format —
-    realtime_inference.py:58-65), else stdlib pickle."""
+    realtime_inference.py:58-65), else stdlib pickle.
+
+    Write-then-rename: executors lazy-load the artifact concurrently
+    with the write, so the file must appear atomically — a partial
+    in-place write would corrupt-load flakily."""
+    tmp = f"{path}.tmp.{os.getpid()}"
     if _joblib is not None:
-        _joblib.dump(model, path)
+        _joblib.dump(model, tmp)
     else:
-        with open(path, "wb") as fh:
+        with open(tmp, "wb") as fh:
             pickle.dump(model, fh)
+    os.replace(tmp, path)
 
 
 def load_artifact(path: str) -> Any:

@@ -97,7 +97,9 @@ def ngram_jaccard_pairs(
         bucket = F.floor(
             F.log(F.greatest(F.col("__n"), F.lit(1)).cast("double")) / F.lit(width)
         )
-    else:  # t<=0 admits any size ratio — no bucket pruning possible
+    else:  # t<=0 admits any size ratio (no bucket pruning possible); t>=1
+        # would make width = log(1/t) <= 0 and break the bucket floor
+        # math — size_prune alone handles t=1 exactly
         bucket = F.lit(0)
     d = d.withColumn("__bk", bucket.cast("long"))
     a = d.withColumn(

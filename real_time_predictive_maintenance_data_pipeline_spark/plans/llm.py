@@ -1212,19 +1212,19 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores low).
 
     Two aggregations + one join, no UDF. The vocabulary (word, count)
-    table is orders of magnitude smaller than the corpus — Spark's
-    size estimate broadcasts it at this sf, and at 100 TB a
-    whitespace-token vocab still fits the broadcast threshold after a
-    min-count floor; the token→freq join then stays map-side. The
-    1-row total is a broadcast-joined aggregate, not a driver
-    collect."""
+    table is orders of magnitude smaller than the corpus; no broadcast
+    hint is forced — Spark's size estimate / AQE promotes the freq side
+    to broadcast when it fits (it does at this sf) and degrades to a
+    shuffle join when a 100 TB-corpus vocab doesn't, instead of OOMing
+    executors on a mandatory hint. The 1-row total is a broadcast-joined
+    aggregate, not a driver collect."""
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
     total = tok.agg(F.count(F.lit(1)).alias("n"))
     bits = -F.log2(F.col("nw") / F.col("n"))
     return (
-        tok.join(F.broadcast(freq), "w")
+        tok.join(freq, "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(F.round(F.avg(bits), 4).alias("bits_per_token"))

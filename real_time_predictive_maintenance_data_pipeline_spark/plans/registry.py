@@ -50,49 +50,114 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The driver's per-round correctness harness compares the FIRST 50 queries in
-# catalog order against the DuckDB oracle. Round 1 verified the 48 names in
-# ``_DRIVER_VERIFIED`` (hash-green or rows-only-by-contract) — see
-# CORRECTNESS_r01.json. To get CORRECTNESS rows onto the rest of the catalog,
-# ``all_queries()`` orders the catalog as:
-#   1. ``_RECHECK_FIRST``   — round-1 hard failures whose fix must re-verify
-#   2. ``_WINDOW_PRIORITY`` — curated not-yet-verified set (telemetry parity,
-#      windows, top-k, set ops, sources, TPC-H tail) packed into the window
+# catalog order against the DuckDB oracle. Rounds 1 and 2 verified the names
+# in ``_DRIVER_VERIFIED`` (hash-green or rows-only-by-contract) — see
+# CORRECTNESS_r01.json / CORRECTNESS_r02.json. To get CORRECTNESS rows onto
+# the rest of the catalog, ``all_queries()`` orders the catalog as:
+#   1. ``_RECHECK_FIRST``   — prior-round failures / changed queries that must
+#      re-verify (empty when nothing regressed or changed semantics)
+#   2. ``_WINDOW_PRIORITY`` — curated not-yet-verified set packed to exactly
+#      fill the 50-query window together with the rechecks
 #   3. every other not-yet-verified query, in registration order
 #   4. ``_DRIVER_VERIFIED`` — already green; rotated to the back
 # Rotate newly-verified names into ``_DRIVER_VERIFIED`` each round until the
-# whole catalog has driver rows.
-_RECHECK_FIRST: tuple[str, ...] = ("emb_quantize_int8", "doc_winnow")
+# whole catalog has driver rows. ``tools/check_window.py`` asserts the window
+# arithmetic (len(_RECHECK_FIRST) + len(_WINDOW_PRIORITY) == 50, no overlap,
+# no verified name inside the window without a recheck reason).
+_RECHECK_FIRST: tuple[str, ...] = ()
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # telemetry parity queries (SURVEY §2.1) — registered last, never checked
+    # round-3 window: the 49 oracled queries without a driver row yet, plus
+    # telemetry_artifact_score (rows-only: sklearn scoring has no SQL oracle,
+    # but the reference's joblib artifact contract needs a driver row).
+    # Scalar-function surface (SURVEY §2.2) — what users hit constantly
+    "rel_string_funcs",
+    "rel_date_funcs",
+    "rel_case_when",
+    "rel_json_funcs",
+    "rel_null_safe_eq",
+    "rel_null_funcs",
+    "rel_try_arith",
+    "rel_interval_arith",
+    "rel_levenshtein",
+    "rel_array_funcs",
+    "rel_map_funcs",
+    "rel_explode",
+    "rel_variant_semistructured",
+    # aggregates / analytics
+    "rel_distinct_rows",
+    "rel_percentiles",
+    "rel_string_agg",
+    "rel_arg_minmax",
+    "rel_corr_covar",
+    "rel_skew_kurtosis",
+    "rel_agg_bool_bit",
+    "rel_histogram",
+    "rel_unpivot",
+    "rel_grouped_regression",
+    "rel_profile_columns",
+    "rel_rollup_reuse",
+    "rel_latest_by_key",
+    # subqueries / lateral
+    "rel_exists_subquery",
+    "rel_not_in_subquery",
+    "rel_lateral_topk",
+    # time-series
+    "rel_events_hourly",
+    "rel_sessionize",
+    "ts_gap_fill_hourly",
+    "rel_interval_join_banded",
+    "rel_rolling_zscore",
+    # pandas-UDF / UDTF surface
+    "rel_grouped_median_pandas",
+    "rel_python_udtf",
+    # sources
+    "src_xml_roundtrip",
+    "src_binaryfile_ingest",
+    # CDC
+    "rel_merge_upsert",
+    "rel_scd2_history",
+    # round-2 LLM-pipeline operators
+    "emb_normalize",
+    "sim_hard_negatives",
+    "doc_keep_decision",
+    "doc_length_buckets",
+    "doc_pack_sequences",
+    "doc_unigram_logprob",
+    "doc_tfidf_top_terms",
+    "emb_dim_stats",
+    "emb_centroid_outliers",
+    # rows-only: reference joblib artifact contract (O22/O26 parity)
+    "telemetry_artifact_score",
+)
+
+_DRIVER_VERIFIED: tuple[str, ...] = (
+    # round 2 (CORRECTNESS_r02.json): 43 hash-green + 7 rows-only by contract
+    "emb_quantize_int8",
+    "doc_winnow",
     "telemetry_historical_stats",
     "telemetry_stream_roundtrip",
     "telemetry_score_500k",
     "telemetry_scored_alerts",
     "telemetry_train_metrics",
     "telemetry_pysource_stats",
-    # window functions
     "rel_window_rank",
     "rel_window_running",
     "rel_window_moving_avg",
     "rel_window_distribution",
     "rel_window_range_frame",
-    # top-k
     "rel_topk_global",
     "rel_topk_per_group",
-    # set ops
     "rel_union",
     "rel_intersect",
     "rel_except",
     "rel_except_all",
     "rel_intersect_all",
-    # sources / sinks round-trips
     "src_csv_roundtrip",
     "src_partitioned_pruned",
     "src_json_roundtrip",
     "src_orc_roundtrip",
     "src_text_roundtrip",
-    # TPC-H tail
     "q2_best_supplier",
     "q4_order_priority",
     "q6_forecast_revenue",
@@ -112,16 +177,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q20_heavy_suppliers",
     "q21_sole_returner",
     "q22_global_sales_opportunity",
-    # remaining join / plan-shape specials
     "rel_asof_join",
     "rel_join_right",
     "rel_salted_join",
     "rel_recursive_cte",
     "rel_hll_partial_merge",
     "rel_sql_api",
-)
-
-_DRIVER_VERIFIED: tuple[str, ...] = (
     # round 1 (CORRECTNESS_r01.json): hash-green or rows-only by contract
     "doc_token_stats",
     "doc_quality",

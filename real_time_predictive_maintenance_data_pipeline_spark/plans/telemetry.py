@@ -130,8 +130,13 @@ def telemetry_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_reference_artifact,
     )
 
-    path = os.path.join(tempfile.gettempdir(), "rtpmdp_rf_artifact.bin")
     if "artifact_path" not in _MODEL_CACHE:
+        # per-process private dir (mkdtemp, mode 0700): a fixed predictable
+        # path in the shared temp dir both races concurrent drivers and is
+        # an unpickle-from-world-writable-location hazard on shared hosts
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="rtpmdp_artifact_"), "rf_artifact.bin"
+        )
         save_artifact(train_reference_artifact(historical_telemetry(spark)), path)
         _MODEL_CACHE["artifact_path"] = path
     s = stream_telemetry_batch(spark, n=50_000)

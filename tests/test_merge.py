@@ -69,3 +69,63 @@ def test_scd2_apply_versions(spark):
         (1, "a3", "2024-06-01", None),          # new current version
         (2, "b1", "2024-01-01", None),
     ]
+
+
+def test_merge_upsert_fails_on_duplicate_source_keys(spark):
+    """Delta-MERGE semantics: multiple source rows per key fail the
+    batch (a silent full-outer fan-out would duplicate target rows)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    target = spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+    source = spark.createDataFrame(
+        [(1, 11.0), (1, 12.0)], "k bigint, v double"
+    )
+    with pytest.raises(SparkRuntimeException, match="multiple rows"):
+        merge_upsert(target, source, ["k"]).collect()
+
+
+def test_scd2_apply_fails_on_duplicate_update_keys(spark):
+    import datetime as dt
+
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    d = dt.date
+    hist = spark.createDataFrame(
+        [(1, "a", d(2024, 1, 1), None)],
+        "k bigint, attr string, valid_from date, valid_to date",
+    )
+    upd = spark.createDataFrame(
+        [(1, "b", d(2024, 6, 1)), (1, "c", d(2024, 7, 1))],
+        "k bigint, attr string, valid_from date",
+    )
+    with pytest.raises(SparkRuntimeException, match="multiple rows"):
+        scd2_apply(hist, upd, ["k"]).collect()
+
+
+def test_scd2_apply_broadcast_flag(spark):
+    """broadcast=True forces the hint; default lets AQE/size estimate
+    decide (an unconditional hint would OOM on a large update batch)."""
+    import datetime as dt
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.merge import (
+        scd2_apply,
+    )
+
+    d = dt.date
+    hist = spark.createDataFrame(
+        [(1, "a", d(2024, 1, 1), None)],
+        "k bigint, attr string, valid_from date, valid_to date",
+    )
+    upd = spark.createDataFrame(
+        [(1, "b", d(2024, 6, 1))], "k bigint, attr string, valid_from date"
+    )
+    forced = scd2_apply(hist, upd, ["k"], broadcast=True)
+    assert "ResolvedHint" in forced._jdf.queryExecution().analyzed().toString() or \
+        "Broadcast" in forced._jdf.queryExecution().executedPlan().toString()
+    assert forced.count() == 2
