@@ -1412,3 +1412,262 @@ def emb_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.select(
         "label", "vec_id", "dist", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture curation (round 3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_domain_mix_weights",
+    oracle="""
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS ns FROM s)
+SELECT s.source, s.n_docs, s.n_tokens,
+       ROUND((t.total * 1.0 / t.ns) / s.n_tokens, 4) AS mix_weight
+FROM s, t
+""",
+    tags=("text", "pipeline", "sampling"),
+)
+def doc_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for a uniform token mixture: weight =
+    (corpus tokens / n_sources) / source tokens — the multiplier an
+    epoch sampler applies so every domain contributes equal tokens (the
+    domain-reweighting step of training-mixture design; arbitrary
+    target shares are the same arithmetic with a non-uniform
+    numerator).
+
+    Scale: one aggregate per source (bounded cardinality), one 1-row
+    total crossed back in via broadcast. The corpus is scanned once,
+    projecting only (source, text length)."""
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("ns"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round((F.col("total") * 1.0 / F.col("ns")) / F.col("n_tokens"), 4).alias(
+            "mix_weight"
+        ),
+    )
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(list_transform(
+           range(1, len(words) - 1),
+           i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]
+         ))) AS gram
+  FROM w WHERE len(words) >= 3
+),
+f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS novelty
+FROM g JOIN f USING (gram)
+GROUP BY g.doc_id
+""",
+    tags=("text", "dedup", "quality"),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty under doc_id arrival order: the
+    fraction of a doc's distinct trigrams whose FIRST corpus occurrence
+    is in that doc — the cross-document repetition signal used to down-
+    weight boilerplate-heavy sources (a doc full of already-seen n-grams
+    scores near 0).
+
+    Scale: the gram stream shuffles once on the gram for the
+    first-occurrence aggregate, and the (gram -> first_doc) side joins
+    back on the SAME key, so the exchange is reused; the per-doc
+    aggregate then shuffles compact (doc_id, flag) rows. No broadcast of
+    the unbounded gram vocabulary, no collect."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        )
+    )
+    g = (
+        d.filter(F.size(words) >= 3)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    f = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel) * 1.0 / F.count(F.lit(1)), 4).alias("novelty"),
+        )
+    )
+
+
+@register(
+    "doc_dsir_importance",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (
+  SELECT w,
+         SUM(CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN doc_id % 20 <> 0 THEN 1 ELSE 0 END) AS cr
+  FROM tok GROUP BY w
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS n_t, CAST(SUM(cr) AS BIGINT) AS n_r,
+         COUNT(*) AS vocab
+  FROM freq
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(
+         ln((f.ct + 1) * 1.0 / (tot.n_t + tot.vocab))
+         - ln((f.cr + 1) * 1.0 / (tot.n_r + tot.vocab))
+       ), 4) AS importance
+FROM tok t JOIN freq f USING (w), tot
+WHERE t.doc_id % 20 <> 0
+GROUP BY t.doc_id
+""",
+    tags=("text", "pipeline", "sampling"),
+)
+def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling scores for data selection: per raw doc, the
+    average token log-likelihood ratio between a target distribution
+    (the held-out doc_id % 20 == 0 slice — same split convention as
+    doc_decontaminate) and the raw corpus, add-1 smoothed over the
+    shared vocabulary. High scores mark documents that look like the
+    target domain — the hashed-n-gram importance-sampling recipe for
+    pretraining selection, with word unigrams as the feature.
+
+    Scale: ONE vocabulary aggregate carries both distributions (a
+    conditional-count pass, one shuffle on the word); every scalar total
+    (token counts, vocab size) derives from that small freq table, so
+    the corpus token stream is scanned exactly twice — once to build the
+    vocab, once to score — instead of once per statistic. The scoring
+    join is on the same word key (no forced broadcast — AQE promotes
+    when the vocab fits); one final compact shuffle on doc_id."""
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    is_tgt = F.col("doc_id") % 20 == 0
+    freq = tok.groupBy("w").agg(
+        F.sum(is_tgt.cast("int")).alias("ct"),
+        F.sum((~is_tgt).cast("int")).alias("cr"),
+    )
+    tot = freq.agg(
+        F.sum("ct").cast("bigint").alias("n_t"),
+        F.sum("cr").cast("bigint").alias("n_r"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    ratio = F.log(
+        (F.col("ct") + 1) * 1.0 / (F.col("n_t") + F.col("vocab"))
+    ) - F.log((F.col("cr") + 1) * 1.0 / (F.col("n_r") + F.col("vocab")))
+    return (
+        tok.filter(~is_tgt)
+        .join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(ratio), 4).alias("importance"),
+        )
+    )
+
+
+
+
+@register(
+    "emb_coreset_per_label",
+    oracle="""
+WITH d AS (
+  SELECT vec_id, label, UNNEST(embedding) AS x,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+cd AS (
+  SELECT label, dim, AVG(CAST(x AS DOUBLE)) AS cx
+  FROM d GROUP BY label, dim
+),
+c AS (SELECT label, list(cx ORDER BY dim) AS centroid FROM cd GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND(list_cosine_similarity(
+           list_transform(e.embedding, v -> CAST(v AS DOUBLE)), c.centroid
+         ), 4) AS cos_c
+  FROM embeddings e JOIN c USING (label)
+),
+ranked AS (
+  SELECT label, vec_id, cos_c,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY cos_c DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT label, vec_id, cos_c, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+""",
+    tags=("similarity", "sampling", "topk"),
+)
+def emb_coreset_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection (coreset seeding): per label, the 5
+    vectors most cosine-similar to their label centroid — the
+    prototype-picking step of dataset distillation / active-labeling
+    loops (the mirror image of ``emb_centroid_outliers``, which surfaces
+    the farthest).
+
+    Scale: centroids aggregate to (n_labels x dims) rows and broadcast
+    into the scoring join, so the corpus never shuffles on label; cosine
+    is a map-side higher-order expression; the only wide exchange is the
+    per-label top-5 window. Rank ties break on the ROUNDED similarity +
+    vec_id, so cross-engine float noise cannot reorder rows."""
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import as_double, cosine
+
+    e = _embs(spark, sf_dir)
+    d = e.select("vec_id", "label", F.posexplode("embedding").alias("dim0", "x"))
+    cents = d.groupBy("label", F.col("dim0").alias("dim")).agg(
+        F.avg(F.col("x").cast("double")).alias("cx")
+    )
+    centroid_arr = (
+        cents.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("__dc"))
+        .select("label", F.transform("__dc", lambda s: s.cx).alias("__centroid"))
+    )
+    scored = (
+        e.select("vec_id", "label", as_double("embedding").alias("__v"))
+        .join(F.broadcast(centroid_arr), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.round(cosine(F.col("__v"), F.col("__centroid")), 4).alias("cos_c"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.col("cos_c").desc(), "vec_id")
+    return scored.select(
+        "label", "vec_id", "cos_c", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 5)

@@ -3541,3 +3541,272 @@ def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("valid_to").isNull().cast("int")).cast("bigint").alias("n_current"),
         F.sum(F.col("valid_to").isNotNull().cast("int")).cast("bigint").alias("n_closed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics over events (cohorts, funnels, robust outliers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events
+  GROUP BY user_id
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) / 7
+            AS BIGINT) AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""",
+    tags=("events", "cohort", "agg"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of
+    their first event, activity counted per week offset — the classic
+    retention triangle.
+
+    Scale: the first-event dimension aggregates on user_id, and the
+    activity join shuffles on the same key, so one exchange of the fact
+    side serves both; the final (cohort, offset) aggregate has bounded
+    cardinality (weeks x offsets). No window function, no broadcast of
+    the potentially-billion-row user dimension."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(firsts, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+""",
+    tags=("events", "funnel", "agg"),
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion view → click → purchase: each step must
+    happen strictly AFTER the user's previous step (set-membership
+    funnels overcount; the order predicate is the whole point).
+
+    Scale: three per-user aggregates chained by equi-joins on user_id —
+    every stage shuffles on the same key, so AQE reuses the
+    partitioning; step filters prune each stage's fact scan before its
+    shuffle. The three counts are 1-row aggregates crossed together
+    (no driver collect)."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, median(ABS(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN ABS(e.value - m.med) > 3 * 1.4826 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MAX(m.med), 4) AS med, ROUND(MAX(d.mad), 4) AS mad
+FROM events e JOIN med m USING (event_type) JOIN dev d USING (event_type)
+GROUP BY e.event_type
+""",
+    tags=("events", "stats", "quality"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via median absolute deviation
+    (3-sigma-equivalent 1.4826 scaling) — the quality gate that survives
+    heavy-tailed value distributions where mean/stddev z-scores break.
+
+    Scale: exact medians aggregate per event_type (bounded cardinality),
+    so the two median passes and the final count shuffle tiny frames;
+    the fact side joins the per-type stats by broadcast and stays
+    map-side. The unrounded median/MAD feed the threshold on both
+    engines, so the comparison is float-identical."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    stats = F.broadcast(med.join(dev, "event_type"))
+    return (
+        e.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+        )
+    )
+
+
+@register(
+    "rel_mode_per_group",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+)
+SELECT l_returnflag,
+       (list(l_quantity ORDER BY n DESC, l_quantity ASC))[1] AS mode_qty,
+       CAST(MAX(n) AS BIGINT) AS mode_count
+FROM c GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def rel_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent l_quantity per
+    returnflag, ties broken by the smallest value (Spark's
+    ``mode(deterministic=true)`` contract — a bare mode() is
+    tie-nondeterministic on BOTH engines, so the oracle pins the same
+    tie-break explicitly).
+
+    Scale: a two-level aggregate — (group, value) counts shuffle once,
+    then reduce per group. Cardinality is bounded by distinct values per
+    group; no window over the raw fact table."""
+    l = _t(spark, sf_dir, "lineitem")
+    m = l.groupBy("l_returnflag").agg(
+        F.mode("l_quantity", True).alias("mode_qty")
+    )
+    counts = (
+        l.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("l_returnflag")
+        .agg(F.max("n").cast("bigint").alias("mode_count"))
+    )
+    return m.join(counts, "l_returnflag")
+
+
+@register(
+    "src_bucketed_join",
+    oracle="""
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(SUM(ROUND(o.o_totalprice * 100)) / 100, 4) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    tags=("source", "partitioning", "join"),
+)
+def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: orders and customer are both
+    written ``bucketBy(8, custkey)`` + sorted, then joined — the scan
+    feeds SortMergeJoin with NO shuffle on either side (asserted in
+    tests/test_scale_plans.py). At 100 TB this is the difference
+    between re-shuffling the fact table on every join and paying the
+    partitioning ONCE at write time; any downstream join or aggregate
+    on the bucket key reuses the layout for free."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    # external tables at a fresh per-process path: a MANAGED bucketed
+    # table's warehouse directory outlives the in-memory metastore, and
+    # the next process dies with LOCATION_ALREADY_EXISTS on create
+    base = tempfile.mkdtemp(prefix="rtpmdp_bucketed_")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .format("parquet")
+        .option("path", f"{base}/orders")
+        .saveAsTable("rtpmdp_orders_bucketed")
+    )
+    (
+        c.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .format("parquet")
+        .option("path", f"{base}/customer")
+        .saveAsTable("rtpmdp_customer_bucketed")
+    )
+    ob = spark.table("rtpmdp_orders_bucketed")
+    cb = spark.table("rtpmdp_customer_bucketed")
+    return (
+        ob.join(cb, ob.o_custkey == cb.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # exact integer-cent sum (registry convention: fixed-decimal
+            # data at large magnitude hash-matches in any partial order)
+            (F.sum(F.round(F.col("o_totalprice") * 100)) / 100).alias("total"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            F.round("total", 4).alias("total"),
+        )
+    )

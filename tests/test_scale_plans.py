@@ -429,3 +429,54 @@ def test_keep_decision_window_exchange_carries_no_text(spark):
     ]
     assert hash_exchanges, "expected hash exchanges in the plan"
     assert not any("text" in e for e in hash_exchanges), hash_exchanges
+
+
+def test_bucketed_join_no_shuffle_on_either_side(spark):
+    """src_bucketed_join's contract: with both tables bucketed on the
+    join key, SortMergeJoin consumes the bucketed layout directly — no
+    Exchange under either join child. Broadcast is disabled so AQE
+    can't sidestep the claim at test scale (at 100 TB neither side
+    broadcasts)."""
+    all_queries()["src_bucketed_join"].spark(spark, SF)  # creates tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob = spark.table("rtpmdp_orders_bucketed")
+        cb = spark.table("rtpmdp_customer_bucketed")
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        plan = _plan(joined, "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_mad_outliers_stats_broadcast(spark):
+    """events_mad_outliers: the per-type median/MAD stats join the fact
+    side by broadcast — the events stream itself never shuffles for the
+    outlier count (only the bounded-cardinality median aggregates
+    exchange)."""
+    q = all_queries()["events_mad_outliers"]
+    plan = _plan(q.spark(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_coreset_centroids_broadcast(spark):
+    """emb_coreset_per_label: centroids (labels x dims) broadcast into
+    the cosine join; the embedding corpus never shuffles on label before
+    scoring."""
+    q = all_queries()["emb_coreset_per_label"]
+    plan = _plan(q.spark(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_novelty_gram_exchange_reused(spark):
+    """doc_ngram_novelty: the first-occurrence aggregate and the
+    gram-stream join both hash-partition on the gram — the optimizer
+    must not add a second full shuffle of the gram stream (ReusedExchange
+    or aligned partitioning), and the final aggregate exchanges only
+    compact (doc_id, flag) rows."""
+    q = all_queries()["doc_ngram_novelty"]
+    plan = _plan(q.spark(spark, SF), "simple")
+    n_gram_shuffles = plan.count("Exchange hashpartitioning(gram")
+    assert n_gram_shuffles <= 2, plan  # agg build + probe align, no more

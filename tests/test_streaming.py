@@ -713,3 +713,73 @@ def test_append_mode_watermark_finalization_and_late_drop(spark, tmp_path):
     (src / "b.json").write_text("\n".join([mk(t0 + 3600), mk(t0 + 5)]))
     run_batch()
     assert emitted() == {t0: 60, t0 + 60: 60}, emitted()
+
+
+def test_foreach_batch_cdc_merge(spark, tmp_path):
+    """Streaming CDC apply: each micro-batch MERGEs into a parquet
+    dimension via foreachBatch + merge_upsert — the lakehouse upsert
+    loop (dedupe the batch to one row per key first; merge itself
+    REJECTS duplicate source keys by contract)."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    dim_dir = str(tmp_path / "dim")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(0, "init0"), (1, "init1")], "k bigint, v string"
+    ).write.mode("overwrite").parquet(dim_dir)
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .option("numPartitions", "2")
+        .load()
+        .select(
+            (F.col("value") % 5).alias("k"),
+            F.concat(F.lit("upd"), F.col("value")).alias("v"),
+            F.col("value"),
+        )
+    )
+
+    def apply_batch(batch, batch_id):
+        if batch.isEmpty():
+            return
+        s = batch.sparkSession
+        # latest row per key within the batch (CDC compaction step)
+        latest = (
+            batch.groupBy("k")
+            .agg(F.max_by("v", "value").alias("v"))
+            .select("k", "v")
+        )
+        target = s.read.parquet(dim_dir)
+        merged = merge_upsert(target, latest, ["k"]).localCheckpoint()
+        merged.write.mode("overwrite").parquet(dim_dir)
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n_upd = 0
+        while time.time() < deadline:
+            time.sleep(2)
+            rows = {r.k: r.v for r in spark.read.parquet(dim_dir).collect()}
+            n_upd = sum(1 for v in rows.values() if v.startswith("upd"))
+            if n_upd >= 4 and len(rows) == 5:
+                break
+    finally:
+        q.stop()
+    rows = {r.k: r.v for r in spark.read.parquet(dim_dir).collect()}
+    # keys: init {0,1} merged with stream keys 0..4 -> exactly {0,1,2,3,4}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    # at least 4 of the 5 keys must show a streamed update (the loop's
+    # exit condition; the last key may race the stop)
+    assert sum(v.startswith("upd") for v in rows.values()) >= 4
