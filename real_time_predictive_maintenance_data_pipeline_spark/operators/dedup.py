@@ -324,17 +324,29 @@ def simhash_banded_pairs(
     only inside identical chunks, i.e. true near-dup neighborhoods.
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b, exactly once.
     """
-    shr = lambda h, i: F.call_function("shiftright", h, i)  # noqa: E731
     sigs = simhash_signatures(df, text_col, id_col).select(
-        F.col(id_col).alias("__id"), "simhash"
+        F.col(id_col).alias("__id"), F.col("simhash").alias("__sig")
     )
+    return banded_hamming_pairs(sigs, max_hamming=max_hamming)
+
+
+def banded_hamming_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs among 64-bit signatures via 16-bit chunk banding.
+
+    Input: (__id, __sig: long). Pigeonhole: Hamming ≤ 3 ⇒ at least one
+    of the four 16-bit chunks matches exactly, so candidates come from
+    an equi-join on (chunk_index, chunk_value) — recall 1.0 for
+    ``max_hamming ≤ 3``, probabilistic above. Shared by text SimHash and
+    multimodal perceptual-hash dedup; scale properties as documented on
+    ``simhash_banded_pairs``. Returns (doc_a, doc_b, hamming)."""
+    shr = lambda h, i: F.call_function("shiftright", h, i)  # noqa: E731
     chunks = sigs.select(
         "__id",
-        "simhash",
+        "__sig",
         F.posexplode(
             F.array(
                 *[
-                    shr(F.col("simhash"), F.lit(16 * i)).bitwiseAND(F.lit(0xFFFF))
+                    shr(F.col("__sig"), F.lit(16 * i)).bitwiseAND(F.lit(0xFFFF))
                     for i in range(4)
                 ]
             )
@@ -342,7 +354,7 @@ def simhash_banded_pairs(
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
     return (
         a.join(
             b,

@@ -221,3 +221,55 @@ def audio_window_rms(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return pruned.mapInPandas(batches, AUDIO_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("__id", LongType()),
+        StructField("__sig", LongType()),
+    ]
+)
+
+
+def phash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit average-hash perceptual signature per binary payload.
+
+    The aHash construction over the (stubbed) decode: split the payload
+    bytes into 64 segments, take each segment's mean intensity, set bit
+    *i* iff segment *i* is brighter than the global mean — tolerant to
+    small payload perturbations the way aHash is tolerant to resizes.
+    With a real codec the same function body runs over decoded pixel
+    blocks; the packing/banding contract is unchanged.
+
+    Arrow-batched ``mapInPandas`` (numpy inside the batch, no per-row
+    Python); emits the (__id, __sig) shape ``banded_hamming_pairs``
+    consumes, so multimodal near-dup mining shares the text SimHash
+    join machinery. Only (id, payload) crosses the Arrow boundary.
+    """
+    import numpy as np
+
+    pruned = df.select(F.col(id_col).alias("__id"), "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size == 0:
+                    sigs.append(0)
+                    continue
+                # pad to a multiple of 64 so the segment grid is stable
+                pad = (-arr.size) % 64
+                if pad:
+                    arr = np.pad(arr, (0, pad))
+                means = arr.reshape(64, -1).mean(axis=1)
+                bits = (means > means.mean()).astype(np.uint64)
+                sig = np.uint64(0)
+                for i, bit in enumerate(bits):
+                    sig |= bit << np.uint64(i)
+                sigs.append(int(sig.astype(np.int64)))  # two's-complement pack
+            yield pd.DataFrame(
+                {"__id": pdf["__id"].astype("int64"), "__sig": sigs}
+            )
+
+    return pruned.mapInPandas(batches, PHASH_SCHEMA)

@@ -329,3 +329,184 @@ def ivf_topk(
     return scored.select(
         query_id_col, id_col, "score", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= k)
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization codebooks: split each d-dim vector into
+    ``m`` subvectors and learn ``k`` centroids PER subspace.
+
+    Training runs as ONE ``applyInPandas`` over the subspace index —
+    all m subspace k-means fits execute in parallel, each on its own
+    partition's numpy batch (Lloyd iterations, deterministic k-means++-
+    free init by even sample spacing, fixed seed). At 100 TB you train
+    on a sample; encoding (the full-corpus pass) is map-only with the
+    codebooks broadcast — the standard IVF-PQ split of train-small /
+    encode-everything.
+
+    Returns (sub, code, centroid: array<double>), m*k rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = embeddings.select(
+        F.posexplode(
+            # slice the vector into m contiguous subvectors
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.slice(
+                    as_double(F.col(vec_col)),
+                    i * (F.size(vec_col) / m).cast("int") + 1,
+                    (F.size(vec_col) / m).cast("int"),
+                ),
+            )
+        ).alias("sub", "subvec")
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = int(pdf["sub"].iloc[0])
+        X = np.stack(pdf["subvec"].to_numpy())
+        rng = np.random.default_rng(seed + sub)
+        # deterministic init: k evenly-spaced points of a shuffled sample
+        idx = rng.permutation(len(X))[: max(k * 8, k)]
+        C = X[np.sort(idx[:: max(1, len(idx) // k)][:k])].copy()
+        while len(C) < k:  # degenerate tiny input
+            C = np.vstack([C, C[: k - len(C)]])
+        for _ in range(n_iter):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = X[mask].mean(axis=0)
+        return pd.DataFrame(
+            {
+                "sub": sub,
+                "code": range(k),
+                "centroid": [C[c].tolist() for c in range(k)],
+            }
+        )
+
+    return d.groupBy("sub").applyInPandas(
+        fit, "sub int, code int, centroid array<double>"
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to m uint8 codes (nearest centroid per
+    subspace) — map-only: the (m x k x d/m)-float codebook collects to
+    the driver (a few KiB) and ships inside the Arrow-batched closure,
+    so the corpus pass is embarrassingly parallel with NO shuffle and
+    the output row is id + m bytes — the 32x-or-better compression that
+    makes billion-vector rerank indexes RAM-resident.
+
+    Returns (id_col, codes: array<int>).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    rows = codebooks.collect()  # m*k tiny rows — the trained model
+    k = max(r.code for r in rows) + 1
+    dsub = len(rows[0].centroid)
+    C = np.zeros((m, k, dsub))
+    for r in rows:
+        C[r.sub, r.code] = r.centroid
+
+    pruned = embeddings.select(F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v"))
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            X = np.stack(pdf["__v"].to_numpy()).reshape(len(pdf), m, dsub)
+            # (n, m, k) distances -> argmin code per subspace
+            d2 = ((X[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2).astype("int32")
+            yield pd.DataFrame(
+                {"__id": pdf["__id"].astype("int64"), "codes": list(codes)}
+            )
+
+    out = pruned.mapInPandas(encode, "__id long, codes array<int>")
+    return out.select(F.col("__id").alias(id_col), "codes")
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the IVF-PQ query path).
+
+    Per query, a (m x k) lookup table of squared distances from each
+    query subvector to every centroid is precomputed ONCE; a vector's
+    approximate distance is then m table gathers + a sum over its codes
+    — no float math against the original vectors, which never load.
+
+    Map-only scan: codes + the tiny LUT closure cross every Arrow batch
+    in numpy (vectorized gather over all queries at once); the only
+    shuffle is the per-query top-k window. This is exactly the shape
+    that scans billions of PQ codes per node-second in a real ANN
+    index.
+
+    Returns (query_id, vec_id, adist, rank), adist 4-dp rounded.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    rows = codebooks.collect()
+    kk = max(r.code for r in rows) + 1
+    dsub = len(rows[0].centroid)
+    C = np.zeros((m, kk, dsub))
+    for r in rows:
+        C[r.sub, r.code] = r.centroid
+    qrows = queries.select(
+        F.col(query_id_col).alias("__qid"), as_double(F.col(vec_col)).alias("__qv")
+    ).collect()
+    qids = np.array([r.__getitem__("__qid") for r in qrows], dtype=np.int64)
+    Q = np.stack([np.array(r.__getitem__("__qv")) for r in qrows]).reshape(
+        len(qrows), m, dsub
+    )
+    # (nq, m, k): squared distance from each query subvector to each centroid
+    LUT = ((Q[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
+
+    codes = pq_encode(embeddings, codebooks, m=m, id_col=id_col, vec_col=vec_col)
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        subs = np.arange(m)[None, :]
+        for pdf in it:
+            X = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            # gather: adist[q, i] = sum_s LUT[q, s, X[i, s]] -> (nq, n)
+            ad = LUT[:, subs, X].sum(axis=-1)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, n),
+                    "vec_id": np.tile(pdf[id_col].to_numpy().astype("int64"), len(qids)),
+                    "adist": np.round(ad.reshape(-1), 4),
+                }
+            )
+
+    scored = codes.mapInPandas(scan, "query_id long, vec_id long, adist double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), "vec_id")
+    return (
+        scored.filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "adist", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

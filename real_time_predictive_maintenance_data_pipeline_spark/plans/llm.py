@@ -1671,3 +1671,54 @@ def emb_coreset_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "label", "vec_id", "cos_c", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 5)
+
+
+@register("mm_phash_neardup", oracle=None, tags=("multimodal", "dedup", "approx"))
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup mining: 64-bit perceptual hash (aHash over
+    the stubbed decode) per binary payload, then the SAME blocking-free
+    16-bit-chunk banded Hamming join the text SimHash path uses —
+    image-level dedup without an all-pairs comparison. Rows-only
+    (mapInPandas signatures aren't DuckDB-expressible); exact set
+    equality against brute-force Hamming pairs is pinned in
+    tests/test_multimodal.py."""
+    d = M.attach_binary_payload(_docs(spark, sf_dir))
+    sigs = M.phash64(d)
+    return D.banded_hamming_pairs(sigs, max_hamming=3)
+
+
+@register("emb_pq_codes", oracle=None, tags=("similarity", "approx", "compression"))
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding corpus: 8 subspaces x 16
+    centroids trained in one parallel ``applyInPandas`` pass, then a
+    map-only encode to 8 codes/vector — the compression layer of an
+    IVF-PQ index (vectors become id + 8 bytes). Rows-only (iterative
+    k-means isn't SQL); reconstruction quality vs a random-codebook
+    floor is gated in tests/test_similarity.py. Returns per-(sub, code)
+    usage counts so the result is stable-schema and small."""
+    e = _embs(spark, sf_dir)
+    books = S.pq_train_codebooks(e, m=8, k=16)
+    codes = S.pq_encode(e, books, m=8)
+    return (
+        codes.select(F.posexplode("codes").alias("sub", "code"))
+        .groupBy("sub", "code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("sub", "code")
+    )
+
+
+@register("sim_pq_adc_topk", oracle=None, tags=("similarity", "approx", "topk"))
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-10 over PQ codes for 5 query vectors —
+    the query path of an IVF-PQ index: per query a (subspace x centroid)
+    distance lookup table is built once, and the corpus scan is m table
+    gathers per vector over 8-byte codes (original vectors never load).
+    Rows-only (iterative k-means + LUT gather aren't SQL); recall
+    against exact euclidean top-10 is gated in
+    tests/test_similarity.py."""
+    e = _embs(spark, sf_dir)
+    books = S.pq_train_codebooks(e, m=16, k=16)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_adc_topk(e, books, q, k=10, m=16)

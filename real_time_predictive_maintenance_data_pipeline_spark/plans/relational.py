@@ -3810,3 +3810,69 @@ def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total", 4).alias("total"),
         )
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
+       ROUND(arg_min(value, ts), 4) AS open,
+       ROUND(MAX(value), 4) AS high,
+       ROUND(MIN(value), 4) AS low,
+       ROUND(arg_max(value, ts), 4) AS close,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+    tags=("timeseries", "agg", "events"),
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (hour, event_type) bar, the first/max/min/
+    last value — the classic time-series resample (min_by/max_by keyed
+    on the event timestamp; ts is unique per event so the selection is
+    deterministic on both engines).
+
+    Scale: a single hash aggregate — open/close are arg-selections
+    inside the same partial-agg pass as high/low, so the fact table
+    shuffles once on the bounded (hour, type) key and never sorts."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        epoch_us(F.date_trunc("hour", F.col("ts"))).alias("hour_start_us"),
+        "event_type",
+    ).agg(
+        F.round(F.min_by("value", "ts"), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", "ts"), 4).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "rel_count_distinct_multi",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS nd_part,
+       COUNT(DISTINCT l_suppkey) AS nd_supp,
+       COUNT(DISTINCT l_orderkey) AS nd_order,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "distinct"),
+)
+def rel_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT) over different columns in ONE aggregate —
+    Catalyst plans this via Expand (one row replicated per distinct
+    set), keeping a single shuffle instead of three self-joined
+    aggregates. The plan every analytics dashboard hits.
+
+    Scale: Expand multiplies rows x4 BEFORE the shuffle but each
+    replica carries one key — partial aggregation collapses duplicates
+    map-side, so the exchange moves near-distinct data, not the fact
+    table."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_part"),
+        F.countDistinct("l_suppkey").alias("nd_supp"),
+        F.countDistinct("l_orderkey").alias("nd_order"),
+        F.count(F.lit(1)).alias("n"),
+    )

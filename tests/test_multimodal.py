@@ -67,3 +67,36 @@ def test_frame_sample_accounting(spark, media):
         assert [i for i, _ in got] == expect_idx
         for i, fb in got:
             assert fb == min(256, n - i * 256)
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    """banded_hamming_pairs over phash64 signatures must equal the
+    brute-force Hamming-pair set exactly (pigeonhole recall is 1.0 at
+    max_hamming <= 3, and verification is exact)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash64,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    sigs = phash64(attach_binary_payload(docs))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in banded_hamming_pairs(sigs, max_hamming=3).collect()
+    }
+    rows = sigs.collect()
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            h = bin((a["__sig"] ^ b["__sig"]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 3:
+                lo, hi = sorted((a["__id"], b["__id"]))
+                want.add((lo, hi, h))
+    assert got == want and len(want) > 0

@@ -84,3 +84,85 @@ def test_cosine_pairs_symmetric_threshold(embs):
         assert row.lo >= 0.5
     ids = pairs.filter(F.col("vec_a") >= F.col("vec_b")).count()
     assert ids == 0  # canonical ordering
+
+
+def test_pq_reconstruction_beats_random_codebook(spark):
+    """PQ quality gate: reconstructing each vector from its trained
+    codes must give a much lower MSE than assigning codes from an
+    UNTRAINED (randomly initialized, zero Lloyd iterations) codebook —
+    the signal that the subspace k-means actually converged."""
+    import numpy as np
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    m, k = 8, 16
+
+    def mse(books):
+        rows = books.collect()
+        dsub = len(rows[0].centroid)
+        C = np.zeros((m, k, dsub))
+        for r in rows:
+            C[r.sub, r.code] = r.centroid
+        codes = {
+            r.vec_id: r.codes for r in pq_encode(e, books, m=m).collect()
+        }
+        errs = []
+        for r in e.collect():
+            x = np.array(r.embedding, dtype=np.float64).reshape(m, dsub)
+            rec = np.stack([C[s, codes[r.vec_id][s]] for s in range(m)])
+            errs.append(((x - rec) ** 2).mean())
+        return float(np.mean(errs))
+
+    trained = mse(pq_train_codebooks(e, m=m, k=k, n_iter=10))
+    untrained = mse(pq_train_codebooks(e, m=m, k=k, n_iter=0))
+    assert trained < untrained * 0.8, (trained, untrained)
+
+
+def test_pq_adc_recall_vs_exact_euclidean(spark):
+    """ADC top-10 must recover a meaningful fraction of the EXACT
+    euclidean top-10 (random top-10 from a 500-vector corpus would
+    overlap ~0.02) — the quantization-error recall gate for the IVF-PQ
+    query path."""
+    import numpy as np
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    # m=16 x 16 codes = 64-bit quantization; ~31 training points per
+    # centroid at the smallest sf, so the fit is stable across fixture
+    # regenerations
+    books = pq_train_codebooks(e, m=16, k=16)
+    from pyspark.sql import functions as F
+
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc = pq_adc_topk(e, books, q, k=10, m=16)
+    got = {}
+    for r in adc.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    recalls = []
+    for qid in range(5):
+        dists = sorted(
+            (np.sum((v - vecs[qid]) ** 2), vid)
+            for vid, v in vecs.items()
+            if vid != qid
+        )
+        exact = {vid for _, vid in dists[:10]}
+        recalls.append(len(exact & got[qid]) / 10)
+    assert sum(recalls) / len(recalls) >= 0.3, recalls

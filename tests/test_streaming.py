@@ -767,11 +767,16 @@ def test_foreach_batch_cdc_merge(spark, tmp_path):
     try:
         import time
 
-        deadline = time.time() + 30
+        deadline = time.time() + 60
         n_upd = 0
         while time.time() < deadline:
             time.sleep(2)
-            rows = {r.k: r.v for r in spark.read.parquet(dim_dir).collect()}
+            try:
+                # the poll races the stream's overwrite of the same dir
+                # (files vanish mid-scan) — retry on the next tick
+                rows = {r.k: r.v for r in spark.read.parquet(dim_dir).collect()}
+            except Exception:
+                continue
             n_upd = sum(1 for v in rows.values() if v.startswith("upd"))
             if n_upd >= 4 and len(rows) == 5:
                 break
