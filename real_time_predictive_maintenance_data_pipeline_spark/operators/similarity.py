@@ -404,6 +404,7 @@ def pq_encode(
     m: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector to m uint8 codes (nearest centroid per
     subspace) — map-only: the (m x k x d/m)-float codebook collects to
@@ -425,7 +426,14 @@ def pq_encode(
     for r in rows:
         C[r.sub, r.code] = r.centroid
 
-    pruned = embeddings.select(F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__v"))
+    pruned = embeddings.select(
+        F.col(id_col).alias("__id"),
+        as_double(F.col(vec_col)).alias("__v"),
+        *[F.col(c) for c in extra_cols],
+    )
+    extra_schema = "".join(
+        f", {c} {embeddings.schema[c].dataType.simpleString()}" for c in extra_cols
+    )
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -433,12 +441,13 @@ def pq_encode(
             # (n, m, k) distances -> argmin code per subspace
             d2 = ((X[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
             codes = d2.argmin(axis=2).astype("int32")
-            yield pd.DataFrame(
-                {"__id": pdf["__id"].astype("int64"), "codes": list(codes)}
-            )
+            out = {"__id": pdf["__id"].astype("int64"), "codes": list(codes)}
+            for c in extra_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    out = pruned.mapInPandas(encode, "__id long, codes array<int>")
-    return out.select(F.col("__id").alias(id_col), "codes")
+    out = pruned.mapInPandas(encode, f"__id long, codes array<int>{extra_schema}")
+    return out.select(F.col("__id").alias(id_col), "codes", *extra_cols)
 
 
 def pq_adc_topk(
@@ -504,6 +513,137 @@ def pq_adc_topk(
             )
 
     scored = codes.mapInPandas(scan, "query_id long, vec_id long, adist double")
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), "vec_id")
+    return (
+        scored.filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "adist", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 6,
+    m: int = 16,
+    pq_k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (euclidean): the full billion-scale ANN
+    index shape — a coarse KMeans quantizer prunes the corpus to
+    ``nprobe``/``nlist`` cells per query, and within probed cells
+    vectors are ranked by asymmetric distance over RESIDUAL product-
+    quantization codes (x - cell_centroid, PQ-encoded; residuals are
+    much lower-variance than raw vectors, so the same code budget
+    quantizes far finer).
+
+    Index build (all distributed): one KMeans fit, one residual
+    computation (zip_with against broadcast centroids), one
+    applyInPandas PQ train over subspaces, one map-only encode. The
+    persisted index at 100 TB is (id, cell, m bytes) — partition the
+    files BY cell and a probe reads only matching partitions.
+
+    Search: per (query, probed cell) a (m x pq_k) LUT of subspace
+    distances is computed once on the driver (nq x nprobe x m x pq_k
+    floats — KiB); the candidate scan is a broadcast-semi-joined
+    map-only gather, then one top-k window. Original vectors never
+    load at query time.
+
+    Returns (query_id, vec_id, adist, rank), adist 4-dp rounded.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from pyspark.ml.clustering import KMeans
+
+    spark = embeddings.sparkSession
+    feats = _to_mllib_vectors(embeddings, vec_col).select(
+        F.col(id_col), as_double(vec_col).alias("__vec"), F.col("__features")
+    )
+    km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
+    model = km.fit(feats)
+    centers = np.array([list(c) for c in model.clusterCenters()])  # (nlist, d)
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        schema="__cell INT, __cvec ARRAY<DOUBLE>",
+    )
+    corpus = (
+        model.transform(feats)
+        .select(id_col, "__vec", "__cell")
+        .join(F.broadcast(centroids), "__cell")
+        .select(
+            id_col,
+            "__cell",
+            F.zip_with("__vec", "__cvec", lambda a, b: a - b).alias("__res"),
+        )
+    )
+    books = pq_train_codebooks(corpus, m=m, k=pq_k, vec_col="__res")
+    codes = pq_encode(
+        corpus, books, m=m, id_col=id_col, vec_col="__res", extra_cols=("__cell",)
+    )
+
+    # --- query side: all driver-local numpy over tiny tables ---
+    rows = books.collect()
+    dsub = len(rows[0].centroid)
+    C = np.zeros((m, pq_k, dsub))
+    for r in rows:
+        C[r.sub, r.code] = r.centroid
+    qrows = queries.select(
+        F.col(query_id_col).alias("__qid"), as_double(F.col(vec_col)).alias("__qv")
+    ).collect()
+    luts: dict[int, dict[int, np.ndarray]] = {}
+    probed_cells: set[int] = set()
+    for r in qrows:
+        qid = r["__qid"]
+        qv = np.array(r["__qv"])
+        cell_d = ((centers - qv[None, :]) ** 2).sum(axis=1)
+        cells = np.argsort(cell_d)[:nprobe]
+        luts[qid] = {}
+        for cell in cells:
+            qres = (qv - centers[cell]).reshape(m, dsub)
+            luts[qid][int(cell)] = (
+                ((qres[:, None, :] - C) ** 2).sum(axis=2)
+            )  # (m, pq_k)
+            probed_cells.add(int(cell))
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        subs = np.arange(m)[None, :]
+        for pdf in it:
+            cells_arr = pdf["__cell"].to_numpy()
+            X = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf[id_col].to_numpy().astype("int64")
+            out_q, out_v, out_d = [], [], []
+            for qid, cell_luts in luts.items():
+                for cell, lut in cell_luts.items():
+                    mask = cells_arr == cell
+                    if not mask.any():
+                        continue
+                    ad = lut[subs, X[mask]].sum(axis=-1)
+                    out_q.append(np.full(mask.sum(), qid, dtype="int64"))
+                    out_v.append(ids[mask])
+                    out_d.append(np.round(ad, 4))
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "adist": np.concatenate(out_d),
+                }
+            )
+
+    candidates = codes.filter(
+        F.col("__cell").isin(*[int(c) for c in probed_cells])
+    )
+    scored = candidates.mapInPandas(
+        scan, "query_id long, vec_id long, adist double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), "vec_id")
     return (
         scored.filter(F.col("query_id") != F.col("vec_id"))

@@ -1722,3 +1722,84 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.pq_adc_topk(e, books, q, k=10, m=16)
+
+
+@register(
+    "doc_vocab_growth",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+f AS (SELECT w, MIN(doc_id) AS fd FROM tok GROUP BY w),
+nb AS (
+  SELECT CAST(FLOOR(fd / 50.0) AS BIGINT) AS bucket, COUNT(*) AS new_words
+  FROM f GROUP BY 1
+),
+tb AS (
+  SELECT CAST(FLOOR(doc_id / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n_tokens
+  FROM tok GROUP BY 1
+)
+SELECT tb.bucket, tb.n_tokens, COALESCE(nb.new_words, 0) AS new_words,
+       CAST(SUM(COALESCE(nb.new_words, 0)) OVER
+            (ORDER BY tb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_vocab,
+       CAST(SUM(tb.n_tokens) OVER
+            (ORDER BY tb.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_tokens
+FROM tb LEFT JOIN nb USING (bucket)
+""",
+    tags=("text", "stats", "pipeline"),
+)
+def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: per 50-document bucket (in
+    doc_id arrival order), the tokens processed and the NEW vocabulary
+    introduced, with running totals — the diminishing-returns signal
+    that sizes how much more raw data a tokenizer/vocab or dedup stage
+    will actually benefit from.
+
+    Scale: first occurrences aggregate once on the word; both bucket
+    aggregates are bounded-cardinality; the running sums window over
+    the tiny bucket frame (single partition of n_buckets rows — fine,
+    because the frame is already aggregate-sized, not corpus-sized)."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    f = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    nb = f.groupBy(
+        F.floor(F.col("fd") / 50.0).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_words"))
+    tb = tok.groupBy(
+        F.floor(F.col("doc_id") / 50.0).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tb.join(nb, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            "new_words",
+            F.sum("new_words").over(w).cast("bigint").alias("cum_vocab"),
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        )
+    )
+
+
+@register("sim_ivf_pq_topk", oracle=None, tags=("similarity", "approx", "topk"))
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full billion-scale ANN composition: IVF coarse quantizer
+    (nprobe/nlist cell pruning) + asymmetric-distance ranking over
+    RESIDUAL product-quantization codes — corpus vectors are (cell id +
+    m bytes) at query time; original embeddings never load. Rows-only
+    (KMeans + LUT gathers aren't SQL); recall@10 vs exact euclidean is
+    gated in tests/test_similarity.py."""
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.ivf_pq_topk(e, q, k=10, nlist=16, nprobe=6, m=16, pq_k=16)

@@ -166,3 +166,40 @@ def test_pq_adc_recall_vs_exact_euclidean(spark):
         exact = {vid for _, vid in dists[:10]}
         recalls.append(len(exact & got[qid]) / 10)
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_ivf_pq_recall_vs_exact_euclidean(spark):
+    """IVF-PQ quality gate: recall@10 vs exact euclidean must clear a
+    floor far above random (~0.02). Combines IVF cell-pruning recall
+    (~0.7 at nprobe 6/16 on near-random vectors) with residual-PQ
+    ranking quality."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = ivf_pq_topk(e, q, k=10, nlist=16, nprobe=6, m=16, pq_k=16)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    recalls = []
+    for qid in range(5):
+        dists = sorted(
+            (np.sum((v - vecs[qid]) ** 2), vid)
+            for vid, v in vecs.items()
+            if vid != qid
+        )
+        exact = {vid for _, vid in dists[:10]}
+        recalls.append(len(exact & got.get(qid, set())) / 10)
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
