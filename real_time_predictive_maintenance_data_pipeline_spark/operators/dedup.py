@@ -470,3 +470,56 @@ def near_dup_clusters(
         F.col("lbl").alias("cluster_id"),
         (F.col("node") == F.col("lbl")).alias("is_keeper"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """PageRank over an undirected edge list (e.g. the near-dup graph)
+    by power iteration — surfaces the most-connected documents of a
+    duplication neighborhood (the canonical pick, or the boilerplate
+    hub to drop).
+
+    Spark shape: edges are symmetrized once; each iteration is one
+    shuffle — contributions = ranks ⋈ out-degree-normalized edges,
+    then a groupBy sum. Ranks localCheckpoint every few iterations to
+    truncate the lineage (the classic iterative-DataFrame pattern; at
+    scale, persist ranks partitioned on the node key so every
+    iteration's join co-locates). Dangling nodes (none in a
+    symmetrized graph) would redistribute uniformly.
+
+    Returns (doc_id, rank) summing to ~n_nodes.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out = sym.join(deg, "src")
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    ranks = nodes.select("doc_id", F.lit(1.0).alias("rank"))
+    for i in range(n_iter):
+        contribs = (
+            out.join(ranks, out.src == ranks.doc_id)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.doc_id == contribs.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    (1.0 - damping)
+                    + damping * F.coalesce(F.col("csum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 4 == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))

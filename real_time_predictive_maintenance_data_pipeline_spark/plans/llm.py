@@ -1803,3 +1803,50 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.ivf_pq_topk(e, q, k=10, nlist=16, nprobe=6, m=16, pq_k=16)
+
+
+@register(
+    "doc_stable_sample",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       ROUND(SUM(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS rate
+FROM documents GROUP BY source
+""",
+    tags=("sampling", "pipeline"),
+)
+def doc_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold stable sampling: a document is in the ~20 % sample
+    iff the first 4 hex chars of md5(doc_id) sort below '3333' — the
+    industry-standard deterministic sampler (same doc is in/out across
+    reruns, engines, and subsets; no seed state, no shuffle, trivially
+    stratifiable by adjusting the threshold per stratum). The
+    lexicographic-hex comparison is engine-portable where float
+    division of hashes is not.
+
+    Scale: map-only predicate + one bounded aggregate."""
+    d = _docs(spark, sf_dir)
+    in_sample = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < "3333"
+    ).cast("int")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(in_sample).cast("bigint").alias("n_sampled"),
+        F.round(F.sum(in_sample) * 1.0 / F.count(F.lit(1)), 4).alias("rate"),
+    )
+
+
+@register("doc_dup_pagerank", oracle=None, tags=("dedup", "graph"))
+def doc_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the banded-SimHash near-dup graph: the
+    top-20 hub documents of duplication neighborhoods (what a curation
+    pass inspects first — boilerplate radiates edges). Power iteration,
+    one co-located shuffle per step. Rows-only (iterative); equality
+    against a driver-side numpy power iteration is pinned in
+    tests/test_dedup.py."""
+    pairs = D.simhash_banded_pairs(_docs(spark, sf_dir), max_hamming=3)
+    pr = D.pagerank(pairs, n_iter=10)
+    return pr.orderBy(F.col("rank").desc(), "doc_id").limit(20)

@@ -219,3 +219,39 @@ def test_simhash_banded_equals_bruteforce(spark, docs):
     }
     assert banded == brute
     assert len(brute) > 0  # corpus contains near-dups by construction
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Distributed PageRank must match a dense numpy power iteration on
+    the same symmetrized graph to ~1e-5 (same damping, same iteration
+    count, same uniform init)."""
+    import numpy as np
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.dedup import (
+        pagerank,
+        simhash_banded_pairs,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(300)
+    edges = simhash_banded_pairs(docs, max_hamming=3)
+    got = {r.doc_id: r.rank for r in pagerank(edges, n_iter=10).collect()}
+
+    pairs = [(r.doc_a, r.doc_b) for r in edges.collect()]
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = np.zeros(len(nodes))
+    for a, b in pairs:
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    r = np.ones(len(nodes))
+    for _ in range(10):
+        contrib = np.zeros(len(nodes))
+        for a, b in pairs:
+            contrib[idx[b]] += r[idx[a]] / deg[idx[a]]
+            contrib[idx[a]] += r[idx[b]] / deg[idx[b]]
+        r = (1 - 0.85) + 0.85 * contrib
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-5, (n, got[n], r[idx[n]])
