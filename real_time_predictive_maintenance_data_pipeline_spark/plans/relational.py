@@ -3876,3 +3876,48 @@ def rel_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("nd_order"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "rel_observe_metrics",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT) AS price_cents,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_discounted
+FROM lineitem
+""",
+    tags=("observability", "agg"),
+)
+def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API — pipeline observability without a second
+    scan: metrics (row count, exact-cent revenue, discounted-line
+    count) ride along the SAME job as the main query via
+    ``df.observe`` accumulators, the mechanism a production pipeline
+    uses for row-count reconciliation and data-quality counters at
+    every stage for free.
+
+    The driver-side ``observation.get`` is metric retrieval (a few
+    scalars), not a data collect; the observed job here is a count.
+    At 100 TB the observe pass costs nothing extra — accumulators
+    piggyback the existing task results."""
+    from pyspark.sql import Observation
+
+    l = _t(spark, sf_dir, "lineitem")
+    obs = Observation("lineitem_profile")
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias(
+            "price_cents"
+        ),
+        F.sum((F.col("l_discount") > 0.05).cast("int")).cast("bigint").alias(
+            "n_discounted"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["price_cents"], m["n_discounted"])],
+        "n_rows bigint, price_cents bigint, n_discounted bigint",
+    )

@@ -194,3 +194,73 @@ def drift_monitor(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def running_totals_tws(scored: DataFrame) -> DataFrame:
+    """Per-machine running totals via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API (successor to
+    ``applyInPandasWithState``): typed per-key ValueState managed by a
+    ``StatefulProcessor``, RocksDB-backed, with the same
+    machineId-keyed horizontal scaling as the alarm machine.
+
+    Emits one row per (machine, micro-batch): cumulative record count
+    and cumulative anomaly count — the monitoring counter the reference
+    prints per record (realtime_inference.py:128-139) lifted into
+    managed state.
+
+    Runtime requirement: the transformWithState state-server protocol
+    imports ``google.protobuf`` on the Python side; environments
+    without protobuf (this container) must use ``alarm_transitions`` /
+    ``drift_monitor`` (applyInPandasWithState) instead — the test for
+    this operator skips when protobuf is absent.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = StructType(
+        [
+            StructField("machineId", StringType()),
+            StructField("n_total", LongType()),
+            StructField("n_anomalies", LongType()),
+        ]
+    )
+
+    class TotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("n_anom", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, n_anom = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                n_anom += int((pdf["prediction"] == 1).sum())
+            if self._totals.exists():
+                prev = self._totals.get()
+                n += int(prev[0])
+                n_anom += int(prev[1])
+            self._totals.update((n, n_anom))
+            yield pd.DataFrame(
+                {"machineId": [key[0]], "n_total": [n], "n_anomalies": [n_anom]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        scored.groupBy("machineId")
+        .transformWithStateInPandas(
+            TotalsProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

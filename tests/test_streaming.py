@@ -788,3 +788,64 @@ def test_foreach_batch_cdc_merge(spark, tmp_path):
     # at least 4 of the 5 keys must show a streamed update (the loop's
     # exit condition; the last key may race the stop)
     assert sum(v.startswith("upd") for v in rows.values()) >= 4
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-machine ValueState
+    accumulates across micro-batches (two files -> two batches; the
+    second batch's totals include the first's). The state-server
+    protocol needs google.protobuf, which this container doesn't ship —
+    skip there, run anywhere protobuf exists."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from real_time_predictive_maintenance_data_pipeline_spark.streaming.stateful import (
+        running_totals_tws,
+    )
+
+    d = tmp_path / "seq"
+    d.mkdir()
+    f1 = [
+        '{"machineId":"M1","temperature":90.0,"vibration":4.0,"timestamp":100}',
+        '{"machineId":"M1","temperature":66.0,"vibration":1.3,"timestamp":101}',
+        '{"machineId":"M2","temperature":92.0,"vibration":4.1,"timestamp":100}',
+    ]
+    f2 = [
+        '{"machineId":"M1","temperature":91.0,"vibration":4.0,"timestamp":102}',
+        '{"machineId":"M2","temperature":65.0,"vibration":1.2,"timestamp":101}',
+    ]
+    (d / "a.json").write_text("\n".join(f1))
+    raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(d))
+    good, _ = quarantine_split(parse_telemetry(raw))
+    scored = good.withColumn(
+        "prediction", (F.col("temperature") > 80.0).cast("int")
+    )
+    out = running_totals_tws(scored)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_tws")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("t_tws").count() < 2:
+            time.sleep(1)
+        time.sleep(2)
+        (d / "b.json").write_text("\n".join(f2))
+        # wait for the second batch's updated totals
+        def latest():
+            rows = spark.table("t_tws").collect()
+            agg = {}
+            for r in rows:
+                agg[r.machineId] = max(
+                    agg.get(r.machineId, (0, 0)), (r.n_total, r.n_anomalies)
+                )
+            return agg
+        while time.time() < deadline and latest().get("M1", (0, 0))[0] < 3:
+            time.sleep(1)
+        agg = latest()
+        assert agg["M1"] == (3, 2)  # 2 anomalies of 3 records, cumulative
+        assert agg["M2"] == (2, 1)
+    finally:
+        q.stop()
