@@ -3921,3 +3921,81 @@ def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["price_cents"], m["n_discounted"])],
         "n_rows bigint, price_cents bigint, n_discounted bigint",
     )
+
+
+@register(
+    "rel_zorder_key",
+    oracle="""
+WITH z AS (
+  SELECT c_custkey,
+         list_sum(list_transform(range(0, 16),
+           i -> ((c_custkey >> i) & 1) * (1::BIGINT << (2 * i))
+              + ((c_nationkey >> i) & 1) * (1::BIGINT << (2 * i + 1))
+         )) AS zkey
+  FROM customer
+)
+SELECT CAST(zkey // 4096 AS BIGINT) AS zbucket, COUNT(*) AS n,
+       CAST(MIN(zkey) AS BIGINT) AS zmin, CAST(MAX(zkey) AS BIGINT) AS zmax
+FROM z GROUP BY 1
+""",
+    tags=("partitioning", "scalar"),
+)
+def rel_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order interleave of (custkey, nationkey) as a pure
+    codegen expression, bucketed to show the space-filling-curve
+    locality a ZORDER BY write exploits (tests/test_scale_plans.py
+    demonstrates the actual file-level min/max pruning win vs a
+    linear sort). Cross-engine bit-exact: both sides compute the same
+    16-bit interleave arithmetic."""
+    from ..functions.zorder import zorder_key
+
+    c = _t(spark, sf_dir, "customer")
+    z = c.select(zorder_key(F.col("c_custkey"), F.col("c_nationkey")).alias("zkey"))
+    return z.groupBy(
+        F.floor(F.col("zkey") / 4096).cast("bigint").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("zkey").cast("bigint").alias("zmin"),
+        F.max("zkey").cast("bigint").alias("zmax"),
+    )
+
+
+@register(
+    "src_compaction",
+    oracle="""
+SELECT 32 AS n_files_before, 2 AS n_files_after,
+       COUNT(*) AS n_rows, CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT)
+         AS price_cents
+FROM orders
+""",
+    tags=("source", "maintenance"),
+)
+def src_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lake maintenance pass that keeps
+    100 TB readable: a fragmented write (32 files) is rewritten to 2
+    right-sized files via repartition, and the data round-trips
+    byte-identically (row count + exact-cent sum pinned against the
+    oracle; file counts are part of the contract).
+
+    At scale the same plan runs per partition directory with
+    maxRecordsPerFile bounding output size; compaction is a map-only
+    shuffle-write, no aggregation."""
+    import glob as _glob
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="rtpmdp_compact_")
+    o.repartition(32).write.mode("overwrite").parquet(f"{base}/frag")
+    n_before = len(_glob.glob(f"{base}/frag/part-*.parquet"))
+    frag = spark.read.parquet(f"{base}/frag")
+    frag.repartition(2).write.mode("overwrite").parquet(f"{base}/compact")
+    n_after = len(_glob.glob(f"{base}/compact/part-*.parquet"))
+    back = spark.read.parquet(f"{base}/compact")
+    return back.agg(
+        F.lit(n_before).alias("n_files_before"),
+        F.lit(n_after).alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("bigint").alias(
+            "price_cents"
+        ),
+    )

@@ -480,3 +480,72 @@ def test_ngram_novelty_gram_exchange_reused(spark):
     plan = _plan(q.spark(spark, SF), "simple")
     n_gram_shuffles = plan.count("Exchange hashpartitioning(gram")
     assert n_gram_shuffles <= 2, plan  # agg build + probe align, no more
+
+
+def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
+    """The point of Z-ordering: a linear sort is perfect for filters on
+    its sort key and useless for the other dimension (every file
+    overlaps); the Morton layout stays selective on BOTH. Measured on
+    real parquet footer min/max stats, the way an engine's data-skipping
+    actually prunes."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    from real_time_predictive_maintenance_data_pipeline_spark.functions.zorder import (
+        zorder_key,
+    )
+
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    orders = load_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("a"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias("b"),
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "l")
+    orders.withColumn("z", zorder_key(F.col("a"), F.col("b"))).repartitionByRange(
+        16, "z"
+    ).drop("z").write.mode("overwrite").parquet(zdir)
+    orders.repartitionByRange(16, "a").write.mode("overwrite").parquet(ldir)
+
+    def stats(d):
+        out = []
+        for f in g.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins = {"a": None, "b": None}
+            maxs = {"a": None, "b": None}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    name = col.path_in_schema
+                    if name in mins and col.statistics is not None:
+                        s = col.statistics
+                        mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                        maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+            out.append((mins, maxs))
+        return out
+
+    amin, amax, bmin, bmax = orders.agg(
+        F.min("a"), F.max("a"), F.min("b"), F.max("b")
+    ).first()
+
+    def touched(files, dim, lo, hi):
+        return sum(
+            1
+            for mn, mx in files
+            if not (mx[dim] < lo or mn[dim] > hi)
+        )
+
+    zf, lf = stats(zdir), stats(ldir)
+    assert len(zf) == len(lf) == 16
+    # a-only filter (1/8 of the a range) and b-only filter (1/8 of b)
+    a_lo, a_hi = amin, amin + (amax - amin) // 8
+    b_lo, b_hi = bmin, bmin + (bmax - bmin) // 8
+    z_cost = touched(zf, "a", a_lo, a_hi) + touched(zf, "b", b_lo, b_hi)
+    l_cost = touched(lf, "a", a_lo, a_hi) + touched(lf, "b", b_lo, b_hi)
+    # linear layout: ~2 files for a, ALL 16 for b. Z-order: bounded on both.
+    assert touched(lf, "b", b_lo, b_hi) == 16
+    assert touched(zf, "a", a_lo, a_hi) < 16
+    assert touched(zf, "b", b_lo, b_hi) < 16
+    assert z_cost < l_cost
