@@ -3999,3 +3999,53 @@ def src_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_cents"
         ),
     )
+
+
+@register(
+    "rel_session_window_builtin",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    tags=("events", "window", "session"),
+)
+def rel_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``session_window`` aggregate in BATCH mode (30-min
+    gap), checked against the first-principles lag+running-sum
+    sessionization in SQL — the two constructions must agree on every
+    session boundary. The built-in is one hash aggregate with session
+    merging instead of two window passes; at scale that's one shuffle
+    on user_id and no sort-based window state.
+
+    Session end = last event + gap (the built-in's definition), so both
+    sides project start/end identically."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            epoch_us(F.col("w.start")).alias("session_start_us"),
+            epoch_us(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
