@@ -76,3 +76,57 @@ def stratified_sample(
     for k, v in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == k, float(v)).otherwise(frac)
     return df.filter(F.rand(seed) < frac)
+
+
+def heavy_hitters(df, value_col: str, k: int = 20):
+    """Exact heavy hitters (frequency > n/k) via distributed
+    Misra-Gries: each partition streams its rows through a k-counter
+    summary (mapInPandas, O(k) memory regardless of partition size) and
+    emits at most k candidate values; a value whose GLOBAL frequency
+    exceeds n/k must exceed n_p/k in at least one partition (pigeonhole
+    over the sum), so the candidate union provably contains every true
+    heavy hitter. A second exact pass counts ONLY the candidates
+    (broadcast semi-join — candidates ≤ k x partitions, counts are a
+    tiny aggregate) and filters by the true threshold, eliminating
+    false positives.
+
+    The full-frequency groupBy this replaces shuffles every distinct
+    value; this shuffles at most k values per partition — the hot-key
+    detector that feeds ``salted_join`` at 100 TB.
+
+    Returns (value_col, n) for values with n > total/k, exact counts.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    src = df.select(F.col(value_col).alias("__v"))
+
+    def mg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in it:
+            for v in pdf["__v"]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k - 1:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame({"__v": list(counters.keys())})
+
+    candidates = src.mapInPandas(mg, f"__v {df.schema[value_col].dataType.simpleString()}").distinct()
+    total = src.count()
+    exact = (
+        src.join(F.broadcast(candidates), "__v")
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > total / k)
+    )
+    return exact.select(F.col("__v").alias(value_col), "n")

@@ -77,3 +77,44 @@ def resample_locf(
         F.last("obs_avg", ignorenulls=True).over(w).alias("filled_avg"),
         F.col("obs_avg").isNull().alias("is_gap"),
     )
+
+
+def ewma_last(
+    df,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+):
+    """Final exponentially-weighted moving average per key (recursive
+    ewma_t = α·v_t + (1-α)·ewma_{t-1}, seeded with the first value) —
+    the smoothing a monitoring pipeline keeps per entity.
+
+    ``applyInPandas`` per key: one shuffle on the key, numpy recursion
+    inside the Arrow batch (state is O(1), the recursion is the
+    definition — no window function expresses it). At 100 TB the key
+    grain bounds each group's memory to its own rows; wide keys would
+    move to the streaming EWMA (``streaming.stateful.drift_monitor``)
+    which carries O(1) state per key across micro-batches.
+
+    Returns (key_col, n, ewma) with ewma 4-dp rounded.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col])
+        vals = pdf[value_col].to_numpy()
+        e = vals[0]
+        for v in vals[1:]:
+            e = alpha * v + (1 - alpha) * e
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "n": [len(vals)], "ewma": [round(e, 4)]}
+        )
+
+    return (
+        df.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fit, f"{key_col} long, n long, ewma double")
+    )

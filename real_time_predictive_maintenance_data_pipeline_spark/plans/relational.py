@@ -4049,3 +4049,53 @@ def rel_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "rel_heavy_hitters",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events GROUP BY event_type
+HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 20.0
+""",
+    tags=("agg", "approx", "skew"),
+)
+def rel_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Values exceeding 1/20 of the events stream, found by distributed
+    Misra-Gries (O(k) memory per partition, at most k candidates
+    shuffled per partition instead of every distinct value) with an
+    exact second pass — so the result is EXACT and the oracle checks it
+    with a plain GROUP BY/HAVING. The hot-key detector that decides
+    when ``rel_salted_join``'s salting is needed."""
+    from ..operators.skew import heavy_hitters
+
+    e = _t(spark, sf_dir, "events")
+    return heavy_hitters(e, "event_type", k=20)
+
+
+@register(
+    "ts_ewma_last",
+    oracle="""
+WITH o AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(SUM(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value
+                      ELSE 0.3 * power(0.7, n - rn) * value END), 4) AS ewma
+FROM o GROUP BY user_id
+""",
+    tags=("timeseries", "udf", "stats"),
+)
+def ts_ewma_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user final EWMA (α=0.3) of the event value series — the
+    recursive definition runs as an applyInPandas state fold, while the
+    oracle expands the same quantity in closed form
+    (Σ α(1-α)^(N-i)·vᵢ + (1-α)^(N-1)·v₁); agreement at 4 dp pins both
+    the math and the per-key ordering."""
+    from ..operators.timeseries import ewma_last
+
+    e = _t(spark, sf_dir, "events")
+    return ewma_last(e, key_col="user_id", ts_col="ts", value_col="value", alpha=0.3)

@@ -198,3 +198,34 @@ def test_merge_upsert_properties(spark, rows, updates):
     for k, v in tgt.items():
         if k not in src:
             assert once[k] == v  # untouched rows persist
+
+
+def test_heavy_hitters_exact_on_skewed_data(spark):
+    """Misra-Gries + exact-verify must equal the brute-force GROUP BY
+    answer on a skewed distribution (Zipf-ish: value = floor(sqrt(id))
+    concentrates mass on small values)."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.skew import (
+        heavy_hitters,
+    )
+
+    # half the rows concentrate on three hot values, the rest are
+    # singletons — exactly the skew profile MG exists for
+    df = spark.range(0, 20_000, 1, 8).select(
+        F.when(F.col("id") % 2 == 0, F.col("id") % 3)
+        .otherwise(F.col("id"))
+        .cast("bigint")
+        .alias("v")
+    )
+    k = 15
+    got = {(r.v, r.n) for r in heavy_hitters(df, "v", k=k).collect()}
+    total = df.count()
+    want = {
+        (r.v, r.n)
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > total / k)
+        .collect()
+    }
+    assert got == want and len(want) > 0
