@@ -79,6 +79,81 @@ def resample_locf(
     )
 
 
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Like :func:`resample_locf` but gaps are LINEARLY INTERPOLATED
+    between the neighboring observed buckets instead of carried
+    forward — the right fill for slowly-drifting physical sensors
+    (temperature ramps) where LOCF introduces a staircase bias.
+
+    Same two-shuffle shape as LOCF (bucket agg + windows on the key);
+    the backward/forward neighbor scan is two window passes over the
+    same partitioning, so the exchange is reused. Buckets outside the
+    first/last observation of a key have no bracketing pair and stay
+    null (``filled_avg`` is null, ``is_edge`` true).
+
+    Output: (key, bucket_ts, obs_avg, filled_avg, is_gap, is_edge).
+    """
+    step = F.lit(step_seconds)
+    bucket_epoch = (
+        epoch_us(F.col(ts_col)) / F.lit(1_000_000) / step
+    ).cast("long") * step
+
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            bucket_epoch.alias("bucket_e"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("key", "bucket_e")
+        .agg(F.avg("v").alias("obs_avg"))
+    )
+    spans = obs.groupBy("key").agg(
+        F.min("bucket_e").alias("lo"), F.max("bucket_e").alias("hi")
+    )
+    grid = spans.select(
+        "key", F.explode(F.sequence("lo", "hi", step)).alias("bucket_e")
+    )
+    j = grid.join(obs, ["key", "bucket_e"], "left")
+
+    back = (
+        Window.partitionBy("key")
+        .orderBy("bucket_e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("key")
+        .orderBy("bucket_e")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_e = F.when(F.col("obs_avg").isNotNull(), F.col("bucket_e"))
+    prev_v = F.last("obs_avg", ignorenulls=True).over(back)
+    prev_e = F.last(obs_e, ignorenulls=True).over(back)
+    next_v = F.first("obs_avg", ignorenulls=True).over(fwd)
+    next_e = F.first(obs_e, ignorenulls=True).over(fwd)
+    frac = (F.col("bucket_e") - prev_e) / (next_e - prev_e)
+    filled = (
+        F.when(F.col("obs_avg").isNotNull(), F.col("obs_avg"))
+        .when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+    )
+    return j.select(
+        "key",
+        F.timestamp_seconds("bucket_e").alias("bucket_ts"),
+        "obs_avg",
+        filled.alias("filled_avg"),
+        F.col("obs_avg").isNull().alias("is_gap"),
+        (F.col("obs_avg").isNull() & filled.isNull()).alias("is_edge"),
+    )
+
+
 def ewma_last(
     df,
     key_col: str = "user_id",

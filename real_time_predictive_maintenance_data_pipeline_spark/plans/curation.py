@@ -255,6 +255,170 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series preparation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle="""
+WITH obs AS (
+  SELECT event_type AS key,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_e,
+         AVG(ROUND(value * 100)) AS obs_cents
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT key, MIN(bucket_e) AS lo, MAX(bucket_e) AS hi FROM obs GROUP BY key),
+grid AS (SELECT key, UNNEST(range(lo, hi + 1, 3600)) AS bucket_e FROM spans),
+j AS (
+  SELECT g.key, g.bucket_e, o.obs_cents,
+         last_value(o.obs_cents IGNORE NULLS) OVER back AS prev_v,
+         last_value(CASE WHEN o.obs_cents IS NOT NULL THEN g.bucket_e END IGNORE NULLS)
+           OVER back AS prev_e,
+         first_value(o.obs_cents IGNORE NULLS) OVER fwd AS next_v,
+         first_value(CASE WHEN o.obs_cents IS NOT NULL THEN g.bucket_e END IGNORE NULLS)
+           OVER fwd AS next_e
+  FROM grid g LEFT JOIN obs o USING (key, bucket_e)
+  WINDOW back AS (PARTITION BY g.key ORDER BY g.bucket_e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY g.key ORDER BY g.bucket_e
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT key,
+       STRFTIME(to_timestamp(bucket_e), '%Y-%m-%d %H:%M:%S') AS bucket_s,
+       obs_cents / 100 AS obs_avg,
+       CASE WHEN obs_cents IS NOT NULL THEN obs_cents
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+              prev_v + (next_v - prev_v)
+                     * ((bucket_e - prev_e) * 1.0 / (next_e - prev_e))
+       END / 100 AS filled_avg,
+       obs_cents IS NULL AS is_gap
+FROM j
+""",
+    tags=("timeseries", "window"),
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly regularization with LINEAR interpolation across gaps
+    (operators/timeseries.resample_interpolate) — the staircase-free
+    fill for drifting sensor series; edge buckets with no bracketing
+    pair stay null. Bucket means are exact-integer-cents doubles, the
+    interpolation is one deterministic FP expression on both engines."""
+    from ..operators.timeseries import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100)
+    )
+    out = resample_interpolate(
+        ev, key_col="event_type", ts_col="ts",
+        value_col="value_cents", step_seconds=3600,
+    )
+    return out.select(
+        "key",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        (F.col("obs_avg") / 100).alias("obs_avg"),
+        (F.col("filled_avg") / 100).alias("filled_avg"),
+        "is_gap",
+    )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+WITH b AS (
+  SELECT event_type AS key,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_e,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+k AS (SELECT key, COUNT(*) AS n_buckets, CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM b GROUP BY key),
+s AS (
+  SELECT b.key, b.bucket_e, k.n_buckets,
+         k.n_buckets * SUM(b.cents) OVER (PARTITION BY b.key ORDER BY b.bucket_e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ROW_NUMBER() OVER (PARTITION BY b.key ORDER BY b.bucket_e)
+             * k.total_cents AS s_scaled
+  FROM b JOIN k USING (key)
+),
+r AS (
+  SELECT key, n_buckets, bucket_e, s_scaled,
+         ROW_NUMBER() OVER (PARTITION BY key
+                            ORDER BY ABS(s_scaled) DESC, bucket_e) AS rn
+  FROM s
+)
+SELECT key, n_buckets,
+       STRFTIME(to_timestamp(bucket_e), '%Y-%m-%d %H:%M:%S') AS cp_bucket_s,
+       CAST(s_scaled AS BIGINT) AS cusum_scaled,
+       CASE WHEN s_scaled >= 0 THEN 1 ELSE -1 END AS direction
+FROM r WHERE rn = 1
+""",
+    tags=("timeseries", "window"),
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per key (binary-segmentation first
+    split): the hour where the cumulative deviation of hourly load from
+    the key's overall mean peaks — a level-shift locator for drifting
+    machines. Computed in EXACT integer arithmetic: with hourly cent
+    sums c_i and T = Σc_i over n buckets, the scaled statistic
+    S'_t = n·Σ_{i≤t} c_i − t·T equals n·Σ(c_i − T/n), so the argmax of
+    |S'| is the classic CUSUM changepoint with zero FP divergence
+    (running sums of doubles associate differently across engines;
+    integer sums cannot).
+
+    Scale shape: bucket agg + two window passes, all shuffled once on
+    the key; the argmax is a WindowGroupLimit rank-1, no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    from ..functions.timeutil import epoch_us
+
+    bucket_e = ((epoch_us(F.col("ts")) / 1_000_000 / 3600).cast("long") * 3600)
+    b = (
+        ev.select(
+            F.col("event_type").alias("key"),
+            bucket_e.alias("bucket_e"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("key", "bucket_e")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    k = b.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("cents").alias("total_cents"),
+    )
+    w = Window.partitionBy("key").orderBy("bucket_e")
+    s = b.join(k, "key").select(
+        "key",
+        "n_buckets",
+        "bucket_e",
+        (
+            F.col("n_buckets")
+            * F.sum("cents").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.row_number().over(w) * F.col("total_cents")
+        ).alias("s_scaled"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("key").orderBy(F.abs("s_scaled").desc(), "bucket_e")
+    )
+    return (
+        s.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "key",
+            "n_buckets",
+            F.date_format(
+                F.timestamp_seconds("bucket_e"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("cp_bucket_s"),
+            "s_scaled",
+            F.when(F.col("s_scaled") >= 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("direction"),
+        )
+        .withColumnRenamed("s_scaled", "cusum_scaled")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Graph analytics
 # ---------------------------------------------------------------------------
 
