@@ -523,3 +523,109 @@ def pagerank(
         if (i + 1) % 4 == 0:
             ranks = ranks.localCheckpoint()
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+
+
+def semantic_dedup(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int = 10,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal in
+    embedding space. KMeans coarse-clusters the corpus; each vector is
+    assigned to its ``nprobe`` nearest cells (multi-probe soft
+    assignment — a pair is checked if the two vectors share ANY probed
+    cell, which recovers most near-dup pairs that a hard single
+    assignment would split across a cell boundary); within each cell,
+    pairwise cosine similarity marks every vector whose similarity to
+    an earlier-kept vector (ascending id — deterministic keeper
+    choice) meets ``threshold`` as a duplicate.
+
+    Scale shape: the O(n²) stage is confined to one cell at a time —
+    pick k so nprobe·n/k vectors fit one Arrow batch (SemDeDup itself
+    uses k≈50k for LAION-scale corpora). One KMeans fit, centroids
+    shipped to executors in the mapInPandas closure (k×d floats), one
+    shuffle on the cell id, per-cell numpy matmul inside
+    ``applyInPandas``, and a final max-per-vector agg to merge
+    detections across probes. No global all-pairs anywhere.
+
+    Returns dropped vectors only: (vec_id, dup_of, cos) where
+    ``dup_of`` is the kept earlier vector it duplicates (the highest-
+    similarity match when several cells detect the same vector).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vectors import as_double
+
+    feats = embs.select(
+        F.col(id_col).alias("__id"), as_double(vec_col).alias("__vec")
+    )
+    model = KMeans(
+        k=k_clusters, seed=seed, featuresCol="__features", predictionCol="__cell"
+    ).fit(feats.withColumn("__features", array_to_vector("__vec")))
+    centroids = np.vstack([np.asarray(c, dtype="float64") for c in model.clusterCenters()])
+    probes = min(nprobe, len(centroids))
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf["__vec"].to_numpy())
+            # squared L2 to every centroid: ||x||² − 2x·c + ||c||²
+            d2 = (
+                -2.0 * (mat @ centroids.T)
+                + (centroids**2).sum(axis=1)[None, :]
+            )
+            near = np.argsort(d2, axis=1)[:, :probes]
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(pdf["__id"].to_numpy(), probes),
+                    "__vec": pdf["__vec"].iloc[
+                        np.repeat(np.arange(len(pdf)), probes)
+                    ].to_numpy(),
+                    "__cell": near.ravel().astype("int64"),
+                }
+            )
+
+    assigned = feats.mapInPandas(
+        assign, "__id long, __vec array<double>, __cell long"
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        mat = np.vstack(pdf["__vec"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        ids = pdf["__id"].to_numpy()
+        kept: list[int] = []
+        out_id, out_dup, out_cos = [], [], []
+        for i in range(len(ids)):
+            if kept:
+                s = sims[i, kept]
+                j = int(np.argmax(s))
+                if s[j] >= threshold:
+                    out_id.append(ids[i])
+                    out_dup.append(ids[kept[j]])
+                    out_cos.append(round(float(s[j]), 6))
+                    continue
+            kept.append(i)
+        return pd.DataFrame(
+            {"vec_id": out_id, "dup_of": out_dup, "cos": out_cos}
+        )
+
+    drops = assigned.groupBy("__cell").applyInPandas(
+        dedup_cell, "vec_id long, dup_of long, cos double"
+    )
+    best = F.max(F.struct("cos", "dup_of")).alias("b")
+    return (
+        drops.groupBy("vec_id")
+        .agg(best)
+        .select("vec_id", F.col("b.dup_of").alias("dup_of"), F.col("b.cos").alias("cos"))
+    )

@@ -255,6 +255,92 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-space curation / ML
+# ---------------------------------------------------------------------------
+
+
+@register("sem_dedup", oracle=None, tags=("dedup", "similarity", "ml"))
+def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-duplicate removal
+    (operators/dedup.semantic_dedup): KMeans-partition the embedding
+    space, then in-cluster cosine dedup — catches paraphrase
+    duplicates that MinHash/SimHash (lexical) can never see. The 0.4
+    threshold matches dedup_embedding_pairs' near-dup band for this
+    fixture corpus (production SemDeDup uses ~0.95 on real encoder
+    embeddings). Rows-only (KMeans assignment isn't SQL-expressible);
+    precision re-verified exactly and recall gated vs the brute-force
+    baseline in tests/test_dedup.py."""
+    from ..operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.4).orderBy("vec_id")
+
+
+@register("ml_quality_classifier", oracle=None, tags=("ml", "text"))
+def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style quality classifier as an MLlib pipeline — the
+    heuristic-distillation step LLM data pipelines run (FineWeb/DataComp
+    style): the doc_quality heuristic labels a training split
+    ('keep' = quality >= 0.67, the corpus median), and a fast model —
+    hashed bag-of-words (HashingTF→IDF) + handcrafted stat features
+    (length ratio, distinct-token ratio) → logistic regression — learns
+    to reproduce the keep decision so it can be applied to corpora
+    where the teacher signal is unavailable or too slow.
+
+    Trained distributed (LBFGS over partitioned gradients, no
+    driver-side data); deterministic doc_id%5 holdout. Returns per-
+    (label, prediction) confusion counts. Rows-only (iterative
+    optimizer); the holdout-accuracy floor is gated in
+    tests/test_ml.py."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import (
+        IDF,
+        HashingTF,
+        Tokenizer,
+        VectorAssembler,
+    )
+
+    words = F.split("text", " ")
+    quality = 0.5 * F.least(F.lit(1.0), F.size(words) / 50.0) + 0.5 * (
+        F.size(F.array_distinct(words)) / F.size(words)
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        F.least(F.lit(1.0), F.size(words) / 50.0).alias("len_ratio"),
+        (F.size(F.array_distinct(words)) / F.size(words)).alias(
+            "distinct_ratio"
+        ),
+        (quality >= 0.67).cast("double").alias("label"),
+    )
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    pipe = Pipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="words"),
+            HashingTF(inputCol="words", outputCol="tf", numFeatures=1024),
+            IDF(inputCol="tf", outputCol="tfidf"),
+            VectorAssembler(
+                inputCols=["tfidf", "len_ratio", "distinct_ratio"],
+                outputCol="features",
+            ),
+            LogisticRegression(maxIter=100, regParam=0.001),
+        ]
+    )
+    model = pipe.fit(train)
+    # strip the LR training summary: it pins the fitting session into
+    # the model and breaks executor serialization under pending
+    # Observations (same invariant as ml/anomaly._strip_summary)
+    pred = model.copy().transform(test)
+    return (
+        pred.groupBy("label", "prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "prediction")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-series preparation
 # ---------------------------------------------------------------------------
 

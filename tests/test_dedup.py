@@ -255,3 +255,40 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         r = (1 - 0.85) + 0.85 * contrib
     for n in nodes:
         assert abs(got[n] - r[idx[n]]) < 1e-5, (n, got[n], r[idx[n]])
+
+
+def test_semantic_dedup_precision_and_recall(spark):
+    """SemDeDup gate: every reported (vec_id, dup_of, cos) pair must be
+    a true cosine >= threshold pair (precision 1.0, re-verified with
+    numpy), and the drop set must recover a healthy fraction of the
+    brute-force >= threshold near-dup population (clustering can split
+    a pair across cells — that miss rate is the price of the O(n²)→
+    O(n²/k) reduction; gate the floor)."""
+    import numpy as np
+
+    thr = 0.4
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dropped = D.semantic_dedup(e, threshold=thr).collect()
+    assert dropped, "corpus contains near-dup embeddings; expected drops"
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in e.collect()}
+    unit = {
+        i: v / (np.linalg.norm(v) or 1.0) for i, v in vecs.items()
+    }
+    for r in dropped:
+        cos = float(unit[r.vec_id] @ unit[r.dup_of])
+        assert cos >= thr - 1e-9, (r.vec_id, r.dup_of, cos)
+        assert r.dup_of < r.vec_id  # keeper is the earlier id
+
+    ids = sorted(unit)
+    mat = np.vstack([unit[i] for i in ids])
+    sims = mat @ mat.T
+    iu = np.triu_indices(len(ids), k=1)
+    true_dup_rows = {
+        ids[j]
+        for i, j in zip(*iu)
+        if sims[i, j] >= thr
+    }
+    dropped_ids = {r.vec_id for r in dropped}
+    recall = len(dropped_ids & true_dup_rows) / len(true_dup_rows)
+    assert recall >= 0.6, f"recall {recall:.3f} vs brute-force population"

@@ -108,3 +108,20 @@ def test_artifact_roundtrip_and_batch_udf_scoring(spark, hist, tmp_path):
     n_disagree = joined.filter(F.col("prediction") != F.col("prediction_art")).count()
     assert n > 3000  # the separable region covers most of the batch
     assert n_disagree == 0
+
+
+def test_quality_classifier_accuracy_floor(spark):
+    """ml_quality_classifier gate: the distilled student must reproduce
+    the teacher heuristic's keep decision on held-out docs (the stat
+    features make the teacher signal linearly recoverable)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    rows = (
+        all_queries()["ml_quality_classifier"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    n_test = sum(r.n for r in rows)
+    n_correct = sum(r.n for r in rows if r.label == r.prediction)
+    assert n_test > 0
+    assert n_correct / n_test >= 0.9, (n_correct, n_test)
