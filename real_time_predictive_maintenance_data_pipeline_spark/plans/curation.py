@@ -329,10 +329,19 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     model = pipe.fit(train)
-    # strip the LR training summary: it pins the fitting session into
-    # the model and breaks executor serialization under pending
-    # Observations (same invariant as ml/anomaly._strip_summary)
-    pred = model.copy().transform(test)
+    # Persist + reload before scoring: the LR training summary pins the
+    # fitting session (ObservationManager) into the model and
+    # LogisticRegressionModel.copy() PRESERVES it (unlike RF, so the
+    # ml/anomaly._strip_summary copy() trick does not work here); a
+    # loaded model carries no summary, and the roundtrip is the
+    # artifact contract a production scorer uses anyway.
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    mpath = tempfile.mkdtemp(prefix="rtpmdp_qclf_") + "/model"
+    model.write().overwrite().save(mpath)
+    pred = PipelineModel.load(mpath).transform(test)
     return (
         pred.groupBy("label", "prediction")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -501,6 +510,283 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
         .withColumnRenamed("s_scaled", "cusum_scaled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, event_type, n,
+       n * 1.0 / SUM(n) OVER (PARTITION BY prev_type) AS p
+FROM t
+""",
+    tags=("events", "window"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral fingerprint (what follows what, with
+    what probability) that feeds next-event prediction and anomaly
+    scoring on clickstreams.
+
+    Scale shape: one window pass partitioned on user_id (the natural
+    high-cardinality key — no skew), then a tiny
+    (|event_types|²)-cardinality aggregation; probabilities are exact
+    integer ratios so both engines produce identical doubles."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "event_type",
+        "n",
+        (F.col("n") * 1.0 / F.sum("n").over(wp)).alias("p"),
+    )
+
+
+@register(
+    "ts_seasonal_hour_profile",
+    oracle="""
+WITH c AS (
+  SELECT event_type AS key, EXTRACT(HOUR FROM ts) AS hh,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+h AS (SELECT key, hh, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sc
+      FROM c GROUP BY 1, 2),
+k AS (SELECT key, CAST(SUM(sc) AS BIGINT) AS tot_c, CAST(SUM(n) AS BIGINT) AS tot_n
+      FROM h GROUP BY key)
+SELECT h.key, h.hh, h.n,
+       h.sc * 1.0 / h.n / 100 AS hour_avg,
+       h.sc * 1.0 / h.n / 100 - k.tot_c * 1.0 / k.tot_n / 100 AS seasonal_dev
+FROM h JOIN k USING (key)
+""",
+    tags=("timeseries", "events"),
+)
+def ts_seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: mean reading per
+    hour slot and its deviation from the type's overall mean — the
+    seasonal-naive baseline a forecasting pipeline subtracts before
+    modeling residuals. All ratios are exact-integer-cents divisions
+    (deterministic doubles on both engines, registry convention).
+
+    Scale shape: 24×|event_types| output — the per-(key, hour) partial
+    aggregation combines map-side, and the profile join is a broadcast
+    of the tiny per-key totals."""
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.select(
+        F.col("event_type").alias("key"),
+        F.hour("ts").cast("bigint").alias("hh"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    h = c.groupBy("key", "hh").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc")
+    )
+    k = h.groupBy("key").agg(
+        F.sum("sc").alias("tot_c"), F.sum("n").alias("tot_n")
+    )
+    return h.join(F.broadcast(k), "key").select(
+        "key",
+        "hh",
+        "n",
+        (F.col("sc") * 1.0 / F.col("n") / 100).alias("hour_avg"),
+        (
+            F.col("sc") * 1.0 / F.col("n") / 100
+            - F.col("tot_c") * 1.0 / F.col("tot_n") / 100
+        ).alias("seasonal_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface additions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_regexp_funcs",
+    oracle="""
+SELECT event_id,
+       array_to_string(regexp_extract_all(props, '[0-9]+'), ',') AS nums,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_nums,
+       regexp_matches(props, '[0-9][0-9]') AS has_2digit,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS masked
+FROM events WHERE event_id <= 300
+""",
+    tags=("functions", "string"),
+)
+def rel_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression function surface: extract-all (list), match
+    count, boolean rlike, global replace — all JVM-codegen built-ins
+    (never a Python UDF for pattern work)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") <= 300)
+    return ev.select(
+        "event_id",
+        F.array_join(
+            F.regexp_extract_all("props", F.lit("([0-9]+)"), 1), ","
+        ).alias("nums"),
+        F.size(
+            F.regexp_extract_all("props", F.lit("([0-9]+)"), 1)
+        ).alias("n_nums"),
+        F.col("props").rlike("[0-9][0-9]").alias("has_2digit"),
+        F.regexp_replace("props", "[0-9]+", "#").alias("masked"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lake-robustness sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_dynamic_overwrite",
+    oracle="""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year, COUNT(*) AS n
+FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) <> 1996
+GROUP BY 1
+UNION ALL
+SELECT 1996 AS order_year, COUNT(*) AS n
+FROM orders
+WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'
+""",
+    tags=("source", "partitioning"),
+)
+def src_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent daily-batch
+    pattern: rewriting one partition's data replaces ONLY the
+    partitions present in the incoming frame, leaving every other
+    partition untouched (static overwrite mode would truncate the
+    whole table). Here the 1996 partition is rewritten to just its
+    urgent orders; the readback proves 1996 shrank and all other
+    years survived byte-for-byte."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = tempfile.mkdtemp(prefix="rtpmdp_dynover_")
+    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    (
+        o.filter(
+            (F.col("order_year") == 1996)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("order_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("order_year").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "src_schema_evolution",
+    oracle="""
+SELECT n_regionkey, COUNT(*) AS n_rows, COUNT(n_comment_len) AS n_with_extra
+FROM (
+  SELECT n_regionkey, NULL AS n_comment_len FROM nation WHERE n_nationkey % 2 = 0
+  UNION ALL
+  SELECT n_regionkey, length(n_name) AS n_comment_len FROM nation WHERE n_nationkey % 2 = 1
+)
+GROUP BY n_regionkey
+""",
+    tags=("source",),
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake: two parquet batches with
+    different schemas (the second adds a column) land in one dataset;
+    ``mergeSchema`` reads the union schema with nulls for the missing
+    column in old files — the append-only evolution contract every
+    long-lived ingest pipeline depends on."""
+    import tempfile
+
+    n = _t(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="rtpmdp_evolve_")
+    n.filter(F.col("n_nationkey") % 2 == 0).write.parquet(f"{path}/b=0")
+    n.filter(F.col("n_nationkey") % 2 == 1).withColumn(
+        "n_comment_len", F.length("n_name")
+    ).write.parquet(f"{path}/b=1")
+    back = spark.read.option("mergeSchema", True).parquet(
+        f"{path}/b=0", f"{path}/b=1"
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_comment_len").alias("n_with_extra"),
+    )
+
+
+@register(
+    "src_csv_quarantine",
+    oracle="""
+SELECT COUNT(*) FILTER (WHERE n_nationkey % 5 <> 0) AS n_good,
+       COUNT(*) FILTER (WHERE n_nationkey % 5 = 0) AS n_quarantined
+FROM nation
+""",
+    tags=("source", "quality"),
+)
+def src_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine on a batch CSV ingest (the batch
+    twin of the streaming JSON quarantine, O24 parity surface): rows
+    whose key field fails the schema cast land in the
+    ``columnNameOfCorruptRecord`` column under PERMISSIVE mode instead
+    of killing the job; the pipeline splits good rows from the
+    quarantine count. Every 5th row is deterministically corrupted at
+    write time to exercise the path."""
+    import tempfile
+
+    n = _t(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="rtpmdp_badcsv_")
+    lines = n.select(
+        F.concat_ws(
+            ",",
+            F.when(
+                F.col("n_nationkey") % 5 == 0,
+                F.concat(F.lit("X"), F.col("n_nationkey")),
+            ).otherwise(F.col("n_nationkey").cast("string")),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        # caching is the documented requirement for referencing the
+        # corrupt-record column in a downstream query (Spark raises
+        # otherwise: the column exists only during parsing)
+        .cache()
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias(
+            "n_quarantined"
+        ),
     )
 
 
