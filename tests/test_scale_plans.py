@@ -549,3 +549,45 @@ def test_zorder_layout_skips_files_on_both_dims(spark, tmp_path):
     assert touched(zf, "a", a_lo, a_hi) < 16
     assert touched(zf, "b", b_lo, b_hi) < 16
     assert z_cost < l_cost
+
+
+def test_bm25_single_stats_broadcast_and_topk(spark):
+    """doc_bm25_search: corpus stats (1 row) must reach the scoring
+    side via a broadcast nested-loop, the top-20 must be
+    TakeOrderedAndProject (never a global sort), and scoring must stay
+    in JVM codegen (no Python UDF)."""
+    plan = _plan(all_queries()["doc_bm25_search"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_dedup_partial_agg_no_cartesian(spark):
+    """doc_span_dedup: the span count must partial-aggregate map-side
+    (shuffle carries (span, partial) not raw span instances) and no
+    all-pairs stage may appear."""
+    plan = _plan(all_queries()["doc_span_dedup"].spark(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_merge" in plan.lower() or "Partial" in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """graph_triangle_count: wedge closure is equi-join only — a
+    cartesian stage would be quadratic in edges at scale."""
+    plan = _plan(all_queries()["graph_triangle_count"].spark(spark, SF))
+    # the single-row count combine at the end is a legitimate BNLJ;
+    # raw CartesianProduct of edge relations is not
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_profile_broadcasts_key_totals(spark):
+    plan = _plan(all_queries()["ts_seasonal_hour_profile"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_dedup_no_corpus_broadcast(spark):
+    """doc_chunk_dedup: chunk-frequency join must be a shuffle join —
+    broadcasting the chunk-frequency table (same cardinality as the
+    corpus' chunk set) would OOM at 100 TB."""
+    plan = _plan(all_queries()["doc_chunk_dedup"].spark(spark, SF))
+    assert "CartesianProduct" not in plan
