@@ -513,6 +513,41 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb_pca_whitening", oracle=None, tags=("ml", "similarity"))
+def emb_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the embedding corpus — the standard retrieval
+    post-processing (Jégou & Chum: whitening + re-normalization fixes
+    the anisotropy of raw encoder embeddings) and the dimensionality-
+    reduction step before IVF/PQ indexing at scale.
+
+    MLlib PCA (distributed covariance via treeAggregate) fits k=16
+    components; each vector is projected and per-component variances of
+    the projection are reported (descending — the scree curve). The
+    projection itself is a broadcast matrix multiply (components ship
+    in the model, no shuffle of the corpus). Rows-only (eigensolver);
+    orthogonality/variance-ordering gated in tests/test_similarity.py."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from ..functions.vectors import as_double
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(as_double("embedding")).alias("features")
+    )
+    model = PCA(k=16, inputCol="features", outputCol="proj").fit(e)
+    proj = model.transform(e).select(
+        F.posexplode(vector_to_array("proj")).alias("component", "v")
+    )
+    return (
+        proj.groupBy("component")
+        .agg(
+            F.round(F.var_samp("v"), 6).alias("variance"),
+            F.round(F.avg("v"), 6).alias("mean"),
+        )
+        .orderBy("component")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-sequence analytics
 # ---------------------------------------------------------------------------

@@ -203,3 +203,45 @@ def test_ivf_pq_recall_vs_exact_euclidean(spark):
         exact = {vid for _, vid in dists[:10]}
         recalls.append(len(exact & got.get(qid, set())) / 10)
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_pca_whitening_scree_and_decorrelation(spark):
+    """emb_pca_whitening gate: projected components must be (a)
+    variance-ordered (the scree contract) and (b) pairwise
+    decorrelated (PCA diagonalizes the covariance — verified on the
+    actual projection with numpy)."""
+    import numpy as np
+
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.functions.vectors import (
+        as_double,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    rows = (
+        all_queries()["emb_pca_whitening"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    variances = [r.variance for r in rows]
+    assert len(variances) == 16
+    assert variances == sorted(variances, reverse=True)
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        array_to_vector(as_double("embedding")).alias("features")
+    )
+    model = PCA(k=8, inputCol="features", outputCol="proj").fit(e)
+    mat = np.vstack(
+        [
+            r.p
+            for r in model.transform(e)
+            .select(vector_to_array("proj").alias("p"))
+            .collect()
+        ]
+    )
+    c = np.corrcoef(mat.T)
+    off = c - np.diag(np.diag(c))
+    assert np.abs(off).max() < 1e-6, np.abs(off).max()
