@@ -11,6 +11,7 @@ a DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -154,6 +155,96 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.desc("n_occ"), "span")
         .limit(100)
+    )
+
+
+@register(
+    "doc_char_entropy",
+    oracle="""
+WITH ch AS (
+  SELECT doc_id, UNNEST(string_split_regex(text, '')) AS c
+  FROM documents
+),
+cnt AS (SELECT doc_id, c, COUNT(*) AS k FROM ch WHERE c <> '' GROUP BY 1, 2),
+d AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+             list(k ORDER BY c) AS ks
+      FROM cnt GROUP BY doc_id)
+SELECT doc_id, n,
+       ROUND(-list_reduce(list_prepend(0.0, list_transform(ks,
+                 k -> (k * 1.0 / n) * LN(k * 1.0 / n))), (a, b) -> a + b), 4)
+         AS entropy
+FROM d
+""",
+    tags=("text", "quality"),
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    cheap quality/noise signal (near-zero entropy = repeated filler,
+    very high = binary junk; C4/Gopher-style pipelines threshold it).
+
+    FP discipline: the per-doc Σ p·ln p runs over a CHARACTER-SORTED
+    list folded sequentially (``aggregate`` here, ``list_reduce`` in
+    the oracle) — a plain SUM over the group would associate partial
+    sums differently per engine and diverge under the 4-dp round.
+    Scale shape: one narrow explode to (doc_id, char), two
+    aggregations on doc_id (the second collects ≤ |charset| counts),
+    no joins, no UDF."""
+    d = _docs(spark, sf_dir)
+    ch = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.col("c") != "")
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("k").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("c", "k"))),
+            lambda s: s.getField("k"),
+        ).alias("ks"),
+    )
+    return per.select(
+        "doc_id",
+        "n",
+        F.round(
+            -F.aggregate(
+                "ks",
+                F.lit(0.0),
+                lambda acc, x: acc
+                + (x * 1.0 / F.col("n")) * F.log(x * 1.0 / F.col("n")),
+            ),
+            4,
+        ).alias("entropy"),
+    )
+
+
+@register("doc_compression_ratio", oracle=None, tags=("text", "quality"))
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zlib compression ratio per document — the Gopher-style
+    redundancy signal (highly compressible text is boilerplate or
+    repetition; incompressible is noise/binary junk). Python is
+    unavoidable (no zlib in SQL), so this is the UDF-done-right
+    pattern: an Arrow-batched pandas UDF (one zlib call per row inside
+    a vectorized batch, ~100× the throughput of a row-at-a-time UDF),
+    map-only — no shuffle, no collect. Rows-only; byte-exactness vs
+    direct zlib gated in tests/test_properties.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def zratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t: str) -> float:
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        zratio("text").alias("zlib_ratio"),
     )
 
 

@@ -229,3 +229,24 @@ def test_heavy_hitters_exact_on_skewed_data(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    """doc_compression_ratio gate: the pandas-UDF output must equal a
+    driver-side zlib computation byte-for-byte (same level, same
+    rounding) on every doc of the smoke corpus."""
+    import zlib
+
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: r.zlib_ratio
+        for r in all_queries()["doc_compression_ratio"].spark(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    assert len(got) == len(docs) > 0
+    for d in docs:
+        raw = d.text.encode("utf-8")
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else 1.0
+        assert got[d.doc_id] == want, d.doc_id
