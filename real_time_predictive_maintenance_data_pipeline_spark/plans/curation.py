@@ -83,23 +83,30 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = d.select("doc_id", F.posexplode(chunk_arr).alias("idx", "chunk"))
     freq = c.groupBy("chunk").agg(F.count(F.lit(1)).alias("freq"))
-    kept = c.join(freq, "chunk").filter(F.col("freq") <= 2)
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
-                lambda s: s.getField("chunk"),
-            ),
-        ).alias("clean_text"),
-    )
-    tot = c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    return tot.join(agg, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    # single pass back over the chunks: conditional aggregation computes
+    # total + kept + reassembly in ONE groupBy (collect_list drops the
+    # nulls of filtered chunks), instead of a second scan of the explode
+    # plus a doc-level outer join
+    keep = F.col("freq") <= 2
+    return (
+        c.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("idx", "chunk"))
+                        )
+                    ),
+                    lambda s: s.getField("chunk"),
+                ),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_chunks", "n_kept", "clean_text")
     )
 
 
