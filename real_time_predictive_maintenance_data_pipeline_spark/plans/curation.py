@@ -752,6 +752,178 @@ def ts_seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_rolling_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+contrib AS (
+  SELECT user_id, d + CAST(o AS INTEGER) AS win_d, o
+  FROM ud CROSS JOIN UNNEST(range(0, 7)) AS t(o)
+),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT STRFTIME(days.d, '%Y-%m-%d') AS day_s,
+       COUNT(DISTINCT CASE WHEN c.o = 0 THEN c.user_id END) AS dau,
+       COUNT(DISTINCT c.user_id) AS wau
+FROM days JOIN contrib c ON c.win_d = days.d
+GROUP BY days.d
+""",
+    tags=("events", "window"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day — the rolling-distinct metric
+    SQL windows cannot express (COUNT(DISTINCT) over a RANGE frame is
+    unsupported in both engines). The scalable formulation is a
+    map-side CONTRIBUTION EXPANSION: each (user, active-day) emits one
+    row for every window day it contributes to (7× amplification,
+    narrow rows), then one distinct-aggregation per day — no self-join
+    of the event table against itself, no per-day re-scan; at 100 TB
+    the amplification factor is the window length, constant, and the
+    shuffle key (day) is low-cardinality but the pre-aggregated
+    (user, day) distinct set it carries is already deduplicated
+    map-side."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+    ).select(
+        "user_id", F.date_add("d", F.col("o")).alias("win_d"), "o"
+    )
+    days = ud.select("d").distinct()
+    return (
+        days.join(contrib, days.d == contrib.win_d)
+        .groupBy("d")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("o") == 0, F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day_s"), "dau", "wau")
+    )
+
+
+@register(
+    "rel_pareto_cumshare",
+    oracle="""
+WITH p AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM p),
+r AS (
+  SELECT l_partkey, rev_cents,
+         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey) AS BIGINT)
+           AS cum_cents,
+         ROW_NUMBER() OVER (ORDER BY rev_cents DESC, l_partkey) AS rnk
+  FROM p
+)
+SELECT r.rnk, r.l_partkey, r.rev_cents,
+       r.cum_cents * 1.0 / t.total AS cum_share
+FROM r, t
+WHERE r.cum_cents * 1.0 / t.total <= 0.2 OR r.rnk <= 10
+""",
+    tags=("analytics", "window"),
+)
+def rel_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration analysis: parts ranked by revenue with
+    cumulative revenue share — 'which SKUs make up the first 20 % of
+    revenue' (plus a guaranteed top-10 floor so the result is never
+    empty). Exact-integer-cents cumulative sums keep the running
+    share deterministic across engines.
+
+    Scale note: the global ORDER BY in the window is the honest cost
+    of an exact Pareto curve; the part-level pre-aggregation shrinks
+    the sorted relation to |parts| rows (≪ lineitem), so the sort is
+    over the dimension cardinality, not the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    t = p.agg(F.sum("rev_cents").alias("total"))
+    w = Window.orderBy(F.desc("rev_cents"), "l_partkey")
+    r = p.select(
+        "l_partkey",
+        "rev_cents",
+        F.sum("rev_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+        F.row_number().over(w).alias("rnk"),
+    )
+    share = F.col("cum_cents") * 1.0 / F.col("total")
+    return (
+        r.crossJoin(F.broadcast(t))
+        .filter((share <= 0.2) | (F.col("rnk") <= 10))
+        .select("rnk", "l_partkey", "rev_cents", share.alias("cum_share"))
+    )
+
+
+@register(
+    "ts_mtbf_stats",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ep_us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+  FROM events WHERE event_type = 'error'
+),
+g AS (
+  SELECT user_id, ep_us - prev_us AS gap_us
+  FROM e WHERE prev_us IS NOT NULL
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) * 1.0 / COUNT(*) / 1000000 AS mtbf_s,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       quantile_cont(gap_us, 0.5) AS median_gap_us
+FROM g GROUP BY user_id HAVING COUNT(*) >= 3
+""",
+    tags=("timeseries", "events"),
+)
+def ts_mtbf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean time between failures per machine — THE predictive-
+    maintenance KPI (the reference's alerting chain reacts to single
+    anomalies; an MTBF trend is what maintenance planning consumes).
+    Inter-arrival gaps of 'error' events per user: mean (exact integer
+    ratio), min/max, and exact interpolated median (selection-based —
+    immune to summation-order divergence).
+
+    One window pass partitioned on the entity key, one aggregation on
+    the same key — the exchange is reused."""
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        epoch_us(F.col("ts")).alias("ep_us"),
+        F.lag(epoch_us(F.col("ts"))).over(w).alias("prev_us"),
+    ).filter(F.col("prev_us").isNotNull())
+    g = e.select(
+        "user_id", (F.col("ep_us") - F.col("prev_us")).alias("gap_us")
+    )
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            (F.sum("gap_us") * 1.0 / F.count(F.lit(1)) / 1_000_000).alias(
+                "mtbf_s"
+            ),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.percentile("gap_us", F.lit(0.5)).alias("median_gap_us"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function surface additions
 # ---------------------------------------------------------------------------
