@@ -959,6 +959,92 @@ def rel_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rel_dq_expectations",
+    oracle="""
+SELECT 'orders_custkey_fk' AS rule,
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_violations,
+       (SELECT COUNT(*) FROM orders) AS n_checked
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'customer_key_unique',
+       (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer),
+       (SELECT COUNT(*) FROM customer)
+UNION ALL
+SELECT 'events_value_nonneg',
+       (SELECT COUNT(*) FROM events WHERE value IS NULL OR value < 0),
+       (SELECT COUNT(*) FROM events)
+UNION ALL
+SELECT 'orders_date_in_window',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_orderdate < DATE '1992-01-01'
+           OR o_orderdate > DATE '1998-12-31'),
+       (SELECT COUNT(*) FROM orders)
+""",
+    tags=("quality", "analytics"),
+)
+def rel_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality expectation suite as one plan: five
+    declarative rules — referential integrity (orders→customer),
+    value-range, key uniqueness, non-negativity, date-window sanity —
+    each reported as (rule, n_violations, n_checked). The DQ gate a
+    lake pipeline runs before publishing a partition.
+
+    Scale shape: each rule is a single partial-aggregating scan (the
+    FK check is a broadcast LEFT ANTI count, not a row-level join
+    materialization); the five 1-row results union driver-free. At
+    100 TB the rules share nothing, so Spark schedules the five scans
+    as independent stages."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+
+    def rule(name, viol_df, total_df):
+        return viol_df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_violations"),
+        ).crossJoin(total_df.agg(F.count(F.lit(1)).alias("n_checked")))
+
+    fk = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    qty = li.filter(
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50)
+    )
+    uniq = (
+        c.agg(
+            F.lit("customer_key_unique").alias("rule"),
+            (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias(
+                "n_violations"
+            ),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+    )
+    val = ev.filter(F.col("value").isNull() | (F.col("value") < 0))
+    dates = o.filter(
+        (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+        | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date"))
+    )
+    return (
+        rule("orders_custkey_fk", fk, o)
+        .unionAll(rule("lineitem_quantity_range", qty, li))
+        .unionAll(uniq)
+        .unionAll(rule("events_value_nonneg", val, ev))
+        .unionAll(rule("orders_date_in_window", dates, o))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Lake-robustness sources
 # ---------------------------------------------------------------------------
