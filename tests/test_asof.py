@@ -65,3 +65,76 @@ def test_asof_empty_right(spark):
                     payload_cols=["px"])
     rows = out.collect()
     assert len(rows) == 1 and rows[0].px is None
+
+
+def _brute_asof(left_rows, right_rows, direction, tolerance=None):
+    """Reference merge_asof on (k, ts) tuples; right rows are
+    (k, ts, px). Returns {(k, lts): px or None}."""
+    out = {}
+    for k, lts in left_rows:
+        cands = []
+        for rk, rts, px in right_rows:
+            if rk != k:
+                continue
+            if direction == "backward" and rts <= lts:
+                cands.append((lts - rts, 0, rts, px))
+            elif direction == "forward" and rts >= lts:
+                cands.append((rts - lts, 0, rts, px))
+            elif direction == "nearest":
+                d = abs(rts - lts)
+                # backward wins ties
+                cands.append((d, 0 if rts <= lts else 1, rts, px))
+        best = min(cands) if cands else None
+        if best is None or (tolerance is not None and best[0] > tolerance):
+            out[(k, lts)] = None
+        else:
+            out[(k, lts)] = best[3]
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_directions_match_bruteforce(spark, direction):
+    left_rows = [("A", t) for t in (5, 10, 14, 20, 33)] + [
+        ("B", 7),
+        ("B", 100),
+    ]
+    right_rows = [
+        ("A", 4, 1.0),
+        ("A", 10, 2.0),
+        ("A", 18, 3.0),
+        ("A", 30, 4.0),
+        ("B", 50, 9.0),
+    ]
+    left = spark.createDataFrame(left_rows, "k STRING, lts LONG")
+    right = spark.createDataFrame(right_rows, "k STRING, rts LONG, px DOUBLE")
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload_cols=["px"], direction=direction,
+    )
+    got = {(r.k, r.lts): r.px for r in out.collect()}
+    assert got == _brute_asof(left_rows, right_rows, direction)
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    left_rows = [("A", 10), ("A", 100)]
+    right_rows = [("A", 8, 1.0), ("A", 50, 2.0)]
+    left = spark.createDataFrame(left_rows, "k STRING, lts LONG")
+    right = spark.createDataFrame(right_rows, "k STRING, rts LONG, px DOUBLE")
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload_cols=["px"], direction="backward", tolerance_us=10,
+    )
+    got = {(r.k, r.lts): r.px for r in out.collect()}
+    assert got == {("A", 10): 1.0, ("A", 100): None}
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([("A", 10)], "k STRING, lts LONG")
+    right = spark.createDataFrame(
+        [("A", 8, 1.0), ("A", 12, 2.0)], "k STRING, rts LONG, px DOUBLE"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload_cols=["px"], direction="nearest",
+    )
+    assert out.collect()[0].px == 1.0
