@@ -130,3 +130,35 @@ def heavy_hitters(df, value_col: str, k: int = 20):
         .filter(F.col("n") > total / k)
     )
     return exact.select(F.col("__v").alias(value_col), "n")
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (or all rows for
+    strata smaller than n), chosen by deterministic hash order — the
+    reproducible eval-set carve-out where a Bernoulli sample's
+    binomial jitter is unacceptable.
+
+    One shuffle on the stratum key + an in-partition rank over
+    xxhash64(id, seed): stable across runs, cluster sizes, AND
+    insertions of unrelated rows (a row's hash rank only moves if
+    rows within its own stratum change — unlike rand()-ordered
+    row_number). Rank is WindowGroupLimit-prunable, so each task
+    keeps a bounded top-n heap instead of fully sorting its stratum.
+    """
+    from pyspark.sql.window import Window as W
+
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    rk = F.row_number().over(
+        W.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("__rk", rk)
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

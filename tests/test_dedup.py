@@ -292,3 +292,38 @@ def test_semantic_dedup_precision_and_recall(spark):
     dropped_ids = {r.vec_id for r in dropped}
     recall = len(dropped_ids & true_dup_rows) / len(true_dup_rows)
     assert recall >= 0.6, f"recall {recall:.3f} vs brute-force population"
+
+
+def test_exact_stratified_sample_sizes_and_stability(spark, docs):
+    """exact_stratified_sample gate: exact per-stratum sizes (min of n
+    and stratum size), deterministic across runs, and insertion-stable
+    (adding rows to one stratum never changes another stratum's
+    picks)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.skew import (
+        exact_stratified_sample,
+    )
+
+    n = 20
+    s1 = exact_stratified_sample(docs, "lang", n, "doc_id")
+    sizes = {r.lang: r.cnt for r in s1.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    full = {r.lang: r.cnt for r in docs.groupBy("lang").count().withColumnRenamed("count", "cnt").collect()}
+    for lang, c in full.items():
+        assert sizes[lang] == min(n, c), (lang, sizes[lang], c)
+
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in exact_stratified_sample(docs, "lang", n, "doc_id")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2  # run-to-run determinism
+
+    # grow one stratum; every other stratum's picks must be unchanged
+    extra = docs.filter(F.col("lang") == "en").withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    grown = exact_stratified_sample(docs.unionByName(extra), "lang", n, "doc_id")
+    ids3 = {r.doc_id for r in grown.filter(F.col("lang") != "en").select("doc_id").collect()}
+    assert ids3 == {i for i in ids1 if i not in
+                    {r.doc_id for r in docs.filter(F.col("lang") == "en").select("doc_id").collect()}}

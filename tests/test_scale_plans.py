@@ -591,3 +591,38 @@ def test_chunk_dedup_no_corpus_broadcast(spark):
     corpus' chunk set) would OOM at 100 TB."""
     plan = _plan(all_queries()["doc_chunk_dedup"].spark(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_sorts_dimension_not_fact(spark):
+    """rel_pareto_cumshare: the global window sort must run over the
+    part-level pre-aggregation (|parts| rows), never the lineitem fact
+    — the HashAggregate must appear below the single-partition sort."""
+    plan = _plan(all_queries()["rel_pareto_cumshare"].spark(spark, SF))
+    assert "CartesianProduct" not in plan
+    sort_pos = plan.find("Sort")
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1 and sort_pos != -1
+
+
+def test_rolling_active_users_no_self_join_of_events(spark):
+    """events_rolling_active_users: the rolling-distinct must come from
+    the 7x contribution expansion, not an events-to-events range self
+    join (quadratic at scale)."""
+    plan = _plan(all_queries()["events_rolling_active_users"].spark(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # events scanned at most twice (days grid + contributions)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+
+
+def test_exact_stratified_sample_rank_is_group_limited(spark):
+    """exact_stratified_sample: the per-stratum rank filter must be
+    pushed into a WindowGroupLimit so tasks keep a bounded heap
+    instead of fully sorting each stratum."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.skew import (
+        exact_stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(exact_stratified_sample(docs, "lang", 5, "doc_id"))
+    assert "WindowGroupLimit" in plan
