@@ -255,6 +255,105 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_bigram_lm",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1])) AS gram
+  FROM w WHERE len(words) >= 2
+),
+c2 AS (SELECT gram, COUNT(*) AS n2 FROM g GROUP BY gram),
+c1 AS (SELECT string_split(gram, ' ')[1] AS w1, CAST(SUM(n2) AS BIGINT) AS n1
+       FROM c2 GROUP BY 1),
+v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS vs
+      FROM (SELECT UNNEST(words) AS word FROM w)),
+lp AS (
+  SELECT c2.gram,
+         -log2((c2.n2 + 1.0) / (c1.n1 + v.vs)) AS bits
+  FROM c2 JOIN c1 ON string_split(c2.gram, ' ')[1] = c1.w1, v
+),
+per AS (
+  SELECT g.doc_id, COUNT(*) AS n_bigrams,
+         list(lp.bits ORDER BY lp.gram) AS bs
+  FROM g JOIN lp USING (gram) GROUP BY g.doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(list_reduce(list_prepend(0.0, bs), (a, b) -> a + b)
+             / n_bigrams, 4) AS bits_per_bigram
+FROM per
+""",
+    tags=("text", "pipeline"),
+)
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own Laplace-
+    smoothed BIGRAM model — the context-conditional upgrade of
+    doc_unigram_logprob and the SQL-native stand-in for the KenLM
+    perplexity filter CCNet runs: p(w2|w1) = (c(w1w2)+1)/(c(w1·)+V).
+
+    FP discipline: each doc's surprisal sum folds a GRAM-SORTED list
+    sequentially (same convention as doc_char_entropy) — identical
+    addend values in identical order on both engines, so the 4-dp
+    round cannot diverge on association order.
+
+    Scale shape: gram counts shuffle on the gram key (map-side
+    combine); the context counts derive from the (already tiny)
+    distinct-gram table, not a second corpus pass; V is a 1-row
+    broadcast; the per-doc fold shuffles (doc_id, bits) pairs only."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    g = d.filter(F.size(words) >= 2).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    c2 = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = (
+        c2.groupBy(F.split("gram", " ")[0].alias("w1"))
+        .agg(F.sum("n2").alias("n1"))
+    )
+    v = (
+        d.select(F.explode(words).alias("word"))
+        .agg(F.countDistinct("word").alias("vs"))
+    )
+    lp = (
+        c2.join(c1, F.split(c2.gram, " ")[0] == c1.w1)
+        .crossJoin(F.broadcast(v))
+        .select(
+            "gram",
+            (-F.log2((F.col("n2") + 1.0) / (F.col("n1") + F.col("vs")))).alias(
+                "bits"
+            ),
+        )
+    )
+    per = (
+        g.join(lp, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gram", "bits"))),
+                lambda s: s.getField("bits"),
+            ).alias("bs"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.aggregate("bs", F.lit(0.0), lambda acc, x: acc + x)
+            / F.col("n_bigrams"),
+            4,
+        ).alias("bits_per_bigram"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Retrieval
 # ---------------------------------------------------------------------------
@@ -698,6 +797,48 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_top_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER w AS p1,
+         LAG(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p2 || '>' || p1 || '>' || event_type AS path, COUNT(*) AS n
+FROM seq WHERE p2 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 20
+""",
+    tags=("events", "window"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event trigram paths across all users — the sequential-
+    pattern-mining lite that surfaces dominant user journeys (and, in
+    the maintenance domain, recurring fault cascades like
+    reading>warning>error). One window pass partitioned on user_id,
+    a path-key aggregation with map-side combine, TakeOrdered top-20."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+@register(
     "ts_seasonal_hour_profile",
     oracle="""
 WITH c AS (
@@ -862,6 +1003,110 @@ def rel_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.crossJoin(F.broadcast(t))
         .filter((share <= 0.2) | (F.col("rnk") <= 10))
         .select("rnk", "l_partkey", "rev_cents", share.alias("cum_share"))
+    )
+
+
+@register(
+    "ts_stl_decompose",
+    oracle="""
+WITH b AS (
+  SELECT event_type AS key,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_e,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT key, bucket_e, x,
+         AVG(x) OVER (PARTITION BY key ORDER BY bucket_e
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend
+  FROM b
+),
+d AS (SELECT key, bucket_e, x, trend, x - trend AS detr,
+             (bucket_e % 86400) // 3600 AS hh
+      FROM t),
+s AS (
+  SELECT key, hh,
+         list_reduce(list_prepend(0.0, list(detr ORDER BY bucket_e)),
+                     (a, v) -> a + v) / COUNT(*) AS seasonal
+  FROM d GROUP BY key, hh
+)
+SELECT d.key,
+       STRFTIME(to_timestamp(d.bucket_e), '%Y-%m-%d %H:%M:%S') AS bucket_s,
+       d.x, d.trend, s.seasonal,
+       d.detr - s.seasonal AS residual
+FROM d JOIN s USING (key, hh)
+""",
+    tags=("timeseries", "window"),
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of the hourly load series per
+    event type: trend (centered ±12 h moving average), seasonal
+    (hour-of-day mean of the detrended series), residual — the
+    model-ready split a forecasting/anomaly pipeline starts from.
+
+    FP discipline end to end: the series is exact integer cents, the
+    moving average is integral-exact under any summation association,
+    and the seasonal mean folds a BUCKET-SORTED list sequentially
+    (doc_char_entropy convention) — every emitted double is
+    bit-identical across engines, so no rounding is needed or applied.
+    Hour-of-day comes from epoch arithmetic (bucket_e % 86400), never
+    a session-timezone-dependent HOUR().
+
+    Scale shape: bucket agg + one window pass + a (key, 24)-cardinality
+    seasonal agg broadcast back — all shuffles on the key."""
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    bucket_e = ((epoch_us(F.col("ts")) / 1_000_000 / 3600).cast("long") * 3600)
+    b = (
+        ev.select(
+            F.col("event_type").alias("key"),
+            bucket_e.alias("bucket_e"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("key", "bucket_e")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_e")
+        .rowsBetween(-12, 12)
+    )
+    d = b.select(
+        "key",
+        "bucket_e",
+        "x",
+        F.avg("x").over(w).alias("trend"),
+    ).withColumns(
+        {
+            "detr": F.col("x") - F.col("trend"),
+            "hh": (F.col("bucket_e") % 86400) / F.lit(3600),
+        }
+    ).withColumn("hh", F.floor("hh").cast("long"))
+    s = d.groupBy("key", "hh").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket_e", "detr"))
+                    ),
+                    lambda r: r.getField("detr"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.count(F.lit(1))
+        ).alias("seasonal")
+    )
+    return d.join(F.broadcast(s), ["key", "hh"]).select(
+        "key",
+        F.date_format(
+            F.timestamp_seconds("bucket_e"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket_s"),
+        "x",
+        "trend",
+        "seasonal",
+        (F.col("detr") - F.col("seasonal")).alias("residual"),
     )
 
 
