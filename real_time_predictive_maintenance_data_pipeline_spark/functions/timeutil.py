@@ -35,3 +35,24 @@ def epoch_seconds(col: Column | str) -> Column:
     """Fractional seconds since epoch (double) — DuckDB ``epoch(ts)``
     parity, keeps microsecond precision."""
     return epoch_us(col).cast("double") / 1_000_000.0
+
+
+def epoch_bucket(col: Column | str, step_seconds: int) -> Column:
+    """Epoch-second bucket floor of a timestamp — ``FLOOR(epoch(ts) /
+    step) * step`` as a BIGINT, the DuckDB-parity bucketing expression
+    shared by the resampling/changepoint/decomposition queries."""
+    return (
+        (epoch_us(col) / 1_000_000 / F.lit(step_seconds)).cast("long")
+        * step_seconds
+    )
+
+
+def ordered_fold_sum(arr: Column) -> Column:
+    """Deterministic sum of a double array: sort, then fold
+    sequentially. Engines associate plain SUM() partials differently
+    (segment trees vs running adds), which diverges under rounding;
+    folding a VALUE-SORTED list adds identical addends in identical
+    order on every engine (DuckDB mirror:
+    ``list_reduce(list_prepend(0.0, list(x ORDER BY x)), (a,b) -> a+b)``).
+    """
+    return F.aggregate(F.array_sort(arr), F.lit(0.0), lambda a, v: a + v)

@@ -277,7 +277,7 @@ lp AS (
 ),
 per AS (
   SELECT g.doc_id, COUNT(*) AS n_bigrams,
-         list(lp.bits ORDER BY lp.gram) AS bs
+         list(lp.bits ORDER BY lp.bits) AS bs
   FROM g JOIN lp USING (gram) GROUP BY g.doc_id
 )
 SELECT doc_id, n_bigrams,
@@ -293,8 +293,8 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_unigram_logprob and the SQL-native stand-in for the KenLM
     perplexity filter CCNet runs: p(w2|w1) = (c(w1w2)+1)/(c(w1·)+V).
 
-    FP discipline: each doc's surprisal sum folds a GRAM-SORTED list
-    sequentially (same convention as doc_char_entropy) — identical
+    FP discipline: each doc's surprisal sum folds a VALUE-SORTED list
+    sequentially (functions/timeutil.ordered_fold_sum) — identical
     addend values in identical order on both engines, so the 4-dp
     round cannot diverge on association order.
 
@@ -332,24 +332,25 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from ..functions.timeutil import ordered_fold_sum
+
+    # the fold sorts the bits VALUES (equal grams have equal bits, so
+    # value order is as deterministic as gram order) — the groupBy
+    # exchange then carries (doc_id, bits) pairs only, never the gram
+    # strings
     per = (
         g.join(lp, "gram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("gram", "bits"))),
-                lambda s: s.getField("bits"),
-            ).alias("bs"),
+            F.collect_list("bits").alias("bs"),
         )
     )
     return per.select(
         "doc_id",
         "n_bigrams",
         F.round(
-            F.aggregate("bs", F.lit(0.0), lambda acc, x: acc + x)
-            / F.col("n_bigrams"),
-            4,
+            ordered_fold_sum(F.col("bs")) / F.col("n_bigrams"), 4
         ).alias("bits_per_bigram"),
     )
 
@@ -659,14 +660,13 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bucket agg + two window passes, all shuffled once on
     the key; the argmax is a WindowGroupLimit rank-1, no global sort."""
-    ev = _t(spark, sf_dir, "events")
-    from ..functions.timeutil import epoch_us
+    from ..functions.timeutil import epoch_bucket
 
-    bucket_e = ((epoch_us(F.col("ts")) / 1_000_000 / 3600).cast("long") * 3600)
+    ev = _t(spark, sf_dir, "events")
     b = (
         ev.select(
             F.col("event_type").alias("key"),
-            bucket_e.alias("bucket_e"),
+            epoch_bucket(F.col("ts"), 3600).alias("bucket_e"),
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
         .groupBy("key", "bucket_e")
@@ -829,7 +829,13 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("p2").isNotNull())
     return (
         seq.select(
-            F.concat_ws(">", "p2", "p1", "event_type").alias("path")
+            # F.concat (not concat_ws): propagates NULLs exactly like the
+            # oracle's || operator, so a NULL event_type can never yield
+            # a silently-truncated path on one engine only
+            F.concat(
+                F.col("p2"), F.lit(">"), F.col("p1"), F.lit(">"),
+                F.col("event_type"),
+            ).alias("path")
         )
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1009,11 +1015,17 @@ def rel_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_stl_decompose",
     oracle="""
-WITH b AS (
+WITH obs AS (
   SELECT event_type AS key,
          CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_e,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
   FROM events GROUP BY 1, 2
+),
+spans AS (SELECT key, MIN(bucket_e) AS lo, MAX(bucket_e) AS hi FROM obs GROUP BY key),
+b AS (
+  SELECT g.key, g.bucket_e, COALESCE(o.x, 0) AS x
+  FROM (SELECT key, UNNEST(range(lo, hi + 1, 3600)) AS bucket_e FROM spans) g
+  LEFT JOIN obs o USING (key, bucket_e)
 ),
 t AS (
   SELECT key, bucket_e, x,
@@ -1026,7 +1038,7 @@ d AS (SELECT key, bucket_e, x, trend, x - trend AS detr,
       FROM t),
 s AS (
   SELECT key, hh,
-         list_reduce(list_prepend(0.0, list(detr ORDER BY bucket_e)),
+         list_reduce(list_prepend(0.0, list(detr ORDER BY detr)),
                      (a, v) -> a + v) / COUNT(*) AS seasonal
   FROM d GROUP BY key, hh
 )
@@ -1046,26 +1058,37 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     FP discipline end to end: the series is exact integer cents, the
     moving average is integral-exact under any summation association,
-    and the seasonal mean folds a BUCKET-SORTED list sequentially
-    (doc_char_entropy convention) — every emitted double is
+    and the seasonal mean folds a VALUE-SORTED list sequentially
+    (functions/timeutil.ordered_fold_sum) — every emitted double is
     bit-identical across engines, so no rounding is needed or applied.
     Hour-of-day comes from epoch arithmetic (bucket_e % 86400), never
     a session-timezone-dependent HOUR().
 
     Scale shape: bucket agg + one window pass + a (key, 24)-cardinality
     seasonal agg broadcast back — all shuffles on the key."""
-    from ..functions.timeutil import epoch_us
+    from ..functions.timeutil import epoch_bucket, ordered_fold_sum
 
     ev = _t(spark, sf_dir, "events")
-    bucket_e = ((epoch_us(F.col("ts")) / 1_000_000 / 3600).cast("long") * 3600)
-    b = (
+    obs = (
         ev.select(
             F.col("event_type").alias("key"),
-            bucket_e.alias("bucket_e"),
+            epoch_bucket(F.col("ts"), 3600).alias("bucket_e"),
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
         .groupBy("key", "bucket_e")
         .agg(F.sum("cents").alias("x"))
+    )
+    # dense per-key hourly grid with zero-load fill: without it the
+    # ROWS frame would stitch across multi-hour gaps and the seasonal
+    # means would silently exclude idle hours
+    spans = obs.groupBy("key").agg(
+        F.min("bucket_e").alias("lo"), F.max("bucket_e").alias("hi")
+    )
+    grid = spans.select(
+        "key", F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("bucket_e")
+    )
+    b = grid.join(obs, ["key", "bucket_e"], "left").select(
+        "key", "bucket_e", F.coalesce("x", F.lit(0)).alias("x")
     )
     w = (
         Window.partitionBy("key")
@@ -1080,23 +1103,15 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumns(
         {
             "detr": F.col("x") - F.col("trend"),
-            "hh": (F.col("bucket_e") % 86400) / F.lit(3600),
+            # integer-exact: bucket_e is a multiple of 3600, so the
+            # quotient needs no FP detour
+            "hh": ((F.col("bucket_e") % 86400) / 3600).cast("long"),
         }
-    ).withColumn("hh", F.floor("hh").cast("long"))
+    )
     s = d.groupBy("key", "hh").agg(
-        (
-            F.aggregate(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("bucket_e", "detr"))
-                    ),
-                    lambda r: r.getField("detr"),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            / F.count(F.lit(1))
-        ).alias("seasonal")
+        (ordered_fold_sum(F.collect_list("detr")) / F.count(F.lit(1))).alias(
+            "seasonal"
+        )
     )
     return d.join(F.broadcast(s), ["key", "hh"]).select(
         "key",
