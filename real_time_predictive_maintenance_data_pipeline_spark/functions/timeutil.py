@@ -40,9 +40,14 @@ def epoch_seconds(col: Column | str) -> Column:
 def epoch_bucket(col: Column | str, step_seconds: int) -> Column:
     """Epoch-second bucket floor of a timestamp — ``FLOOR(epoch(ts) /
     step) * step`` as a BIGINT, the DuckDB-parity bucketing expression
-    shared by the resampling/changepoint/decomposition queries."""
+    shared by the resampling/changepoint/decomposition paths.
+
+    True FLOOR, not cast-truncation: a pre-1970 timestamp (negative
+    epoch) must bucket DOWN like the oracle's FLOOR, while
+    ``cast('long')`` truncates toward zero and would land one step
+    high."""
     return (
-        (epoch_us(col) / 1_000_000 / F.lit(step_seconds)).cast("long")
+        F.floor(epoch_us(col) / 1_000_000 / F.lit(step_seconds)).cast("long")
         * step_seconds
     )
 

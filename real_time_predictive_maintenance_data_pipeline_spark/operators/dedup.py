@@ -406,6 +406,56 @@ def simhash_pairs(
     )
 
 
+def min_label_components(
+    pairs: DataFrame,
+    labels: DataFrame,
+    max_iters: int = 6,
+) -> DataFrame:
+    """Connected components by min-label propagation over an edge list
+    (columns ``doc_a``, ``doc_b``); ``labels`` is the initial
+    (node, lbl) frame — normally lbl = node for every node (singletons
+    keep their own label). Converges in O(component diameter) rounds
+    with early exit; near-dup clusters are dense (diameter ≈ 1-2), so
+    ``max_iters`` is a safety bound.
+
+    Scale: each round is one shuffle of (id, label) pairs over the edge
+    list — the standard large-graph CC pattern (no driver-side graph).
+    localCheckpoint (eager) truncates lineage: without it every round's
+    logical plan embeds all previous rounds and Catalyst
+    re-optimization time grows superlinearly (measured 65 s for 6
+    rounds at sf0.01 vs ~8 s with checkpoints). The convergence check
+    is a count() per round: acceptable because rounds are few and the
+    check is a cheap aggregate. Returns (node, lbl).
+    """
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # neighbor minimum: for each dst, the smallest label seen on any
+        # incident src (incl. its own current label via the union)
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lbl")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            neighbor_min.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = neighbor_min
+        if changed == 0:
+            break
+    return labels
+
+
 def near_dup_clusters(
     df: DataFrame,
     text_col: str = "text",
@@ -432,38 +482,11 @@ def near_dup_clusters(
     pairs = minhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col, jaccard_threshold=jaccard_threshold
     ).select("doc_a", "doc_b")
-    # Symmetric edge list. localCheckpoint (eager) truncates lineage:
-    # without it every round's logical plan embeds all previous rounds
-    # and Catalyst re-optimization time grows superlinearly (measured
-    # 65 s for 6 rounds at sf0.01 vs ~8 s with checkpoints).
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("src", "dst")
-        .localCheckpoint(eager=True)
+    labels = min_label_components(
+        pairs,
+        df.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl")),
+        max_iters=max_iters,
     )
-
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("lbl"))
-    for _ in range(max_iters):
-        # neighbor minimum: for each dst, the smallest label seen on any
-        # incident src (incl. its own current label via the union)
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "lbl")
-            .union(labels)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            neighbor_min.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = neighbor_min
-        if changed == 0:
-            break
 
     return labels.select(
         F.col("node").alias(id_col),
@@ -540,21 +563,25 @@ def semantic_dedup(
     assignment — a pair is checked if the two vectors share ANY probed
     cell, which recovers most near-dup pairs that a hard single
     assignment would split across a cell boundary); within each cell,
-    pairwise cosine similarity marks every vector whose similarity to
-    an earlier-kept vector (ascending id — deterministic keeper
-    choice) meets ``threshold`` as a duplicate.
+    every vector's best EARLIER neighbor at ``threshold`` cosine
+    becomes an edge, and connected components over those edges pick
+    ONE keeper per duplicate group (the minimum id — so ``dup_of`` is
+    always itself kept, never a dropped vector, even when detections
+    chain across cells).
 
     Scale shape: the O(n²) stage is confined to one cell at a time —
     pick k so nprobe·n/k vectors fit one Arrow batch (SemDeDup itself
     uses k≈50k for LAION-scale corpora). One KMeans fit, centroids
     shipped to executors in the mapInPandas closure (k×d floats), one
     shuffle on the cell id, per-cell numpy matmul inside
-    ``applyInPandas``, and a final max-per-vector agg to merge
-    detections across probes. No global all-pairs anywhere.
+    ``applyInPandas``, then min-label components over the (tiny,
+    drop-scale) edge list. No global all-pairs anywhere.
 
-    Returns dropped vectors only: (vec_id, dup_of, cos) where
-    ``dup_of`` is the kept earlier vector it duplicates (the highest-
-    similarity match when several cells detect the same vector).
+    Returns dropped vectors only: (vec_id, dup_of, via, cos) —
+    ``dup_of`` is the kept representative of the duplicate group,
+    ``via`` the directly-detected earlier near-duplicate (``cos`` is
+    their exact similarity; via == dup_of when the detection is
+    direct).
     """
     import numpy as np
     import pandas as pd
@@ -596,7 +623,10 @@ def semantic_dedup(
         assign, "__id long, __vec array<double>, __cell long"
     )
 
-    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+    def detect_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Best earlier neighbor per vector within the cell (detection
+        only — the keep/drop decision happens globally via components,
+        so cross-cell chains cannot orphan a dropped vector)."""
         pdf = pdf.sort_values("__id").reset_index(drop=True)
         mat = np.vstack(pdf["__vec"].to_numpy())
         norms = np.linalg.norm(mat, axis=1)
@@ -604,28 +634,54 @@ def semantic_dedup(
         unit = mat / norms[:, None]
         sims = unit @ unit.T
         ids = pdf["__id"].to_numpy()
-        kept: list[int] = []
-        out_id, out_dup, out_cos = [], [], []
-        for i in range(len(ids)):
-            if kept:
-                s = sims[i, kept]
-                j = int(np.argmax(s))
-                if s[j] >= threshold:
-                    out_id.append(ids[i])
-                    out_dup.append(ids[kept[j]])
-                    out_cos.append(round(float(s[j]), 6))
-                    continue
-            kept.append(i)
+        out_id, out_near, out_cos = [], [], []
+        for i in range(1, len(ids)):
+            s = sims[i, :i]
+            j = int(np.argmax(s))
+            if s[j] >= threshold:
+                out_id.append(ids[i])
+                out_near.append(ids[j])
+                out_cos.append(round(float(s[j]), 6))
         return pd.DataFrame(
-            {"vec_id": out_id, "dup_of": out_dup, "cos": out_cos}
+            {"vec_id": out_id, "near": out_near, "cos": out_cos}
         )
 
-    drops = assigned.groupBy("__cell").applyInPandas(
-        dedup_cell, "vec_id long, dup_of long, cos double"
+    detected = assigned.groupBy("__cell").applyInPandas(
+        detect_cell, "vec_id long, near long, cos double"
     )
-    best = F.max(F.struct("cos", "dup_of")).alias("b")
+    # merge multi-probe detections: keep each vector's best direct edge
+    best = (
+        detected.groupBy("vec_id")
+        .agg(F.max(F.struct("cos", "near")).alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.near").alias("near"),
+            F.col("b.cos").alias("cos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # one keeper per duplicate group: components over the (drop-scale)
+    # edge list, labels seeded from edge endpoints only — vectors with
+    # no near-dup edge stay out entirely (kept, not emitted)
+    pairs = best.select(
+        F.col("near").alias("doc_a"), F.col("vec_id").alias("doc_b")
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    comps = min_label_components(pairs, nodes, max_iters=8)
     return (
-        drops.groupBy("vec_id")
-        .agg(best)
-        .select("vec_id", F.col("b.dup_of").alias("dup_of"), F.col("b.cos").alias("cos"))
+        best.join(comps, best.vec_id == comps.node)
+        .select(
+            "vec_id",
+            F.col("lbl").alias("dup_of"),
+            F.col("near").alias("via"),
+            "cos",
+        )
+        # the component minimum is its own label — it is the keeper and
+        # must not appear as a dropped row
+        .filter(F.col("vec_id") != F.col("dup_of"))
     )

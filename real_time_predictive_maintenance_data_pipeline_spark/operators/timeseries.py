@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.timeutil import epoch_us
+from ..functions.timeutil import epoch_bucket, epoch_us
 
 
 def resample_locf(
@@ -39,12 +39,9 @@ def resample_locf(
     carries the last non-null bucket mean forward, ``is_gap`` marks
     filled rows.
     """
-    step = F.lit(step_seconds)
-    # epoch_us handles TIMESTAMP_NTZ inputs (unix_timestamp would fall
-    # back to a second-granularity string parse on NTZ)
-    bucket = F.timestamp_seconds(
-        (epoch_us(F.col(ts_col)) / F.lit(1_000_000) / step).cast("long") * step
-    )
+    # epoch_bucket handles TIMESTAMP_NTZ inputs (unix_timestamp would
+    # fall back to a second-granularity string parse on NTZ)
+    bucket = F.timestamp_seconds(epoch_bucket(F.col(ts_col), step_seconds))
 
     # per-bucket aggregation first — the grid join then matches 1:1
     obs = (
@@ -100,9 +97,7 @@ def resample_interpolate(
     Output: (key, bucket_ts, obs_avg, filled_avg, is_gap, is_edge).
     """
     step = F.lit(step_seconds)
-    bucket_epoch = (
-        epoch_us(F.col(ts_col)) / F.lit(1_000_000) / step
-    ).cast("long") * step
+    bucket_epoch = epoch_bucket(F.col(ts_col), step_seconds)
 
     obs = (
         df.select(

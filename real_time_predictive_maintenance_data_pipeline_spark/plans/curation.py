@@ -461,13 +461,14 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-duplicate removal
     (operators/dedup.semantic_dedup): KMeans-partition the embedding
-    space, then in-cluster cosine dedup — catches paraphrase
-    duplicates that MinHash/SimHash (lexical) can never see. The 0.4
-    threshold matches dedup_embedding_pairs' near-dup band for this
-    fixture corpus (production SemDeDup uses ~0.95 on real encoder
-    embeddings). Rows-only (KMeans assignment isn't SQL-expressible);
-    precision re-verified exactly and recall gated vs the brute-force
-    baseline in tests/test_dedup.py."""
+    space, in-cell cosine detection, one kept representative per
+    duplicate component — catches paraphrase duplicates that
+    MinHash/SimHash (lexical) can never see. The 0.4 threshold matches
+    dedup_embedding_pairs' near-dup band for this fixture corpus
+    (production SemDeDup uses ~0.95 on real encoder embeddings).
+    Rows-only (KMeans assignment isn't SQL-expressible); precision,
+    keeper consistency, and recall vs the brute-force baseline gated
+    in tests/test_dedup.py."""
     from ..operators.dedup import semantic_dedup
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -873,8 +874,6 @@ def ts_seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: 24×|event_types| output — the per-(key, hour) partial
     aggregation combines map-side, and the profile join is a broadcast
     of the tiny per-key totals."""
-    from ..functions.timeutil import epoch_us
-
     ev = _t(spark, sf_dir, "events")
     c = ev.select(
         F.col("event_type").alias("key"),

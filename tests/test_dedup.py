@@ -258,12 +258,14 @@ def test_pagerank_matches_numpy_power_iteration(spark):
 
 
 def test_semantic_dedup_precision_and_recall(spark):
-    """SemDeDup gate: every reported (vec_id, dup_of, cos) pair must be
-    a true cosine >= threshold pair (precision 1.0, re-verified with
-    numpy), and the drop set must recover a healthy fraction of the
-    brute-force >= threshold near-dup population (clustering can split
-    a pair across cells — that miss rate is the price of the O(n²)→
-    O(n²/k) reduction; gate the floor)."""
+    """SemDeDup gates: (a) every reported direct detection (vec_id,
+    via, cos) is a true cosine >= threshold pair (precision 1.0,
+    re-verified with numpy); (b) dup_of is a KEPT representative —
+    never itself in the dropped set — and earlier than the dropped
+    vector; (c) the drop set recovers a healthy fraction of the
+    brute-force >= threshold near-dup population (clustering can
+    split a pair across cells — that miss rate is the price of the
+    O(n²) → O(n²/k) reduction; gate the floor)."""
     import numpy as np
 
     thr = 0.4
@@ -275,10 +277,14 @@ def test_semantic_dedup_precision_and_recall(spark):
     unit = {
         i: v / (np.linalg.norm(v) or 1.0) for i, v in vecs.items()
     }
+    dropped_ids = {r.vec_id for r in dropped}
     for r in dropped:
-        cos = float(unit[r.vec_id] @ unit[r.dup_of])
-        assert cos >= thr - 1e-9, (r.vec_id, r.dup_of, cos)
-        assert r.dup_of < r.vec_id  # keeper is the earlier id
+        cos = float(unit[r.vec_id] @ unit[r.via])
+        assert cos >= thr - 1e-9, (r.vec_id, r.via, cos)
+        assert round(cos, 6) == r.cos
+        assert r.via < r.vec_id
+        assert r.dup_of < r.vec_id
+        assert r.dup_of not in dropped_ids  # keeper is actually kept
 
     ids = sorted(unit)
     mat = np.vstack([unit[i] for i in ids])
@@ -289,9 +295,9 @@ def test_semantic_dedup_precision_and_recall(spark):
         for i, j in zip(*iu)
         if sims[i, j] >= thr
     }
-    dropped_ids = {r.vec_id for r in dropped}
     recall = len(dropped_ids & true_dup_rows) / len(true_dup_rows)
     assert recall >= 0.6, f"recall {recall:.3f} vs brute-force population"
+
 
 
 def test_exact_stratified_sample_sizes_and_stability(spark, docs):
