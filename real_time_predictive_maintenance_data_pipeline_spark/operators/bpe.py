@@ -1,0 +1,145 @@
+"""Distributed byte-pair-encoding (BPE) tokenizer training.
+
+The classic vocab-building step of an LLM data pipeline (Sennrich et
+al. 2016; GPT-2's byte-level variant), expressed as an iterative
+DataFrame computation: each round counts adjacent symbol pairs across
+the corpus (one map-side-combined shuffle on the pair key), picks the
+most frequent pair (deterministic tie-break: count desc, then pair
+lexicographically), and rewrites every word's symbol array with the
+merged token (a JVM-side ``aggregate`` fold — left-to-right, exactly
+like the sequential reference algorithm, so overlapping occurrences
+such as 'a a a' merge as '(aa) a').
+
+Scale shape per round: the corpus stays distributed as
+(word, symbols[]) with a count per distinct word — BPE counts pairs
+over the DISTINCT-word histogram (standard trick: corpus token volume
+collapses to vocabulary size), the pair count is a narrow shuffle of
+(pair, n) with partial aggregation, and the chosen pair is a 1-row
+collect (the merge rule — the only driver-side data). Lineage is
+truncated with localCheckpoint every few rounds (iterative-DataFrame
+pattern, same as operators/dedup.min_label_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 30,
+    checkpoint_every: int = 5,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from a corpus.
+
+    Words are whitespace tokens; initial symbols are characters with a
+    word-end marker '</w>' appended (classic BPE). Returns the ordered
+    merge list [(left, right, pair_count), ...] and the final
+    (word, n, symbols) histogram frame.
+    """
+    # distinct-word histogram: all pair counting happens at vocab
+    # cardinality, weighted by word frequency — never corpus volume
+    words = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hist = words.select(
+        "word",
+        "n",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit("</w>"))
+        ).alias("symbols"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for it in range(n_merges):
+        pairs = hist.filter(F.size("symbols") >= 2).select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("symbols") - 1),
+                    lambda i: F.struct(
+                        F.element_at("symbols", i).alias("a"),
+                        F.element_at("symbols", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, top[0].cnt
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        merged = a + b
+        # left-to-right pair collapse, exactly the sequential reference
+        # semantics: fold the symbol array; when the accumulated tail is
+        # `a` and the incoming symbol is `b`, replace the tail with the
+        # merged symbol (a freshly-merged tail no longer equals `a`, so
+        # overlapping runs collapse left-to-right)
+        fold = F.aggregate(
+            "symbols",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a)
+                & (x == b),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        hist = hist.select("word", "n", fold.alias("symbols"))
+        if (it + 1) % checkpoint_every == 0:
+            hist = hist.localCheckpoint(eager=True)
+    return merges, hist
+
+
+def reference_bpe(
+    word_counts: dict[str, int], n_merges: int = 30
+) -> list[tuple[str, str, int]]:
+    """Single-process reference implementation (Sennrich-style) with
+    the identical deterministic tie-break — the test oracle for
+    train_bpe."""
+    hist = {
+        tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()
+    }
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in hist.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + n
+                )
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        merged = a + b
+        new_hist: dict[tuple[str, ...], int] = {}
+        for syms, n in hist.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            new_hist[tuple(out)] = new_hist.get(tuple(out), 0) + n
+        hist = new_hist
+    return merges

@@ -452,6 +452,27 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("score"), "doc_id").limit(20)
 
 
+@register("doc_bpe_vocab", oracle=None, tags=("text", "tokenizer", "ml"))
+def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training on the corpus
+    (operators/bpe.train_bpe): 30 merge rounds, each one pair-count
+    shuffle over the distinct-word histogram plus a JVM-side fold that
+    rewrites symbol arrays — the vocabulary-building step an LLM
+    pipeline runs before token counting and sequence packing. Returns
+    the ordered merge table. Rows-only (iterative; no SQL
+    equivalent); exact equality with the sequential reference
+    algorithm is pinned in tests/test_properties.py."""
+    from ..operators.bpe import train_bpe
+
+    merges, _ = train_bpe(_docs(spark, sf_dir), n_merges=30)
+    rows = [
+        (i + 1, a, b, a + b, int(cnt)) for i, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-space curation / ML
 # ---------------------------------------------------------------------------

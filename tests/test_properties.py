@@ -250,3 +250,34 @@ def test_compression_ratio_matches_direct_zlib(spark):
         raw = d.text.encode("utf-8")
         want = round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else 1.0
         assert got[d.doc_id] == want, d.doc_id
+
+
+def test_distributed_bpe_matches_reference(spark):
+    """train_bpe gate: the distributed merge sequence (pairs, order,
+    counts) must equal the sequential Sennrich-style reference run on
+    the same word histogram — same deterministic tie-break, same
+    left-to-right overlap semantics."""
+    from collections import Counter
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.bpe import (
+        reference_bpe,
+        train_bpe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    merges, hist = train_bpe(docs, n_merges=25)
+
+    wc = Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                wc[w] += 1
+    want = reference_bpe(dict(wc), n_merges=25)
+    assert merges == want, (merges[:5], want[:5])
+    assert len(merges) == 25
+
+    # applying the merges must strictly shrink the symbol stream
+    n_syms = hist.selectExpr("sum(n * size(symbols)) s").first().s
+    n_chars = hist.selectExpr("sum(n * (length(word) + 1)) s").first().s
+    assert n_syms < n_chars
