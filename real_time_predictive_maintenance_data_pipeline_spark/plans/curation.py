@@ -1240,6 +1240,52 @@ def rel_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_window_ignore_nulls",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type <> 'error'
+              THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents
+  FROM events WHERE user_id <= 40
+)
+SELECT event_id, user_id, cents,
+       LAG(cents IGNORE NULLS) OVER w AS prev_valid,
+       LEAD(cents IGNORE NULLS) OVER w AS next_valid,
+       NTH_VALUE(cents, 2 IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_valid
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    tags=("window", "null"),
+)
+def rel_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation — lag/lead/nth_value skipping
+    null readings (here: error events carry no valid reading) — the
+    sensor-feed idiom for 'previous/next GOOD measurement'. Exercised
+    through the SQL API (PySpark's lag/lead builders don't expose the
+    IGNORE NULLS modifier; the SQL surface is the engine contract)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_win_in")
+    return spark.sql("""
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type <> 'error'
+              THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents
+  FROM events_win_in WHERE user_id <= 40
+)
+SELECT event_id, user_id, cents,
+       LAG(cents) IGNORE NULLS OVER w AS prev_valid,
+       LEAD(cents) IGNORE NULLS OVER w AS next_valid,
+       NTH_VALUE(cents, 2) IGNORE NULLS OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_valid
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+
+
+@register(
     "rel_dq_expectations",
     oracle="""
 SELECT 'orders_custkey_fk' AS rule,
