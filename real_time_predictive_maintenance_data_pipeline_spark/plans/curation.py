@@ -732,6 +732,52 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_als_recommend", oracle=None, tags=("ml",))
+def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS collaborative filtering over implicit purchase history
+    (customer × part counts from orders⋈lineitem) — the matrix-
+    factorization surface of MLlib (block-partitioned alternating
+    least squares; factors never leave the cluster). Top-3 part
+    recommendations for the 20 lowest-numbered customers; seeded, so
+    the output is stable run to run. Rows-only (iterative solver);
+    contract (exactly 3 recs/user, descending scores, valid part ids)
+    gated in tests/test_ml.py."""
+    from pyspark.ml.recommendation import ALS
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ratings = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=42,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().orderBy("user").limit(20)
+    recs = model.recommendForUserSubset(users, 3)
+    return recs.select(
+        "user",
+        F.posexplode("recommendations").alias("rnk", "rec"),
+    ).select(
+        "user",
+        (F.col("rnk") + 1).alias("rnk"),
+        F.col("rec.item").alias("part"),
+        F.round(F.col("rec.rating"), 6).alias("score"),
+    )
+
+
 @register("emb_pca_whitening", oracle=None, tags=("ml", "similarity"))
 def emb_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA whitening of the embedding corpus — the standard retrieval

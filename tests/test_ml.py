@@ -125,3 +125,30 @@ def test_quality_classifier_accuracy_floor(spark):
     n_correct = sum(r.n for r in rows if r.label == r.prediction)
     assert n_test > 0
     assert n_correct / n_test >= 0.9, (n_correct, n_test)
+
+
+def test_als_recommendations_contract(spark):
+    """ml_als_recommend gate: exactly 3 recs per selected user, rank
+    follows descending score, and every recommended part exists in the
+    part table."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    rows = all_queries()["ml_als_recommend"].spark(spark, sf).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user, []).append(r)
+    assert len(by_user) == 20
+    parts = {
+        p.p_partkey
+        for p in spark.read.parquet(f"{sf}/part.parquet")
+        .select("p_partkey")
+        .collect()
+    }
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == [1, 2, 3]
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert r.part in parts
