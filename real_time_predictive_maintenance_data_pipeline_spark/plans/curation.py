@@ -778,6 +778,126 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ml_survival_aft", oracle=None, tags=("ml", "timeseries"))
+def ml_survival_aft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining-useful-life modeling with Accelerated Failure Time
+    survival regression — the model class predictive maintenance
+    actually deploys (time-to-failure with right-censoring: machines
+    that have not failed yet are information, not missing data;
+    a plain regressor cannot use them).
+
+    Per machine (user): label = hours from first event to first
+    'error' (censored at observation end when no error occurred),
+    features = activity rate and mean reading. MLlib AFT fits a
+    Weibull AFT model distributed (iterative L-BFGS over partitioned
+    gradients). Output: per-machine predicted median time-to-failure
+    for the 15 lowest ids. Rows-only (iterative solver); fit sanity
+    and censoring contract gated in tests/test_ml.py."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.regression import AFTSurvivalRegression
+
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min(epoch_us(F.col("ts"))).alias("t0"),
+        F.max(epoch_us(F.col("ts"))).alias("t_end"),
+        F.min(
+            F.when(F.col("event_type") == "error", epoch_us(F.col("ts")))
+        ).alias("t_err"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg(F.round(F.col("value") * 100)).alias("avg_cents"),
+    )
+    data = per.select(
+        "user_id",
+        (
+            (F.coalesce("t_err", "t_end") - F.col("t0")) / 3.6e9
+        ).alias("label_h"),
+        F.col("t_err").isNotNull().cast("double").alias("censor"),
+        (
+            F.col("n_events")
+            / ((F.col("t_end") - F.col("t0")) / 3.6e9 + F.lit(1.0))
+        ).alias("rate"),
+        (F.col("avg_cents") / 100).alias("avg_val"),
+    ).filter(F.col("label_h") > 0)
+    feats = VectorAssembler(
+        inputCols=["rate", "avg_val"], outputCol="features"
+    ).transform(data)
+    aft = AFTSurvivalRegression(
+        labelCol="label_h",
+        censorCol="censor",  # 1.0 = event observed, 0.0 = censored
+        quantileProbabilities=[0.5],
+        quantilesCol="q",
+    )
+    model = aft.fit(feats)
+    pred = model.transform(feats)
+    return (
+        pred.orderBy("user_id")
+        .limit(15)
+        .select(
+            "user_id",
+            F.round("label_h", 4).alias("observed_h"),
+            F.col("censor").cast("int").alias("failed"),
+            F.round(
+                F.element_at(vector_to_array("q"), 1), 4
+            ).alias("median_ttf_h"),
+        )
+    )
+
+
+@register(
+    "rel_incremental_agg_refresh",
+    oracle="""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY 1, 2
+""",
+    tags=("analytics", "incremental"),
+)
+def rel_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a distributive aggregate: a
+    materialized base aggregate (years < 1997) is REFRESHED by merging
+    only the delta partition's aggregate (years >= 1997) — re-aggregate
+    of partial aggregates, never a rescan of the base data. The oracle
+    is the full recompute: the IVM identity says they must match
+    exactly (COUNT and integer-cents SUM are distributive, so
+    partial-merge is lossless at any split point — the foundation of
+    every incremental lakehouse pipeline).
+
+    Scale note: at 100 TB the base aggregate is orders of magnitude
+    smaller than the fact table; the daily refresh touches only the
+    new partition plus the compact aggregate state."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def agg(df):
+        return df.groupBy("order_year", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+        )
+
+    base_path = tempfile.mkdtemp(prefix="rtpmdp_ivm_") + "/base_agg"
+    agg(o.filter(F.col("order_year") < 1997)).write.parquet(base_path)
+    base = spark.read.parquet(base_path)
+    delta = agg(o.filter(F.col("order_year") >= 1997))
+    return (
+        base.unionByName(delta)
+        .groupBy("order_year", "o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("total_cents").alias("total_cents"),
+        )
+    )
+
+
 @register("emb_pca_whitening", oracle=None, tags=("ml", "similarity"))
 def emb_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA whitening of the embedding corpus — the standard retrieval

@@ -152,3 +152,22 @@ def test_als_recommendations_contract(spark):
         assert scores == sorted(scores, reverse=True)
         for r in rs:
             assert r.part in parts
+
+
+def test_survival_aft_fit_and_censoring(spark):
+    """ml_survival_aft gates: the AFT fit must produce positive
+    median time-to-failure predictions; censored machines (no error
+    observed) are included in training rather than dropped; observed
+    failure times are non-negative."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    rows = (
+        all_queries()["ml_survival_aft"]
+        .spark(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert len(rows) == 15
+    for r in rows:
+        assert r.median_ttf_h > 0
+        assert r.observed_h >= 0
+        assert r.failed in (0, 1)
