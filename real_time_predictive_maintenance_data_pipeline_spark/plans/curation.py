@@ -355,6 +355,116 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_curation_funnel",
+    oracle="""
+WITH uniq AS (
+  SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text
+  FROM documents GROUP BY text
+),
+q AS (
+  SELECT doc_id, text FROM uniq
+  WHERE 0.5 * LEAST(1.0, len(string_split(text, ' ')) / 50.0)
+      + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' '))) >= 0.5
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM q),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i + 1])) AS grams
+  FROM w WHERE len(words) >= 2
+),
+bench AS (SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+contaminated AS (
+  SELECT t.doc_id
+  FROM (SELECT doc_id, len(grams) AS n_grams, UNNEST(grams) AS gram
+        FROM g WHERE doc_id % 20 <> 0) t
+  JOIN bench b ON t.gram = b.gram
+  GROUP BY t.doc_id, t.n_grams
+  HAVING COUNT(*) * 1.0 / t.n_grams >= 0.5
+),
+clean AS (
+  SELECT doc_id FROM q
+  WHERE doc_id % 20 <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT 1 AS stage, 'raw' AS name, (SELECT COUNT(*) FROM documents) AS n_docs
+UNION ALL SELECT 2, 'exact_dedup', (SELECT COUNT(*) FROM uniq)
+UNION ALL SELECT 3, 'quality_pass', (SELECT COUNT(*) FROM q)
+UNION ALL SELECT 4, 'train_split', (SELECT COUNT(*) FROM q WHERE doc_id % 20 <> 0)
+UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM clean)
+""",
+    tags=("text", "dedup", "pipeline"),
+)
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel as ONE plan: raw corpus → exact
+    dedup (keep min id per identical text) → heuristic quality filter
+    (doc_quality >= 0.5) → train/eval split → benchmark
+    decontamination (>= 50 % bigram containment dropped). Per-stage
+    survivor counts — the yield report every data-curation run ends
+    with, and the composition proof that the individual operators
+    chain.
+
+    Scale shape: each stage narrows the previous one's frame (Catalyst
+    pipelines the filters; the only shuffles are the text-digest
+    dedup, the bigram-count aggregation, and the broadcast-semi
+    decontamination join — same shapes as the standalone operators)."""
+    d = _docs(spark, sf_dir)
+    uniq = (
+        d.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    words = F.split("text", " ")
+    quality = 0.5 * F.least(F.lit(1.0), F.size(words) / 50.0) + 0.5 * (
+        F.size(F.array_distinct(words)) / F.size(words)
+    )
+    q = uniq.filter(quality >= 0.5)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        )
+    )
+    g = q.filter(F.size(words) >= 2).select("doc_id", grams.alias("grams"))
+    g = g.persist()
+    bench = (
+        g.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = g.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram")
+    )
+    contaminated = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") * 1.0 / F.col("n_grams") >= 0.5)
+        .select("doc_id")
+    )
+    train_docs = q.filter(F.col("doc_id") % 20 != 0).select("doc_id")
+    clean = train_docs.join(contaminated, "doc_id", "left_anti")
+
+    def stage(n, name, df):
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(1, "raw", d)
+        .unionAll(stage(2, "exact_dedup", uniq))
+        .unionAll(stage(3, "quality_pass", q))
+        .unionAll(stage(4, "train_split", train_docs))
+        .unionAll(stage(5, "decontaminated", clean))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Retrieval
 # ---------------------------------------------------------------------------
