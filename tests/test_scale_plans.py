@@ -638,3 +638,20 @@ def test_exact_stratified_sample_rank_is_group_limited(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(exact_stratified_sample(docs, "lang", 5, "doc_id"))
     assert "WindowGroupLimit" in plan
+
+
+def test_incremental_refresh_rescans_only_delta(spark):
+    """rel_incremental_agg_refresh: the refresh must scan the orders
+    fact ONCE (the delta) — the base arrives as the stored aggregate
+    parquet, never a rescan of historical fact data."""
+    plan = _plan(all_queries()["rel_incremental_agg_refresh"].spark(spark, SF))
+    tree = plan.split("\n\n", 1)[0]
+    scans = [ln for ln in tree.splitlines() if "Scan parquet" in ln]
+    # one orders scan (delta) + one base-aggregate scan
+    assert len(scans) == 2, scans
+
+
+def test_curation_funnel_no_cartesian_and_broadcast_bench(spark):
+    plan = _plan(all_queries()["doc_curation_funnel"].spark(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # decontamination semi-join
