@@ -1562,6 +1562,84 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 @register(
+    "rel_changelog_apply",
+    oracle="""
+WITH log AS (
+  SELECT o_orderkey AS k, 1 AS version, 'I' AS op,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2, 'U',
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) // 2
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'D', NULL
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+latest AS (
+  SELECT k, op, price_cents,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+  FROM log
+),
+snap AS (SELECT k, price_cents FROM latest WHERE rn = 1 AND op <> 'D')
+SELECT COUNT(*) AS n_live,
+       CAST(SUM(price_cents) AS BIGINT) AS total_cents,
+       CAST(MIN(k) AS BIGINT) AS min_key,
+       CAST(MAX(k) AS BIGINT) AS max_key
+FROM snap
+""",
+    tags=("cdc", "window"),
+)
+def rel_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog replay: materialize the current snapshot from an
+    ordered insert/update/delete log (last-writer-wins per key,
+    delete tombstones drop the row) — the full Debezium-style
+    changelog semantics that MERGE (upsert-only) cannot express. The
+    log here is derived deterministically from orders (every key
+    inserted at v1, every 3rd halved at v2, every 7th deleted at v3).
+
+    Scale shape: ONE window pass partitioned on the key picks each
+    key's latest version (WindowGroupLimit prunes to rank 1 inside
+    each task — no full sort materialization), then a tombstone filter
+    and a summary aggregate. Shuffle count: one exchange on the key,
+    exactly like the equivalent MERGE chain but in a single pass over
+    the whole log instead of one pass per batch."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    log = (
+        o.select(
+            "k", F.lit(1).alias("version"), F.lit("I").alias("op"),
+            F.col("cents").alias("price_cents"),
+        )
+        .unionAll(
+            o.filter(F.col("k") % 3 == 0).select(
+                "k", F.lit(2), F.lit("U"),
+                (F.col("cents") / 2).cast("long"),
+            )
+        )
+        .unionAll(
+            o.filter(F.col("k") % 7 == 0).select(
+                "k", F.lit(3), F.lit("D"),
+                F.lit(None).cast("long"),
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.desc("version"))
+    snap = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("price_cents").alias("total_cents"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+@register(
     "rel_dq_expectations",
     oracle="""
 SELECT 'orders_custkey_fk' AS rule,
