@@ -85,3 +85,20 @@ def fingerprint(text: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * FINGERPRINT_BASE + x) % FINGERPRINT_MOD,
     )
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """Distinct word-bigram array ('w1 w2' strings) — the shared gram
+    construction of benchmark decontamination (doc_decontaminate and
+    the curation funnel must build IDENTICAL grams or their
+    containment decisions desynchronize). Requires >= 2 words; callers
+    filter ``size(tokens(text)) >= 2`` first."""
+    words = tokens(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        )
+    )

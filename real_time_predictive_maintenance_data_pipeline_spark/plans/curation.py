@@ -364,9 +364,9 @@ WITH uniq AS (
 ),
 q AS (
   SELECT doc_id, text FROM uniq
-  WHERE 0.5 * LEAST(1.0, len(string_split(text, ' ')) / 50.0)
-      + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
-               / len(string_split(text, ' '))) >= 0.5
+  WHERE ROUND(0.5 * LEAST(1.0, len(string_split(text, ' ')) / 50.0)
+            + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' '))), 4) >= 0.5
 ),
 w AS (SELECT doc_id, string_split(text, ' ') AS words FROM q),
 g AS (
@@ -382,7 +382,7 @@ contaminated AS (
         FROM g WHERE doc_id % 20 <> 0) t
   JOIN bench b ON t.gram = b.gram
   GROUP BY t.doc_id, t.n_grams
-  HAVING COUNT(*) * 1.0 / t.n_grams >= 0.5
+  HAVING ROUND(COUNT(*) * 1.0 / t.n_grams, 4) >= 0.5
 ),
 clean AS (
   SELECT doc_id FROM q
@@ -410,27 +410,28 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines the filters; the only shuffles are the text-digest
     dedup, the bigram-count aggregation, and the broadcast-semi
     decontamination join — same shapes as the standalone operators)."""
+    from ..functions import text as T
+
     d = _docs(spark, sf_dir)
+    # the full-corpus text dedup is the one shuffle every later stage
+    # builds on — persist it so the five stage branches reuse it
+    # instead of re-aggregating the corpus per branch
     uniq = (
         d.groupBy("text")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "text")
+        .persist()
     )
+    # SAME rounded expressions as the standalone operators
+    # (T.quality_score / doc_decontaminate) — raw-double thresholds
+    # would disagree with them exactly at the 0.5 boundary
+    q = uniq.filter(T.quality_score("text") >= 0.5)
     words = F.split("text", " ")
-    quality = 0.5 * F.least(F.lit(1.0), F.size(words) / 50.0) + 0.5 * (
-        F.size(F.array_distinct(words)) / F.size(words)
+    g = (
+        q.filter(F.size(words) >= 2)
+        .select("doc_id", T.word_bigrams("text").alias("grams"))
+        .persist()
     )
-    q = uniq.filter(quality >= 0.5)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
-        )
-    )
-    g = q.filter(F.size(words) >= 2).select("doc_id", grams.alias("grams"))
-    g = g.persist()
     bench = (
         g.filter(F.col("doc_id") % 20 == 0)
         .select(F.explode("grams").alias("gram"))
@@ -443,7 +444,7 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.join(F.broadcast(bench), "gram")
         .groupBy("doc_id", "n_grams")
         .agg(F.count(F.lit(1)).alias("n_hit"))
-        .filter(F.col("n_hit") * 1.0 / F.col("n_grams") >= 0.5)
+        .filter(F.round(F.col("n_hit") * 1.0 / F.col("n_grams"), 4) >= 0.5)
         .select("doc_id")
     )
     train_docs = q.filter(F.col("doc_id") % 20 != 0).select("doc_id")
@@ -896,13 +897,18 @@ def ml_survival_aft(spark: SparkSession, sf_dir: str) -> DataFrame:
     that have not failed yet are information, not missing data;
     a plain regressor cannot use them).
 
-    Per machine (user): label = hours from first event to first
-    'error' (censored at observation end when no error occurred),
-    features = activity rate and mean reading. MLlib AFT fits a
-    Weibull AFT model distributed (iterative L-BFGS over partitioned
+    Training is point-in-time: the observation horizon is 24 h after
+    each machine's first event (the "as of" cut every production RUL
+    model trains at). Failures before the horizon are observed
+    events (label = hours to failure); machines whose first failure
+    falls after the horizon are right-censored at it — included with
+    censor=0, exactly the rows a naive regressor would have to throw
+    away. Features: activity rate and mean reading. MLlib AFT fits a
+    Weibull model distributed (iterative L-BFGS over partitioned
     gradients). Output: per-machine predicted median time-to-failure
     for the 15 lowest ids. Rows-only (iterative solver); fit sanity
-    and censoring contract gated in tests/test_ml.py."""
+    and the presence of BOTH censored and observed classes gated in
+    tests/test_ml.py."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
     from pyspark.ml.regression import AFTSurvivalRegression
@@ -919,18 +925,29 @@ def ml_survival_aft(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.avg(F.round(F.col("value") * 100)).alias("avg_cents"),
     )
+    cutoff = F.col("t0") + F.lit(24 * 3.6e9)  # 24 h in microseconds
+    observed = F.col("t_err").isNotNull() & (F.col("t_err") <= cutoff)
     data = per.select(
         "user_id",
-        (
-            (F.coalesce("t_err", "t_end") - F.col("t0")) / 3.6e9
+        # 1-second floor: AFT requires label > 0, but a machine whose
+        # FIRST event is the failure is the most informative RUL
+        # sample — flooring keeps it in training instead of silently
+        # dropping it
+        F.greatest(
+            (
+                F.when(observed, F.col("t_err")).otherwise(cutoff)
+                - F.col("t0")
+            )
+            / 3.6e9,
+            F.lit(1.0 / 3600.0),
         ).alias("label_h"),
-        F.col("t_err").isNotNull().cast("double").alias("censor"),
+        observed.cast("double").alias("censor"),
         (
             F.col("n_events")
             / ((F.col("t_end") - F.col("t0")) / 3.6e9 + F.lit(1.0))
         ).alias("rate"),
         (F.col("avg_cents") / 100).alias("avg_val"),
-    ).filter(F.col("label_h") > 0)
+    )
     feats = VectorAssembler(
         inputCols=["rate", "avg_val"], outputCol="features"
     ).transform(data)

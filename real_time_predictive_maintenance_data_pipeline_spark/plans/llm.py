@@ -610,14 +610,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in training-corpus gram volume even at 100 TB."""
     d = _docs(spark, sf_dir)
     words = F.split("text", " ")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
-        )
-    )
+    grams = T.word_bigrams("text")
     # g feeds BOTH the benchmark-gram build and the training explode;
     # persist so the bigram construction (the dominant cost) runs once
     # (measured 3x at sf0.1).

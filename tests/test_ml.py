@@ -171,3 +171,9 @@ def test_survival_aft_fit_and_censoring(spark):
         assert r.median_ttf_h > 0
         assert r.observed_h >= 0
         assert r.failed in (0, 1)
+    # censoring must actually flow through: the corpus contains both
+    # failed and censored machines and BOTH classes survive into the
+    # output (a silent drop of censored rows would pass every per-row
+    # assertion above)
+    classes = {r.failed for r in rows}
+    assert classes == {0, 1}, classes
