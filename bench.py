@@ -63,6 +63,12 @@ def main() -> None:
 
         _model(spark)
 
+    # Queries tagged "caches" persist intermediates inside their plan
+    # (the cached partitions outlive the returned DataFrame); clear
+    # them between queries so the loop doesn't accumulate executor
+    # storage memory across the run.
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in sorted(queries):
         q = queries[name]
@@ -70,6 +76,8 @@ def main() -> None:
         df = q.spark(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if "caches" in q.tags:
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -410,6 +410,7 @@ def min_label_components(
     pairs: DataFrame,
     labels: DataFrame,
     max_iters: int = 6,
+    require_convergence: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation over an edge list
     (columns ``doc_a``, ``doc_b``); ``labels`` is the initial
@@ -426,6 +427,14 @@ def min_label_components(
     rounds at sf0.01 vs ~8 s with checkpoints). The convergence check
     is a count() per round: acceptable because rounds are few and the
     check is a cheap aggregate. Returns (node, lbl).
+
+    ``require_convergence=True`` makes ``max_iters`` a soft bound: if a
+    component's diameter exceeds it, iteration continues (up to an 8×
+    hard cap) until a round changes nothing, and raises if even the
+    hard cap is hit — callers whose downstream logic relies on labels
+    being the true component minimum (e.g. "the kept doc is never
+    itself dropped") must not silently receive a half-propagated
+    labeling.
     """
     edges = (
         pairs.union(
@@ -434,7 +443,11 @@ def min_label_components(
         .toDF("src", "dst")
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    hard_cap = max_iters * 8 if require_convergence else max_iters
+    converged = False
+    for i in range(hard_cap):
+        if not require_convergence and i >= max_iters:
+            break
         # neighbor minimum: for each dst, the smallest label seen on any
         # incident src (incl. its own current label via the union)
         neighbor_min = (
@@ -452,7 +465,13 @@ def min_label_components(
         )
         labels = neighbor_min
         if changed == 0:
+            converged = True
             break
+    if require_convergence and not converged:
+        raise RuntimeError(
+            f"min-label propagation did not converge within {hard_cap} "
+            "rounds — component diameter is pathological for this graph"
+        )
     return labels
 
 
@@ -672,7 +691,11 @@ def semantic_dedup(
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
-    comps = min_label_components(pairs, nodes, max_iters=8)
+    # require_convergence: the "dup_of is always kept" invariant below
+    # only holds when labels reached the true component minimum — a
+    # duplicate chain deeper than the iteration bound must extend the
+    # propagation (or raise), never silently drop a keeper.
+    comps = min_label_components(pairs, nodes, max_iters=8, require_convergence=True)
     return (
         best.join(comps, best.vec_id == comps.node)
         .select(

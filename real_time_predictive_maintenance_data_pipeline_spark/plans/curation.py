@@ -395,7 +395,7 @@ UNION ALL SELECT 3, 'quality_pass', (SELECT COUNT(*) FROM q)
 UNION ALL SELECT 4, 'train_split', (SELECT COUNT(*) FROM q WHERE doc_id % 20 <> 0)
 UNION ALL SELECT 5, 'decontaminated', (SELECT COUNT(*) FROM clean)
 """,
-    tags=("text", "dedup", "pipeline"),
+    tags=("text", "dedup", "pipeline", "caches"),
 )
 def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation funnel as ONE plan: raw corpus → exact
@@ -607,7 +607,7 @@ def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, threshold=0.4).orderBy("vec_id")
 
 
-@register("ml_quality_classifier", oracle=None, tags=("ml", "text"))
+@register("ml_quality_classifier", oracle=None, tags=("ml", "text", "eager-io"))
 def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FastText-style quality classifier as an MLlib pipeline — the
     heuristic-distillation step LLM data pipelines run (FineWeb/DataComp
@@ -666,11 +666,11 @@ def ml_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ml/anomaly._strip_summary copy() trick does not work here); a
     # loaded model carries no summary, and the roundtrip is the
     # artifact contract a production scorer uses anyway.
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     from pyspark.ml import PipelineModel
 
-    mpath = tempfile.mkdtemp(prefix="rtpmdp_qclf_") + "/model"
+    mpath = scratch_dir(prefix="rtpmdp_qclf_") + "/model"
     model.write().overwrite().save(mpath)
     pred = PipelineModel.load(mpath).transform(test)
     return (
@@ -903,7 +903,11 @@ def ml_survival_aft(spark: SparkSession, sf_dir: str) -> DataFrame:
     events (label = hours to failure); machines whose first failure
     falls after the horizon are right-censored at it — included with
     censor=0, exactly the rows a naive regressor would have to throw
-    away. Features: activity rate and mean reading. MLlib AFT fits a
+    away. Features: activity rate and mean reading, computed ONLY
+    from events inside each machine's own observation window
+    (strictly before the failure for observed machines, up to the
+    horizon for censored ones) — the label's information is never
+    visible to the features. MLlib AFT fits a
     Weibull model distributed (iterative L-BFGS over partitioned
     gradients). Output: per-machine predicted median time-to-failure
     for the 15 lowest ids. Rows-only (iterative solver); fit sanity
@@ -915,17 +919,43 @@ def ml_survival_aft(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.timeutil import epoch_us
 
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events")
-    per = ev.groupBy("user_id").agg(
-        F.min(epoch_us(F.col("ts"))).alias("t0"),
-        F.max(epoch_us(F.col("ts"))).alias("t_end"),
-        F.min(
-            F.when(F.col("event_type") == "error", epoch_us(F.col("ts")))
-        ).alias("t_err"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.avg(F.round(F.col("value") * 100)).alias("avg_cents"),
+    # Point-in-time features: every per-machine aggregate below is
+    # restricted to the rows a model trained "as of" the label time
+    # could have seen — strictly before the failure for observed
+    # machines, up to the 24 h horizon for censored ones. Computing
+    # t0/t_err as window minima first (one shuffle on user_id, which
+    # the groupBy then reuses) lets the feature aggregates condition
+    # each event row on its own machine's observation end.
+    w = Window.partitionBy("user_id")
+    rows = ev.select(
+        "user_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        (F.col("event_type") == "error").alias("is_err"),
+        F.round(F.col("value") * 100).alias("cents"),
+    ).select(
+        "*",
+        F.min("ts_us").over(w).alias("t0"),
+        F.min(F.when(F.col("is_err"), F.col("ts_us"))).over(w).alias("t_err"),
     )
     cutoff = F.col("t0") + F.lit(24 * 3.6e9)  # 24 h in microseconds
+    observed = F.col("t_err").isNotNull() & (F.col("t_err") <= cutoff)
+    # Observation window end: the label time. Features use ts < t_err
+    # for failed machines (the failure event itself is the label, not
+    # a feature) and ts <= cutoff for censored ones.
+    in_obs = F.when(
+        observed, F.col("ts_us") < F.col("t_err")
+    ).otherwise(F.col("ts_us") <= cutoff)
+    per = rows.groupBy("user_id").agg(
+        F.min("t0").alias("t0"),
+        F.min("t_err").alias("t_err"),
+        F.count(F.when(in_obs, 1)).alias("n_obs"),
+        F.max(F.when(in_obs, F.col("ts_us"))).alias("t_end_obs"),
+        F.avg(F.when(in_obs, F.col("cents"))).alias("avg_cents_obs"),
+    )
+    cutoff = F.col("t0") + F.lit(24 * 3.6e9)
     observed = F.col("t_err").isNotNull() & (F.col("t_err") <= cutoff)
     data = per.select(
         "user_id",
@@ -942,11 +972,20 @@ def ml_survival_aft(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0 / 3600.0),
         ).alias("label_h"),
         observed.cast("double").alias("censor"),
+        # A machine whose first event IS the failure has an empty
+        # feature window: rate 0, mean reading 0 — deterministic
+        # "no information yet" encoding, not a dropped row.
         (
-            F.col("n_events")
-            / ((F.col("t_end") - F.col("t0")) / 3.6e9 + F.lit(1.0))
+            F.col("n_obs")
+            / (
+                (F.coalesce(F.col("t_end_obs"), F.col("t0")) - F.col("t0"))
+                / 3.6e9
+                + F.lit(1.0)
+            )
         ).alias("rate"),
-        (F.col("avg_cents") / 100).alias("avg_val"),
+        (F.coalesce(F.col("avg_cents_obs"), F.lit(0.0)) / 100).alias(
+            "avg_val"
+        ),
     )
     feats = VectorAssembler(
         inputCols=["rate", "avg_val"], outputCol="features"
@@ -982,7 +1021,7 @@ SELECT EXTRACT(YEAR FROM o_orderdate) AS order_year, o_orderpriority,
          AS total_cents
 FROM orders GROUP BY 1, 2
 """,
-    tags=("analytics", "incremental"),
+    tags=("analytics", "incremental", "eager-io"),
 )
 def rel_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance for a distributive aggregate: a
@@ -997,7 +1036,7 @@ def rel_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: at 100 TB the base aggregate is orders of magnitude
     smaller than the fact table; the daily refresh touches only the
     new partition plus the compact aggregate state."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     o = _t(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("order_year"),
@@ -1011,7 +1050,7 @@ def rel_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
 
-    base_path = tempfile.mkdtemp(prefix="rtpmdp_ivm_") + "/base_agg"
+    base_path = scratch_dir(prefix="rtpmdp_ivm_") + "/base_agg"
     agg(o.filter(F.col("order_year") < 1997)).write.parquet(base_path)
     base = spark.read.parquet(base_path)
     delta = agg(o.filter(F.col("order_year") >= 1997))
@@ -1758,7 +1797,7 @@ SELECT 1996 AS order_year, COUNT(*) AS n
 FROM orders
 WHERE EXTRACT(YEAR FROM o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'
 """,
-    tags=("source", "partitioning"),
+    tags=("source", "partitioning", "eager-io"),
 )
 def src_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition overwrite — the idempotent daily-batch
@@ -1768,12 +1807,12 @@ def src_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole table). Here the 1996 partition is rewritten to just its
     urgent orders; the readback proves 1996 shrank and all other
     years survived byte-for-byte."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     o = _t(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate")
     )
-    path = tempfile.mkdtemp(prefix="rtpmdp_dynover_")
+    path = scratch_dir(prefix="rtpmdp_dynover_")
     o.write.mode("overwrite").partitionBy("order_year").parquet(path)
     (
         o.filter(
@@ -1800,7 +1839,7 @@ FROM (
 )
 GROUP BY n_regionkey
 """,
-    tags=("source",),
+    tags=("source", "eager-io"),
 )
 def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on the lake: two parquet batches with
@@ -1808,10 +1847,10 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mergeSchema`` reads the union schema with nulls for the missing
     column in old files — the append-only evolution contract every
     long-lived ingest pipeline depends on."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     n = _t(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="rtpmdp_evolve_")
+    path = scratch_dir(prefix="rtpmdp_evolve_")
     n.filter(F.col("n_nationkey") % 2 == 0).write.parquet(f"{path}/b=0")
     n.filter(F.col("n_nationkey") % 2 == 1).withColumn(
         "n_comment_len", F.length("n_name")
@@ -1832,7 +1871,7 @@ SELECT COUNT(*) FILTER (WHERE n_nationkey % 5 <> 0) AS n_good,
        COUNT(*) FILTER (WHERE n_nationkey % 5 = 0) AS n_quarantined
 FROM nation
 """,
-    tags=("source", "quality"),
+    tags=("source", "quality", "eager-io", "caches"),
 )
 def src_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-record quarantine on a batch CSV ingest (the batch
@@ -1842,10 +1881,10 @@ def src_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     of killing the job; the pipeline splits good rows from the
     quarantine count. Every 5th row is deterministically corrupted at
     write time to exercise the path."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     n = _t(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="rtpmdp_badcsv_")
+    path = scratch_dir(prefix="rtpmdp_badcsv_")
     lines = n.select(
         F.concat_ws(
             ",",

@@ -166,7 +166,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
 
 
-@register("dedup_minhash_lsh", oracle=None, bench=True, tags=("dedup", "approx"))
+@register("dedup_minhash_lsh", oracle=None, bench=True, tags=("dedup", "approx", "caches"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH near-dup pairs (approx candidates, exact
     verify, Jaccard ≥ 0.9). Rows-only check; recall vs the exact
@@ -345,10 +345,10 @@ WITH h AS (
   SELECT doc_id, hx, n, GREATEST(1, n // 1024) AS stride FROM h
 )
 SELECT doc_id, 1024 AS n_bytes, 32 AS width, 32 AS height,
-       list_sum(list_transform(range(0, 16),
+       CAST(list_sum(list_transform(range(0, 16),
          i -> CASE WHEN i * stride < n
                    THEN CAST(CAST(concat('0x', substring(hx, 2*i*stride+1, 2)) AS INTEGER) AS BIGINT)
-                   ELSE 0 END)) AS out16
+                   ELSE 0 END)) AS BIGINT) AS out16
 FROM p
 """,
     tags=("multimodal",),
@@ -451,7 +451,7 @@ def doc_punct_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters", oracle=None, tags=("dedup", "approx"))
+@register("dedup_clusters", oracle=None, tags=("dedup", "approx", "caches"))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster summary: LSH pairs → connected components →
     per-cluster size + keeper. Iterative (label propagation) — rows-only;
@@ -594,7 +594,7 @@ FROM train t JOIN bench b ON t.gram = b.gram
 GROUP BY t.doc_id, t.n_grams
 HAVING ROUND(COUNT(*) * 1.0 / t.n_grams, 4) >= 0.5
 """,
-    tags=("text", "dedup"),
+    tags=("text", "dedup", "caches"),
 )
 def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination by n-gram containment: flag training

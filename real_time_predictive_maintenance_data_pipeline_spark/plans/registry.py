@@ -11,7 +11,11 @@ Oracle-parity conventions (keep these or hashes diverge):
 - Alias every computed column IDENTICALLY in Spark and SQL.
 - Round every floating aggregate to 4 decimals on BOTH sides (summation
   order differs between engines; raw double sums never hash-match).
-- Cast DuckDB ``SUM(int)`` (HUGEINT) to BIGINT to match Spark's long.
+- Cast every HUGEINT-returning DuckDB aggregate (``SUM(int)``,
+  ``count_if``, ...) to BIGINT to match Spark's long: pandas
+  materializes HUGEINT as float64, and the driver's value hash is
+  dtype-sensitive, so 1996 vs 1996.0 hash-differ (the r03
+  ``rel_agg_bool_bit`` fail).
 - Never emit raw timestamps: project dates via ``yyyy-MM-dd`` strings
   and timestamps via Unix-microsecond bigints on both sides.
 - Rounded floats that can land near zero need ``+ 0.0`` on BOTH sides:
@@ -64,13 +68,78 @@ _REGISTRY: dict[str, Query] = {}
 # whole catalog has driver rows. ``tools/check_window.py`` asserts the window
 # arithmetic (len(_RECHECK_FIRST) + len(_WINDOW_PRIORITY) == 50, no overlap,
 # no verified name inside the window without a recheck reason).
-_RECHECK_FIRST: tuple[str, ...] = ()
+_RECHECK_FIRST: tuple[str, ...] = (
+    # r03's one red row: oracle count_if returned HUGEINT -> pandas float64
+    # vs Spark int64 (values identical). Oracle now casts to BIGINT; must
+    # re-verify hash-green this round.
+    "rel_agg_bool_bit",
+)
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # round-3 window: the 49 oracled queries without a driver row yet, plus
-    # telemetry_artifact_score (rows-only: sklearn scoring has no SQL oracle,
-    # but the reference's joblib artifact contract needs a driver row).
-    # Scalar-function surface (SURVEY §2.2) — what users hit constantly
+    # round-4 window: 1 recheck above + the 49 names below = 50. Packs all
+    # 43 not-yet-verified ORACLED queries (round-3 wave) first, then 6
+    # rows-only ones whose correctness lives in local recall/equality gates.
+    # Curation / dedup wave (plans/curation.py, plans/llm.py)
+    "doc_chunk_dedup",
+    "doc_span_dedup",
+    "doc_bm25_search",
+    "doc_bigram_lm",
+    "doc_char_entropy",
+    "doc_curation_funnel",
+    "doc_domain_mix_weights",
+    "doc_dsir_importance",
+    "doc_ngram_novelty",
+    "doc_stable_sample",
+    "doc_vocab_growth",
+    "emb_coreset_per_label",
+    # Behavioral analytics / time-series wave
+    "events_retention_cohorts",
+    "events_funnel_steps",
+    "events_mad_outliers",
+    "events_markov_transitions",
+    "events_top_paths",
+    "events_rolling_active_users",
+    "rel_pareto_cumshare",
+    "ts_stl_decompose",
+    "ts_cusum_changepoint",
+    "ts_interpolate_linear",
+    "ts_mtbf_stats",
+    "ts_seasonal_hour_profile",
+    "ts_resample_ohlc",
+    "ts_ewma_last",
+    # Lake / CDC robustness set
+    "rel_changelog_apply",
+    "rel_dq_expectations",
+    "src_bucketed_join",
+    "src_dynamic_overwrite",
+    "src_schema_evolution",
+    "src_csv_quarantine",
+    "src_compaction",
+    "rel_zorder_key",
+    # Relational long tail
+    "rel_window_ignore_nulls",
+    "rel_regexp_funcs",
+    "rel_mode_per_group",
+    "rel_count_distinct_multi",
+    "rel_session_window_builtin",
+    "rel_incremental_agg_refresh",
+    "rel_observe_metrics",
+    "rel_heavy_hitters",
+    "graph_triangle_count",
+    # rows-only (6): local gates are the correctness signal; driver records
+    # a rows-only row so every catalog query eventually has one.
+    "dedup_simhash_banded",
+    "mm_phash_neardup",
+    "sim_pq_adc_topk",
+    "sim_ivf_pq_topk",
+    "sem_dedup",
+    "ml_als_recommend",
+)
+
+_DRIVER_VERIFIED: tuple[str, ...] = (
+    # round 3 (CORRECTNESS_r03.json): 48 hash-green + 1 rows-only by
+    # contract (telemetry_artifact_score). rel_agg_bool_bit (the 50th) is
+    # in _RECHECK_FIRST, not here.
     "rel_string_funcs",
     "rel_date_funcs",
     "rel_case_when",
@@ -84,40 +153,32 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "rel_map_funcs",
     "rel_explode",
     "rel_variant_semistructured",
-    # aggregates / analytics
     "rel_distinct_rows",
     "rel_percentiles",
     "rel_string_agg",
     "rel_arg_minmax",
     "rel_corr_covar",
     "rel_skew_kurtosis",
-    "rel_agg_bool_bit",
     "rel_histogram",
     "rel_unpivot",
     "rel_grouped_regression",
     "rel_profile_columns",
     "rel_rollup_reuse",
     "rel_latest_by_key",
-    # subqueries / lateral
     "rel_exists_subquery",
     "rel_not_in_subquery",
     "rel_lateral_topk",
-    # time-series
     "rel_events_hourly",
     "rel_sessionize",
     "ts_gap_fill_hourly",
     "rel_interval_join_banded",
     "rel_rolling_zscore",
-    # pandas-UDF / UDTF surface
     "rel_grouped_median_pandas",
     "rel_python_udtf",
-    # sources
     "src_xml_roundtrip",
     "src_binaryfile_ingest",
-    # CDC
     "rel_merge_upsert",
     "rel_scd2_history",
-    # round-2 LLM-pipeline operators
     "emb_normalize",
     "sim_hard_negatives",
     "doc_keep_decision",
@@ -127,11 +188,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_tfidf_top_terms",
     "emb_dim_stats",
     "emb_centroid_outliers",
-    # rows-only: reference joblib artifact contract (O22/O26 parity)
     "telemetry_artifact_score",
-)
-
-_DRIVER_VERIFIED: tuple[str, ...] = (
     # round 2 (CORRECTNESS_r02.json): 43 hash-green + 7 rows-only by contract
     "emb_quantize_int8",
     "doc_winnow",

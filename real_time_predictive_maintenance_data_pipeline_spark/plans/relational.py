@@ -1300,16 +1300,16 @@ def rel_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
 FROM nation GROUP BY n_regionkey
 """,
-    tags=("source",),
+    tags=("source", "eager-io"),
 )
 def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV sink + source (O21 parity surface): write nation to CSV with
     header, read it back with an explicit schema, aggregate. Proves the
     csv connector round-trips values losslessly."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     n = _t(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="rtpmdp_csv_")
+    path = scratch_dir(prefix="rtpmdp_csv_")
     n.write.mode("overwrite").option("header", True).csv(path)
     back = (
         spark.read.option("header", True)
@@ -1332,7 +1332,7 @@ FROM orders
 WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
 GROUP BY 1, 2
 """,
-    tags=("source", "partitioning"),
+    tags=("source", "partitioning", "eager-io"),
 )
 def src_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned dataset write + partition-pruned read: the
@@ -1341,12 +1341,12 @@ def src_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     side never touches non-matching directories (PartitionFilters in the
     scan, asserted in tests/test_scale_plans.py) — pruning happens at
     planning time from the file listing, zero data IO for other years."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     o = _t(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate")
     )
-    path = tempfile.mkdtemp(prefix="rtpmdp_part_")
+    path = scratch_dir(prefix="rtpmdp_part_")
     o.write.mode("overwrite").partitionBy("order_year").parquet(path)
     back = spark.read.parquet(path).filter(F.col("order_year") == 1996)
     return back.groupBy(
@@ -1362,15 +1362,15 @@ def src_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r_regionkey, r_name FROM region
 """,
-    tags=("source",),
+    tags=("source", "eager-io"),
 )
 def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink + source with gzip (O6/O14 batch surface): write
     region as gzipped JSON, read it back schema-first."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     r = _t(spark, sf_dir, "region")
-    path = tempfile.mkdtemp(prefix="rtpmdp_json_")
+    path = scratch_dir(prefix="rtpmdp_json_")
     r.write.mode("overwrite").option("compression", "gzip").json(path)
     back = spark.read.schema("r_regionkey BIGINT, r_name STRING").json(path)
     return back.select("r_regionkey", "r_name")
@@ -1747,16 +1747,16 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT s_nationkey, COUNT(*) AS n_suppliers, ROUND(SUM(s_acctbal), 4) AS total_bal
 FROM supplier GROUP BY s_nationkey
 """,
-    tags=("source",),
+    tags=("source", "eager-io"),
 )
 def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + source (columnar alternative to parquet, zlib-
     compressed): write supplier to ORC, read it back, aggregate —
     proves lossless round-trip through the second columnar format."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     s = _t(spark, sf_dir, "supplier")
-    path = tempfile.mkdtemp(prefix="rtpmdp_orc_")
+    path = scratch_dir(prefix="rtpmdp_orc_")
     s.write.mode("overwrite").option("compression", "zlib").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("s_nationkey").agg(
@@ -1931,7 +1931,7 @@ SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
 FROM events
 GROUP BY 1, 2 ORDER BY day, event_type
 """,
-    tags=("agg", "rollup"),
+    tags=("agg", "rollup", "eager-io"),
 )
 def rel_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate pattern (hypertable-style rollup): daily
@@ -1943,7 +1943,7 @@ def rel_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     table ~3-4 orders of magnitude smaller than raw events; every
     coarser query (day/week/month) reads it instead of the fact table.
     """
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     ev = _t(spark, sf_dir, "events")
     hourly = ev.groupBy(
@@ -1953,7 +1953,7 @@ def rel_rollup_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("total_value"),
     )
     # materialize the rollup (the "continuous aggregate" table)
-    path = tempfile.mkdtemp(prefix="rtpmdp_rollup_")
+    path = scratch_dir(prefix="rtpmdp_rollup_")
     hourly.write.mode("overwrite").parquet(path)
     rolled = spark.read.parquet(path)
 
@@ -2311,17 +2311,17 @@ def rel_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COUNT(*) AS n, MIN(n_name) AS first_name, MAX(LENGTH(n_name)) AS max_len
 FROM nation
 """,
-    tags=("source",),
+    tags=("source", "eager-io"),
 )
 def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-oriented text sink + source: write one name per line, read
     back as the bare `value` column, aggregate. The text connector is
     the degenerate schema case (single string column) — completes the
     csv/json/orc/parquet source matrix."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     n = _t(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="rtpmdp_text_")
+    path = scratch_dir(prefix="rtpmdp_text_")
     n.select(F.col("n_name").alias("value")).write.mode("overwrite").text(path)
     back = spark.read.text(path)
     return back.agg(
@@ -3050,7 +3050,7 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        bool_and(l_quantity >= 1)               AS all_qty_pos,
        bool_or(l_discount > 0.09)              AS any_big_disc,
-       count_if(l_quantity > 45)               AS n_heavy,
+       CAST(count_if(l_quantity > 45) AS BIGINT) AS n_heavy,
        bit_and(CAST(l_linenumber AS BIGINT))   AS ln_and,
        bit_or(CAST(l_linenumber AS BIGINT))    AS ln_or,
        bit_xor(CAST(l_linenumber AS BIGINT))   AS ln_xor,
@@ -3064,7 +3064,13 @@ def rel_agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-ins — the long tail of the aggregate function surface, all
     single-pass mergeable JVM aggs. median() is selection-based (no
     summation), so it hash-matches across engines without rounding
-    (see registry conventions on preferring selection stats)."""
+    (see registry conventions on preferring selection stats).
+
+    Oracle note: DuckDB ``count_if`` returns HUGEINT, which pandas
+    materializes as float64 while Spark emits int64 — the r03 driver
+    hash failed on exactly this dtype-class drift even though all
+    values were identical. The oracle casts it to BIGINT per the
+    registry HUGEINT convention."""
     l = _t(spark, sf_dir, "lineitem")
     ln = F.col("l_linenumber").cast("long")
     return l.groupBy("l_returnflag").agg(
@@ -3337,17 +3343,17 @@ SELECT s_nationkey, COUNT(*) AS n_suppliers,
        ROUND(SUM(ROUND(s_acctbal * 100)) / 100, 2) AS total_bal
 FROM supplier GROUP BY s_nationkey
 """,
-    tags=("source",),
+    tags=("source", "eager-io"),
 )
 def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink + source (built-in connector since Spark 4): write
     supplier rows as <supplier> elements, read them back with an
     explicit schema, aggregate. Exact integer cents for the balance sum
     (registry float conventions)."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_acctbal")
-    path = tempfile.mkdtemp(prefix="rtpmdp_xml_")
+    path = scratch_dir(prefix="rtpmdp_xml_")
     s.write.mode("overwrite").format("xml").option("rootTag", "suppliers").option(
         "rowTag", "supplier"
     ).save(path)
@@ -3407,7 +3413,7 @@ def rel_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT CAST(SUM(octet_length(encode(text)) + 1) AS BIGINT) AS total_bytes
 FROM documents WHERE doc_id < 50
 """,
-    tags=("source", "multimodal"),
+    tags=("source", "multimodal", "eager-io"),
 )
 def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source (built-in): ingest opaque files as
@@ -3416,10 +3422,10 @@ def src_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     written as text part-files, re-ingested as raw bytes; the oracle
     checks the partition-layout-independent invariant (total content
     bytes = text bytes + one newline per row)."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    path = tempfile.mkdtemp(prefix="rtpmdp_binf_")
+    path = scratch_dir(prefix="rtpmdp_binf_")
     d.select("text").write.mode("overwrite").text(path)
     files = (
         spark.read.format("binaryFile")
@@ -3759,7 +3765,7 @@ SELECT c.c_mktsegment, COUNT(*) AS n_orders,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
-    tags=("source", "partitioning", "join"),
+    tags=("source", "partitioning", "join", "eager-io"),
 )
 def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-table co-located join: orders and customer are both
@@ -3769,14 +3775,14 @@ def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     between re-shuffling the fact table on every join and paying the
     partitioning ONCE at write time; any downstream join or aggregate
     on the bucket key reuses the layout for free."""
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     # external tables at a fresh per-process path: a MANAGED bucketed
     # table's warehouse directory outlives the in-memory metastore, and
     # the next process dies with LOCATION_ALREADY_EXISTS on create
-    base = tempfile.mkdtemp(prefix="rtpmdp_bucketed_")
+    base = scratch_dir(prefix="rtpmdp_bucketed_")
     (
         o.write.mode("overwrite")
         .bucketBy(8, "o_custkey")
@@ -3968,7 +3974,7 @@ SELECT 32 AS n_files_before, 2 AS n_files_after,
          AS price_cents
 FROM orders
 """,
-    tags=("source", "maintenance"),
+    tags=("source", "maintenance", "eager-io"),
 )
 def src_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the lake maintenance pass that keeps
@@ -3981,10 +3987,10 @@ def src_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxRecordsPerFile bounding output size; compaction is a map-only
     shuffle-write, no aggregation."""
     import glob as _glob
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     o = _t(spark, sf_dir, "orders")
-    base = tempfile.mkdtemp(prefix="rtpmdp_compact_")
+    base = scratch_dir(prefix="rtpmdp_compact_")
     o.repartition(32).write.mode("overwrite").parquet(f"{base}/frag")
     n_before = len(_glob.glob(f"{base}/frag/part-*.parquet"))
     frag = spark.read.parquet(f"{base}/frag")

@@ -112,7 +112,7 @@ def telemetry_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("telemetry_artifact_score", oracle=None, tags=("telemetry", "ml"))
+@register("telemetry_artifact_score", oracle=None, tags=("telemetry", "ml", "eager-io"))
 def telemetry_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O22/O26 artifact parity: persist a model artifact (joblib when
     installed — the reference's format, realtime_inference.py:58-65 —
@@ -122,7 +122,7 @@ def telemetry_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     region is pinned in tests/test_ml.py; rows-only here (model +
     generated inputs live outside the oracle tables)."""
     import os
-    import tempfile
+    from ..sources.scratch import scratch_dir
 
     from ..ml.artifact import (
         score_with_artifact,
@@ -135,7 +135,7 @@ def telemetry_artifact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # path in the shared temp dir both races concurrent drivers and is
         # an unpickle-from-world-writable-location hazard on shared hosts
         path = os.path.join(
-            tempfile.mkdtemp(prefix="rtpmdp_artifact_"), "rf_artifact.bin"
+            scratch_dir(prefix="rtpmdp_artifact_"), "rf_artifact.bin"
         )
         save_artifact(train_reference_artifact(historical_telemetry(spark)), path)
         _MODEL_CACHE["artifact_path"] = path

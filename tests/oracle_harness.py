@@ -41,6 +41,38 @@ def _canon(v: Any) -> Any:
     return v
 
 
+# The driver's value hash is computed over pandas frames and is
+# DTYPE-SENSITIVE: equal values in an int64 vs a float64 column hash
+# differently (r03 `rel_agg_bool_bit`: DuckDB count_if returns HUGEINT,
+# pandas materializes it float64, Spark emits int64 — values identical,
+# hash red). `_canon` deliberately compares 1996 == 1996.0 as equal, so
+# this drift is invisible to the value comparison; catch it by
+# comparing the pandas dtype *class* (int / float / bool) per column.
+_KIND_CLASS = {"i": "int", "u": "int", "b": "bool", "f": "float"}
+
+
+def _check_dtype_kinds(spark_cols, spark_rows, con, sql) -> None:
+    import pandas as pd
+
+    # pd.DataFrame over collected Row tuples mirrors toPandas for the
+    # numeric kinds: pure-int -> int64, int-with-null -> float64 (same
+    # promotion toPandas applies), bool -> bool, float -> float64.
+    spark_pdf = pd.DataFrame(spark_rows, columns=spark_cols)
+    duck_pdf = con.execute(sql).df()
+    duck_kinds = {c.lower(): s.dtype.kind for c, s in duck_pdf.items()}
+    drift = []
+    for c, s in spark_pdf.items():
+        sk = _KIND_CLASS.get(s.dtype.kind)
+        dk = _KIND_CLASS.get(duck_kinds.get(c.lower(), ""))
+        if sk and dk and sk != dk:
+            drift.append((c, f"spark={sk}", f"duck={dk}"))
+    assert not drift, (
+        f"numeric dtype-class drift (driver hash is dtype-sensitive): {drift}; "
+        "cast the DuckDB side (HUGEINT aggs -> CAST(... AS BIGINT)) or align "
+        "the Spark type"
+    )
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
@@ -96,3 +128,7 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
         (i, a, b) for i, (a, b) in enumerate(zip(s_set, d_set)) if a != b
     ]
     assert not mismatches, f"value mismatch (first 5): {mismatches[:5]}"
+
+    # Values agree — now assert the pandas dtype classes agree too (the
+    # driver's hash distinguishes them even when values are equal).
+    _check_dtype_kinds(spark_cols, spark_rows, con, sql)

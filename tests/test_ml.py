@@ -177,3 +177,43 @@ def test_survival_aft_fit_and_censoring(spark):
     # assertion above)
     classes = {r.failed for r in rows}
     assert classes == {0, 1}, classes
+
+
+def test_survival_aft_point_in_time_no_leakage(spark, tmp_path):
+    """Features must be invariant to events OUTSIDE each machine's
+    observation window (after the failure / past the 24 h horizon).
+    Append a burst of far-future extreme-value events to every machine
+    and assert the AFT output is bit-identical — if any feature read
+    future data (the pre-round-4 leak: rate/avg over full history),
+    the trained coefficients and predictions would shift."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    q = all_queries()["ml_survival_aft"].spark
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    future = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mx"), F.max("event_id").alias("mid"))
+        .select(
+            (F.col("mid") + 10_000_000).alias("event_id"),
+            # 10 days past everything: beyond any 24 h horizon and any
+            # observed failure time
+            F.timestamp_seconds(
+                F.unix_timestamp("mx") + 10 * 86400
+            ).alias("ts"),
+            "user_id",
+            F.lit("click").alias("event_type"),
+            F.lit(999999.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    ev.unionByName(future).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+
+    base = sorted(tuple(r) for r in q(spark, sf).collect())
+    poisoned = sorted(tuple(r) for r in q(spark, str(tmp_path)).collect())
+    assert base == poisoned

@@ -27,7 +27,14 @@ def duck():
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_match(spark, duck, name):
     q = QUERIES[name]
-    compare(q.spark(spark, SF_SMOKE), duck, q.oracle)
+    try:
+        compare(q.spark(spark, SF_SMOKE), duck, q.oracle)
+    finally:
+        if "caches" in q.tags:
+            # "caches"-tagged plans persist intermediates that outlive
+            # the returned DataFrame; drop them so the session-scoped
+            # SparkSession doesn't accumulate storage across the suite
+            spark.catalog.clearCache()
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
@@ -36,6 +43,8 @@ def test_rows_only_runs(spark, name):
     df = q.spark(spark, SF_SMOKE)
     assert df.columns  # stable schema
     assert df.count() >= 0
+    if "caches" in q.tags:
+        spark.catalog.clearCache()
 
 
 def test_approx_distinct_within_epsilon(spark):
@@ -95,3 +104,29 @@ def test_approx_quantile_within_rank_error(spark):
         lo50, hi50, lo95, hi95 = bands[k]
         assert lo50 <= p50 <= hi50, (k, p50, lo50, hi50)
         assert lo95 <= p95 <= hi95, (k, p95, lo95, hi95)
+
+
+def test_dtype_class_drift_caught_locally(spark, duck):
+    """Regression for the r03 `rel_agg_bool_bit` driver fail: DuckDB
+    count_if returns HUGEINT (pandas float64) while Spark emits int64;
+    values are identical, so a value-tolerant compare passes — but the
+    driver's hash is dtype-sensitive. The harness must now fail the
+    UNCAST oracle locally (before the driver does) and pass the cast
+    one (the registered query, covered by test_oracle_match)."""
+    from pyspark.sql import functions as F
+
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    sdf = l.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 45).alias("n_heavy")
+    )
+    uncast = (
+        "SELECT l_returnflag, count_if(l_quantity > 45) AS n_heavy "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    with pytest.raises(AssertionError, match="dtype-class drift"):
+        compare(sdf, duck, uncast)
+    cast = (
+        "SELECT l_returnflag, CAST(count_if(l_quantity > 45) AS BIGINT) "
+        "AS n_heavy FROM lineitem GROUP BY l_returnflag"
+    )
+    compare(sdf, duck, cast)

@@ -9,6 +9,10 @@ order. This check fails loudly if the rotation lists drift:
 - every listed name must exist in the catalog;
 - no _DRIVER_VERIFIED name may sit inside the window unless it is also
   in _RECHECK_FIRST (a deliberate re-check);
+- every query name present in a committed CORRECTNESS_r*.json must be
+  rotated into _DRIVER_VERIFIED (or sit in _RECHECK_FIRST) — this is
+  the "forgot to rotate" guard: the driver writes that file every
+  round, so a stale registry fails here immediately;
 - report how many catalog queries still lack any driver row.
 
 Run: ``python tools/check_window.py`` (exit 0 = window is sane).
@@ -60,6 +64,21 @@ def main() -> int:
         errors.append(
             "verified names inside _WINDOW_PRIORITY without a recheck "
             f"(wasted window slots): {sorted(stale)}"
+        )
+
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    driver_checked: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            driver_checked.update(json.load(f))
+    unrotated = sorted((driver_checked & names) - verified - recheck)
+    if unrotated:
+        errors.append(
+            "queries with driver rows not rotated into _DRIVER_VERIFIED "
+            f"(and not in _RECHECK_FIRST): {unrotated}"
         )
 
     unverified = [n for n in qs if n not in verified]
