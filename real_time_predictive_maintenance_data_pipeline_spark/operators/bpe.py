@@ -22,6 +22,11 @@ pattern, same as operators/dedup.min_label_components).
 
 from __future__ import annotations
 
+# module-scope: pandas_udf resolves stringified type hints (PEP 563)
+# against module globals, so `pd` must exist here, not inside the
+# enclosing function
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -143,3 +148,42 @@ def reference_bpe(
             new_hist[tuple(out)] = new_hist.get(tuple(out), 0) + n
         hist = new_hist
     return merges
+
+
+def encode_word(word: str, merge_seq: list[tuple[str, str]]) -> list[str]:
+    """Sequential BPE encode of one word: replay the learned merges in
+    training order with the identical left-to-right collapse — so a
+    word seen during training encodes to exactly the symbols the final
+    training histogram holds for it."""
+    syms: list[str] = list(word) + ["</w>"]
+    for a, b in merge_seq:
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def encode_words(
+    words: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Distributed BPE encoding of a (word) frame → (word,
+    n_bpe_tokens). The merge table is KiB-scale and ships to executors
+    inside the Arrow-batched pandas UDF's closure (the standard
+    broadcast-the-model shape); per-word work is
+    O(len(word) * n_merges) with no shuffle. Callers run this at
+    DISTINCT-word cardinality and join counts back to documents —
+    corpus volume never reaches Python."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merge_seq = [(a, b) for a, b, _ in merges]
+
+    @pandas_udf("int")
+    def _n_tokens(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: len(encode_word(w, merge_seq)))
+
+    return words.select("word", _n_tokens("word").alias("n_bpe_tokens"))

@@ -3,4 +3,4 @@ from .registry import Query, all_queries, get_query, register  # noqa: F401
 
 def load_all() -> None:
     """Import every catalog module so registration side-effects run."""
-    from . import curation, llm, relational, telemetry  # noqa: F401
+    from . import curation, governance, llm, relational, telemetry  # noqa: F401

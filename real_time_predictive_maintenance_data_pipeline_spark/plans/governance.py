@@ -1,0 +1,980 @@
+"""Round-4 wave: data-governance, curriculum, evaluation, and
+incremental-maintenance operators for the training-data pipeline.
+
+Fills the remaining gaps a 100 TB curation deployment hits after the
+round-1..3 surface (dedup/ANN/curation/analytics): text normalization,
+deterministic corpus shuffling + token-budget selection (curriculum
+construction), privacy gates (k-anonymity / l-diversity), statistical
+testing (Welch A/B t-test, chi-squared independence), ANN quality
+evaluation (recall@k of truncated "matryoshka" embeddings), GDPR-style
+partition-pruned delete rewrite, incremental re-crawl dedup against a
+base corpus, and BPE vocabulary APPLICATION (completing the round-3
+train step).
+
+Everything is DataFrame-declarative; SQL-expressible semantics carry a
+DuckDB oracle per the registry conventions (identical aliases, integer
+cents for money-like sums, index-order array folds, HUGEINT casts).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.vectors import as_double
+from ..operators.spread import spread
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_table(spark, sf_dir, "documents"))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Text normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_normalize_text",
+    oracle="""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       length(norm) AS n_chars_norm,
+       len(string_split(norm, ' ')) AS n_tokens_norm,
+       md5(norm) AS md5_norm
+FROM n
+""",
+    tags=("text",),
+)
+def doc_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the first stage of every corpus
+    pipeline (lowercase, strip non-alphanumerics, collapse runs of
+    whitespace, trim). Emitted as length/token-count plus an md5
+    checksum so the oracle verifies the normalized STRING byte-exactly
+    without shipping it through the hash canonicalizer.
+
+    Scale: per-row expression pipeline (map-only, whole-stage codegen,
+    no shuffle) — linear at any corpus size."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(norm).alias("n_chars_norm"),
+        F.size(F.split(norm, " ")).alias("n_tokens_norm"),
+        F.md5(norm).alias("md5_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum construction
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_SEED = "s42:"
+
+
+@register(
+    "doc_curriculum_order",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN q >= 0.75 THEN 0 WHEN q >= 0.6 THEN 1
+            WHEN q >= 0.45 THEN 2 ELSE 3 END AS bucket,
+       md5('{_CURRICULUM_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM (
+  SELECT doc_id,
+         ROUND(0.5 * LEAST(1.0, len(string_split(text, ' ')) / 50.0)
+             + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' '))), 4) AS q
+  FROM documents
+)
+""",
+    tags=("curation", "curriculum"),
+)
+def doc_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum ordering: fixed quality-threshold
+    buckets (best bucket first) with a seeded hash shuffle key inside
+    each bucket. The training order is ``ORDER BY (bucket,
+    shuffle_key)`` — reproducible across runs and engines (md5 of the
+    seeded id, not rand()), which is how large pretraining runs get
+    restartable data order.
+
+    Scale: bucket and key are per-row expressions (map-only). The
+    final order is a global range-partitioned sort on the emitted key
+    — Spark's sort scales to any corpus; no single-partition window
+    (an ntile/row_number curriculum would serialize the whole corpus
+    through one task, this formulation never does)."""
+    d = _docs(spark, sf_dir)
+    q = T.quality_score("text")
+    bucket = (
+        F.when(q >= 0.75, 0)
+        .when(q >= 0.6, 1)
+        .when(q >= 0.45, 2)
+        .otherwise(3)
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.md5(
+            F.concat(F.lit(_CURRICULUM_SEED), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+
+
+_TOKEN_BUDGET = 1500
+
+
+@register(
+    "doc_token_budget_select",
+    oracle=f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         ROUND(0.5 * LEAST(1.0, len(string_split(text, ' ')) / 50.0)
+             + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' '))), 4) AS quality
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens, quality,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT lang, doc_id, n_tokens, quality, cum_tokens
+FROM c WHERE cum_tokens <= {_TOKEN_BUDGET}
+""",
+    tags=("curation", "curriculum"),
+)
+def doc_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted selection: per language domain, take the
+    highest-quality documents until a token budget is exhausted — the
+    greedy knapsack every mixture-weighted pretraining corpus is
+    actually assembled with (domain budgets come from
+    doc_domain_mix_weights; this op spends them).
+
+    Scale: one shuffle on the domain key, then a running-sum window
+    inside each domain. Domains are few and fat — with a skewed giant
+    domain the window ordering becomes that domain's sort, which Spark
+    range-partitions; the budget filter prunes everything past the
+    cutoff before any downstream stage."""
+    d = _docs(spark, sf_dir)
+    q = d.select(
+        "doc_id",
+        "lang",
+        T.token_count("text").alias("n_tokens"),
+        T.quality_score("text").alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("lang", "doc_id", "n_tokens", "quality", "cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Privacy / governance gates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_k_anonymity",
+    oracle="""
+SELECT lang,
+       CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+       COUNT(*) AS group_n,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       COUNT(*) >= 5 AS meets_k5,
+       COUNT(DISTINCT source) >= 2 AS meets_l2
+FROM documents
+GROUP BY lang, CAST(n_chars // 100 AS BIGINT)
+""",
+    tags=("governance", "agg"),
+)
+def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifier groups
+    (language × length bucket): group sizes, distinct sensitive values
+    (source), and the k>=5 / l>=2 gates — the release check privacy
+    review runs before publishing a derived corpus.
+
+    Scale: one grouped aggregation on the QI key with partial
+    (map-side) aggregation; COUNT(DISTINCT) expands to the standard
+    two-phase distinct-aggregate plan. No joins, no windows."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(
+        "lang", (F.col("n_chars") / 100).cast("long").alias("len_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) >= 5).alias("meets_k5"),
+        (F.countDistinct("source") >= 2).alias("meets_l2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical testing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_ab_ttest",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END) AS DOUBLE) AS sca,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                            * CAST(ROUND(value * 100) AS BIGINT) END) AS DOUBLE) AS sca2,
+         CAST(SUM(CASE WHEN user_id % 2 = 1
+                       THEN CAST(ROUND(value * 100) AS BIGINT) END) AS DOUBLE) AS scb,
+         CAST(SUM(CASE WHEN user_id % 2 = 1
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                            * CAST(ROUND(value * 100) AS BIGINT) END) AS DOUBLE) AS scb2
+  FROM events GROUP BY event_type
+),
+w AS (
+  SELECT event_type, n_a, n_b,
+         sca / n_a / 100 AS mean_a, scb / n_b / 100 AS mean_b,
+         (sca2 - sca * sca / n_a) / (n_a - 1) / 10000 AS var_a,
+         (scb2 - scb * scb / n_b) / (n_b - 1) / 10000 AS var_b
+  FROM s
+)
+SELECT event_type, n_a, n_b,
+       ROUND(mean_a, 4) AS mean_a, ROUND(mean_b, 4) AS mean_b,
+       ROUND((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+       ROUND(pow(var_a / n_a + var_b / n_b, 2)
+             / (pow(var_a / n_a, 2) / (n_a - 1)
+                + pow(var_b / n_b, 2) / (n_b - 1)), 4) AS welch_df
+FROM w
+""",
+    tags=("analytics", "stats"),
+)
+def rel_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event type between two user
+    cohorts (user_id parity as the A/B assignment): cohort means,
+    t-statistic, and Welch–Satterthwaite degrees of freedom — the
+    experiment-analysis primitive computed entirely from sufficient
+    statistics.
+
+    Float parity: means/variances derive from EXACT integer-cent sums
+    (sum and sum-of-squares of ROUND(value*100) are integral doubles
+    < 2^53, so partial-agg order cannot perturb them); t and df are
+    then identical double expressions on both engines, rounded at the
+    edge. Scale: ONE map-side-combined conditional aggregation over
+    the fact at event_type grain — both cohorts' sufficient statistics
+    come out of the same pass (no self-join, no second fact scan;
+    plan-asserted in tests/test_governance.py)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    is_a = F.col("user_id") % 2 == 0
+    s = ev.groupBy("event_type").agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(~is_a, 1)).alias("n_b"),
+        F.sum(F.when(is_a, cents)).cast("double").alias("sca"),
+        F.sum(F.when(is_a, cents * cents)).cast("double").alias("sca2"),
+        F.sum(F.when(~is_a, cents)).cast("double").alias("scb"),
+        F.sum(F.when(~is_a, cents * cents)).cast("double").alias("scb2"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    mean_a = F.col("sca") / n_a / 100
+    mean_b = F.col("scb") / n_b / 100
+    var_a = (F.col("sca2") - F.col("sca") * F.col("sca") / n_a) / (n_a - 1) / 10000
+    var_b = (F.col("scb2") - F.col("scb") * F.col("scb") / n_b) / (n_b - 1) / 10000
+    se2 = var_a / n_a + var_b / n_b
+    return s.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round((mean_a - mean_b) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(var_a / n_a, 2) / (n_a - 1)
+                + F.pow(var_b / n_b, 2) / (n_b - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+    )
+
+
+@register(
+    "rel_chi_square",
+    oracle="""
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS obs
+  FROM documents GROUP BY lang, source
+),
+tot AS (
+  SELECT c.*,
+         SUM(obs) OVER (PARTITION BY lang) AS row_tot,
+         SUM(obs) OVER (PARTITION BY source) AS col_tot,
+         SUM(obs) OVER () AS n
+  FROM c
+),
+term AS (
+  SELECT pow(obs - row_tot * col_tot / n, 2) / (row_tot * col_tot / n) AS t,
+         lang, source
+  FROM tot
+)
+SELECT CAST((SELECT COUNT(*) FROM term) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT)
+         AS dof,
+       ROUND(list_reduce(list_prepend(0.0, (SELECT list(t ORDER BY t) FROM term)),
+             (a, b) -> a + b), 4) AS chi2
+FROM term
+""",
+    tags=("analytics", "stats"),
+)
+def rel_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between language and source —
+    "is the corpus mix balanced, or does each crawl source skew to its
+    own languages?" (it always does; this quantifies it for the
+    mixture-reweighting step).
+
+    Counts are exact integers; expected values and per-cell terms are
+    identical double expressions; the final sum folds a VALUE-SORTED
+    term list (registry convention for order-dependent double sums).
+    Scale: the contingency table is |langs|x|sources| rows — the only
+    full-data pass is the grouped count; everything after runs on the
+    tiny cell table."""
+    d = _docs(spark, sf_dir)
+    c = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    tot = c.select(
+        "lang",
+        "source",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("obs").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    term = tot.select(
+        "lang", "source", (F.pow(F.col("obs") - exp, 2) / exp).alias("t")
+    )
+    from ..functions.timeutil import ordered_fold_sum
+
+    return term.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).alias("dof"),
+        F.round(ordered_fold_sum(F.collect_list("t")), 4).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR-style delete (copy-on-write partition rewrite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_delete_where_rewrite",
+    oracle="""
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n_remaining
+FROM nation WHERE n_name NOT LIKE '%1'
+GROUP BY CAST(n_regionkey AS BIGINT)
+""",
+    tags=("cdc", "source", "eager-io"),
+)
+def rel_delete_where_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE WHERE over a partitioned parquet table
+    (the right-to-be-forgotten path every lakehouse needs without
+    Delta/Iceberg): identify the partitions containing matching rows,
+    rewrite ONLY those partitions with the surviving rows (dynamic
+    partition overwrite), leave every untouched partition's files
+    alone, then read the table back.
+
+    Scale: the delete predicate prunes the rewrite to affected
+    partitions — at 100 TB a user-id delete touches a handful of
+    partitions, not the table; dynamic overwrite mode is the exact
+    mechanism (spark.sql.sources.partitionOverwriteMode=dynamic means
+    only partitions present in the written frame are replaced). The
+    oracle is the logical post-delete table."""
+    from ..sources.scratch import scratch_dir
+
+    n = _t(spark, sf_dir, "nation").withColumn(
+        "n_regionkey", F.col("n_regionkey").cast("long")
+    )
+    path = scratch_dir("delete_cow_")
+    n.write.partitionBy("n_regionkey").mode("overwrite").parquet(path)
+
+    pred = F.col("n_name").like("%1")
+    # partitions that contain doomed rows — ONLY these are rewritten
+    hit = [
+        r.n_regionkey
+        for r in spark.read.parquet(path)
+        .filter(pred)
+        .select("n_regionkey")
+        .distinct()
+        .collect()
+    ]
+    survivors = (
+        spark.read.parquet(path)
+        .filter(F.col("n_regionkey").isin(hit) & ~pred)
+    )
+    with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.partitionBy("n_regionkey").mode("overwrite").parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        .agg(F.count(F.lit(1)).alias("n_remaining"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka embeddings + ANN quality evaluation
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIMS = 16
+
+
+@register(
+    "emb_matryoshka_truncate",
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0, list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS ss_full,
+         list_reduce(list_prepend(0.0, list_transform(embedding[1:{_TRUNC_DIMS}],
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b) AS ss16
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(sqrt(ss_full), 4) AS norm_full,
+       ROUND(sqrt(ss16), 4) AS norm_trunc,
+       ROUND(sqrt(ss16 / ss_full), 4) AS cos_vs_full
+FROM s
+""",
+    tags=("similarity", "array"),
+)
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimensionality truncation QA: norms of the
+    full vs first-16-dim embedding and the cosine between the full
+    vector and its truncation (algebraically sqrt(ss16/ss_full)) — the
+    per-vector report that tells you how much signal a cheaper prefix
+    index retains before you build one.
+
+    Scale: map-only higher-order expressions, index-order folds on
+    both engines (no sort needed: both fold the array left-to-right).
+    """
+    e = _t(spark, sf_dir, "embeddings")
+    emb = as_double("embedding")
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    ss_full = sq(emb)
+    ss16 = sq(F.slice(emb, 1, _TRUNC_DIMS))
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(ss_full), 4).alias("norm_full"),
+        F.round(F.sqrt(ss16), 4).alias("norm_trunc"),
+        F.round(F.sqrt(ss16 / ss_full), 4).alias("cos_vs_full"),
+    )
+
+
+_RECALL_K = 5
+_RECALL_NQ = 10
+
+
+@register(
+    "emb_recall_eval",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {_RECALL_NQ}),
+e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT q.query_id, e.vec_id,
+         list_reduce(list_prepend(0.0, list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+             (a, b) -> a + b)
+           / sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+           / sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+           AS cos_full,
+         list_reduce(list_prepend(0.0, list_transform(range(1, {_TRUNC_DIMS} + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))),
+             (a, b) -> a + b)
+           / sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding[1:{_TRUNC_DIMS}],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+           / sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe[1:{_TRUNC_DIMS}],
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+           AS cos_trunc
+  FROM q CROSS JOIN e
+  WHERE q.query_id <> e.vec_id
+),
+r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_full DESC, vec_id)
+           AS rk_full,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_trunc DESC, vec_id)
+           AS rk_trunc
+  FROM p
+)
+SELECT query_id,
+       COUNT(CASE WHEN rk_full <= {_RECALL_K} AND rk_trunc <= {_RECALL_K}
+                  THEN 1 END) AS n_overlap,
+       ROUND(COUNT(CASE WHEN rk_full <= {_RECALL_K} AND rk_trunc <= {_RECALL_K}
+                        THEN 1 END) / {_RECALL_K}.0, 4) AS recall_at_k
+FROM r GROUP BY query_id
+""",
+    tags=("similarity", "eval"),
+)
+def emb_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of a truncated-dimension
+    (matryoshka prefix) index against full-dimension brute force for a
+    query sample — the measurement that decides whether the cheap
+    index is good enough to deploy. This is the evaluation harness for
+    every approximate method in operators/similarity.py, expressed as
+    one plan.
+
+    Scale: the query side is a small fixed sample — broadcast against
+    the corpus, so the scan is map-only (O(n_queries * corpus), the
+    honest brute-force eval cost); both rankings come from the same
+    pass, then two per-query windows rank a corpus-sized but
+    query-partitioned frame. The oracle is the identical computation
+    in SQL (index-order folds, same tie-break)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < _RECALL_NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    emb = as_double("embedding")
+    qe = as_double("qe")
+
+    def _ss(c):
+        return F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(emb, qe) / F.sqrt(_ss(emb)) / F.sqrt(_ss(qe))
+            ).alias("cos_full"),
+            (
+                _dot(F.slice(emb, 1, _TRUNC_DIMS), F.slice(qe, 1, _TRUNC_DIMS))
+                / F.sqrt(_ss(F.slice(emb, 1, _TRUNC_DIMS)))
+                / F.sqrt(_ss(F.slice(qe, 1, _TRUNC_DIMS)))
+            ).alias("cos_trunc"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), "vec_id")
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cos_trunc"), "vec_id")
+    r = pairs.select(
+        "query_id",
+        F.row_number().over(wf).alias("rk_full"),
+        F.row_number().over(wt).alias("rk_trunc"),
+    )
+    both = (F.col("rk_full") <= _RECALL_K) & (F.col("rk_trunc") <= _RECALL_K)
+    return r.groupBy("query_id").agg(
+        F.count(F.when(both, 1)).alias("n_overlap"),
+        F.round(F.count(F.when(both, 1)) / F.lit(float(_RECALL_K)), 4).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental re-crawl dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+WITH batch AS (
+  SELECT doc_id + 1000000 AS new_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS new_id, text || ' v2' FROM documents
+  WHERE doc_id % 10 = 3
+)
+SELECT b.new_id,
+       CASE WHEN MIN(d.doc_id) IS NULL THEN 'new' ELSE 'dup_of_base' END
+         AS status,
+       MIN(d.doc_id) AS dup_of
+FROM batch b LEFT JOIN documents d ON b.text = d.text
+GROUP BY b.new_id
+""",
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a freshly crawled batch (simulated
+    re-crawl — every 5th doc reappears verbatim under a new id, every
+    10th arrives genuinely changed) is checked against the EXISTING
+    corpus only. This is the shape continuous pipelines actually run:
+    the daily delta dedups against the base index, never a full-corpus
+    re-dedup.
+
+    Scale: the join key is the 256-bit content digest, so the shuffle
+    moves 32-byte keys instead of document bodies, and only
+    batch-plus-matching-digest rows move at all; in production the
+    base side is the persisted digest index (bucketed on digest), so
+    the probe prunes to matching buckets. Raw-text equality is kept in
+    the join condition to resolve (astronomically unlikely) digest
+    collisions exactly like the oracle's text join."""
+    d = _docs(spark, sf_dir)
+    batch = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1000000).alias("new_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 3).select(
+                (F.col("doc_id") + 2000000).alias("new_id"),
+                F.concat("text", F.lit(" v2")).alias("text"),
+            )
+        )
+        .withColumn("dg", F.sha2("text", 256))
+    )
+    base = d.select("doc_id", F.col("text").alias("btext")).withColumn(
+        "dg", F.sha2("btext", 256)
+    )
+    j = batch.join(
+        base, (batch.dg == base.dg) & (batch.text == base.btext), "left"
+    )
+    return j.groupBy("new_id").agg(
+        F.when(F.min("doc_id").isNull(), F.lit("new"))
+        .otherwise(F.lit("dup_of_base"))
+        .alias("status"),
+        F.min("doc_id").alias("dup_of"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary application (encode)
+# ---------------------------------------------------------------------------
+
+
+@register("doc_bpe_encode", oracle=None, tags=("text", "tokenizer"))
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a trained BPE vocabulary to the corpus — the encode half
+    of the round-3 ``doc_bpe_vocab`` train step: per document, the
+    token count under the learned merges and the compression vs
+    whitespace/character tokenization. Rows-only (the encoder is
+    procedural); tests/test_governance.py pins every distinct word's
+    encoding against the sequential reference encoder.
+
+    Scale: merges are trained once and broadcast (KiB); ENCODING runs
+    at distinct-word cardinality (the same vocabulary-histogram trick
+    as training — a word's encoding doesn't depend on its context), as
+    an Arrow-batched pandas UDF, then token counts re-attach to docs
+    through a word join that AQE plans as broadcast when the vocab is
+    small. Corpus volume only ever flows through the narrow
+    (doc_id, word) explode."""
+    from ..operators.bpe import encode_words, train_bpe
+
+    d = _docs(spark, sf_dir)
+    merges, _ = train_bpe(d, n_merges=20)
+
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    encoded = encode_words(words, merges)  # (word, n_bpe_tokens)
+
+    doc_words = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.length("text").alias("n_chars"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        doc_words.join(encoded, "word")
+        .groupBy("doc_id", "n_ws_tokens", "n_chars")
+        .agg(F.sum("n_bpe_tokens").alias("n_bpe_tokens"))
+        .select(
+            "doc_id",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence analytics: gaps & islands
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_n
+  FROM events
+),
+i AS (
+  SELECT user_id, day_n,
+         day_n - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_n)
+           AS island
+  FROM d
+),
+s AS (
+  SELECT user_id, island, COUNT(*) AS streak_len
+  FROM i GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+FROM s GROUP BY user_id
+""",
+    tags=("analytics", "sequence"),
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, consecutive-active-day streaks via
+    the classic day-number-minus-row-number island key — engagement
+    streak length is the canonical sequence statistic every product
+    analytics stack computes (and the same shape finds uptime islands
+    in machine telemetry).
+
+    Scale: distinct (user, day) first — the fact collapses to at most
+    users x days rows before the window; then ONE shuffle on user_id
+    that the island window, island grouping, and final per-user
+    aggregate all reuse (same key, no further exchange)."""
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.floor(epoch_us(F.col("ts")) / F.lit(86400_000_000)).alias("day_n"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_n")
+    i = d.withColumn("island", F.col("day_n") - F.row_number().over(w))
+    s = i.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return s.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_basket_pairs_lift",
+    oracle="""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM d),
+pc AS (SELECT l_partkey, COUNT(*) AS n_part FROM d GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+       CAST(ca.n_part AS BIGINT) AS n_a,
+       CAST(cb.n_part AS BIGINT) AS n_b,
+       ROUND(p.n_ab * 1.0 * n.n_orders / (ca.n_part * cb.n_part), 4) AS lift
+FROM pairs p
+JOIN pc ca ON ca.l_partkey = p.part_a
+JOIN pc cb ON cb.l_partkey = p.part_b
+CROSS JOIN n
+WHERE p.n_ab >= 2
+""",
+    tags=("analytics", "join"),
+)
+def rel_basket_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs co-ordered in >= 2
+    orders with their lift (observed co-occurrence over the
+    independence expectation) — the frequent-itemset primitive behind
+    "customers also bought".
+
+    Scale: pair generation is a self-equi-join on the BASKET key, so
+    pairs only form inside one order (basket sizes are bounded — the
+    classic a-priori shape; never a cross-part cartesian); the n_ab>=2
+    support filter is the a-priori prune. Per-part supports and the
+    1-row order total re-attach by broadcast joins — nothing reshuffles
+    the pair table."""
+    l = _t(spark, sf_dir, "lineitem")
+    d = l.select("l_orderkey", "l_partkey").distinct()
+    n = d.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    pc = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ca = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    cb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus law fitting + lang-ID evaluation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_zipf_slope",
+    oracle="""
+WITH f AS (
+  SELECT w AS word, COUNT(*) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+r AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rnk
+  FROM f
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+       ROUND(regr_r2(ln(freq), ln(rnk)), 4) AS r2
+FROM r
+""",
+    tags=("text", "stats"),
+)
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: regression slope of
+    log frequency on log rank (natural text sits near -1; synthetic or
+    templated corpora deviate — a cheap corpus-health fingerprint the
+    curation report includes).
+
+    Scale: one explode + word count (map-side combined); the
+    rank window and the 2-variable regression run at VOCABULARY
+    cardinality. The global rank window is single-partition — but over
+    the vocab table, not the corpus (vocabulary grows ~ O(corpus^0.5)
+    by Heaps' law, so this stays driver-safe at 100 TB; for a
+    trillion-token vocab you'd range-partition the rank like
+    rel_zorder_key)."""
+    d = _docs(spark, sf_dir)
+    f = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "word")
+    r = f.select("freq", F.row_number().over(w).alias("rnk"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 4).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 4).alias("r2"),
+    )
+
+
+@register(
+    "doc_langid_confusion",
+    oracle="""
+WITH p AS (
+  SELECT lang AS actual,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the', 'a', 'of', 'and', 'to'))) >= 1
+              THEN 'en' ELSE 'und' END AS predicted
+  FROM documents
+)
+SELECT actual, predicted, COUNT(*) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY actual), 4)
+         AS frac_of_actual
+FROM p GROUP BY actual, predicted
+""",
+    tags=("text", "eval"),
+)
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the stopword-vote
+    lang-ID heuristic against the labeled lang column, with each
+    cell's share of its actual-language row — the quality report that
+    gates whether a classifier is good enough to route documents.
+
+    Scale: grouped count at (actual, predicted) grain (map-side
+    combined), then a window over the TINY matrix. The per-row
+    prediction is a pure expression — the evaluation costs one
+    aggregation pass."""
+    d = _docs(spark, sf_dir)
+    p = d.select(
+        F.col("lang").alias("actual"),
+        T.langid_guess("text").alias("predicted"),
+    )
+    c = p.groupBy("actual", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("actual")
+    return c.select(
+        "actual",
+        "predicted",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("frac_of_actual"),
+    )

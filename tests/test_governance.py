@@ -1,0 +1,348 @@
+"""Gates for the round-4 governance/curriculum/eval wave
+(plans/governance.py) beyond the oracle mirror: BPE encode/train
+consistency, copy-on-write delete file-level behavior, statistical
+correctness vs scipy-free closed forms, and plan-shape assertions for
+the 100 TB designs the docstrings claim.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+from .conftest import SF_SMOKE
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode="formatted"):
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    return jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_matches_training_histogram(spark):
+    """Every distinct corpus word must encode (via the distributed
+    pandas-UDF encoder) to EXACTLY the symbol count the training
+    histogram ends with — replaying merges in order is the definition
+    of BPE encoding for in-vocabulary words."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.bpe import (
+        encode_word,
+        encode_words,
+        train_bpe,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    merges, hist = train_bpe(docs, n_merges=15)
+    assert merges, "corpus must produce merges"
+    expected = {
+        r["word"]: len(r["symbols"]) for r in hist.collect()
+    }
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    got = {
+        r["word"]: r["n_bpe_tokens"]
+        for r in encode_words(words, merges).collect()
+    }
+    assert got == expected
+    # and the pure-Python encoder agrees symbol-for-symbol on a sample
+    merge_seq = [(a, b) for a, b, _ in merges]
+    for w in list(expected)[:25]:
+        assert len(encode_word(w, merge_seq)) == expected[w]
+
+
+def test_bpe_encode_query_compression_sane(spark):
+    rows = all_queries()["doc_bpe_encode"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) == 500
+    for r in rows:
+        # BPE with </w> markers can't beat characters+1 per word, and
+        # must compress at least as well as raw characters while never
+        # beating 1 token per whitespace word
+        assert r.n_bpe_tokens >= r.n_ws_tokens
+        assert r.chars_per_token > 0
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write delete
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_rewrite_leaves_untouched_partitions_alone(spark):
+    """The COW delete must rewrite ONLY partitions containing doomed
+    rows: parquet files under every untouched partition directory are
+    byte-identical (same names, same sizes) after the delete."""
+    from real_time_predictive_maintenance_data_pipeline_spark.sources import scratch
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    n = load_table(spark, SF_SMOKE, "nation").withColumn(
+        "n_regionkey", F.col("n_regionkey").cast("long")
+    )
+    path = scratch.scratch_dir("cow_test_")
+    n.write.partitionBy("n_regionkey").mode("overwrite").parquet(path)
+
+    pred = F.col("n_name").like("%1")
+    hit = {
+        r.n_regionkey
+        for r in spark.read.parquet(path)
+        .filter(pred)
+        .select("n_regionkey")
+        .distinct()
+        .collect()
+    }
+    all_parts = {
+        r.n_regionkey
+        for r in spark.read.parquet(path).select("n_regionkey").distinct().collect()
+    }
+    untouched = all_parts - hit
+    assert hit and untouched, "fixture must have both touched and untouched"
+
+    def snap(regs):
+        out = {}
+        for reg in regs:
+            for f in glob.glob(os.path.join(path, f"n_regionkey={reg}", "*.parquet")):
+                out[f] = os.path.getsize(f)
+        return out
+
+    before = snap(untouched)
+    survivors = spark.read.parquet(path).filter(
+        F.col("n_regionkey").isin(list(hit)) & ~pred
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.partitionBy("n_regionkey").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert snap(untouched) == before
+    # and the doomed rows are gone while untouched partitions kept all rows
+    back = spark.read.parquet(path)
+    assert back.filter(pred).count() == 0
+    assert (
+        back.count()
+        == n.count() - n.filter(pred).count()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistics closed-form checks
+# ---------------------------------------------------------------------------
+
+
+def test_ab_ttest_matches_python_closed_form(spark):
+    """t and Welch df recomputed in pure Python from the raw rows."""
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {
+        r.event_type: r
+        for r in all_queries()["rel_ab_ttest"].spark(spark, SF_SMOKE).collect()
+    }
+    rows = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("v"), "value"
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r.event_type, r.v), []).append(round(r.value * 100))
+    for et, g in got.items():
+        a, b = by[(et, 0)], by[(et, 1)]
+        na, nb = len(a), len(b)
+        ma, mb = sum(a) / na / 100, sum(b) / nb / 100
+        va = (sum(x * x for x in a) - sum(a) ** 2 / na) / (na - 1) / 10000
+        vb = (sum(x * x for x in b) - sum(b) ** 2 / nb) / (nb - 1) / 10000
+        se2 = va / na + vb / nb
+        t = (ma - mb) / math.sqrt(se2)
+        df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+        assert g.n_a == na and g.n_b == nb
+        assert g.t_stat == pytest.approx(t, abs=1e-3)
+        assert g.welch_df == pytest.approx(df, abs=1e-2)
+
+
+def test_chi_square_matches_python_closed_form(spark):
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    row = all_queries()["rel_chi_square"].spark(spark, SF_SMOKE).collect()[0]
+    obs = {}
+    for r in load_table(spark, SF_SMOKE, "documents").groupBy(
+        "lang", "source"
+    ).count().collect():
+        obs[(r.lang, r.source)] = r["count"]
+    langs = {k[0] for k in obs}
+    srcs = {k[1] for k in obs}
+    n = sum(obs.values())
+    chi2 = 0.0
+    for (lg, sc), o in obs.items():
+        row_tot = sum(v for k, v in obs.items() if k[0] == lg)
+        col_tot = sum(v for k, v in obs.items() if k[1] == sc)
+        e = row_tot * col_tot / n
+        chi2 += (o - e) ** 2 / e
+    assert row.n_cells == len(obs)
+    assert row.dof == (len(langs) - 1) * (len(srcs) - 1)
+    assert row.chi2 == pytest.approx(chi2, abs=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes (100 TB designs the docstrings claim)
+# ---------------------------------------------------------------------------
+
+
+def test_curriculum_order_is_map_only(spark):
+    """Deterministic shuffle-key assignment must not shuffle: no
+    Exchange in the plan beyond spread()'s input round-robin on tiny
+    local fixtures (the claimed advantage over an ntile /
+    global-row_number curriculum)."""
+    df = all_queries()["doc_curriculum_order"].spark(spark, SF)
+    # simple mode prints partitioning inline on the Exchange node
+    plan = _plan(df, "simple")
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert not exchanges, exchanges
+
+
+def test_normalize_text_is_map_only(spark):
+    df = all_queries()["doc_normalize_text"].spark(spark, SF)
+    plan = _plan(df, "simple")
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert not exchanges, exchanges
+
+
+def test_recall_eval_broadcasts_query_side(spark):
+    """The brute-force eval must broadcast the tiny query sample (the
+    corpus side must NOT shuffle into a join)."""
+    df = all_queries()["emb_recall_eval"].spark(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_batch_joins_on_digest(spark):
+    """The incremental dedup join key must include the sha2 digest so
+    the shuffle moves 32-byte keys, not document bodies."""
+    df = all_queries()["dedup_incremental_batch"].spark(spark, SF)
+    plan = _plan(df, "extended")
+    assert "sha2" in plan
+
+
+def test_ab_ttest_single_fact_aggregation(spark):
+    """Sufficient-statistics shape: BOTH cohorts' statistics come from
+    ONE conditional-aggregation pass — exactly one scan of the events
+    fact and no join anywhere."""
+    df = all_queries()["rel_ab_ttest"].spark(spark, SF)
+    plan = _plan(df, "simple")
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1, scans
+    assert "Join" not in plan
+
+
+def test_token_budget_respects_budget_and_order(spark):
+    rows = (
+        all_queries()["doc_token_budget_select"].spark(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (-r.quality, r.doc_id))
+        cum = 0
+        for r in rs:
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+            assert cum <= 1500
+
+
+def test_basket_pairs_apriori_shape(spark):
+    """Pair generation must be an equi-join on the basket key (pairs
+    form only inside an order) with the supports re-attached by
+    broadcast — the pair table must not reshuffle."""
+    df = all_queries()["rel_basket_pairs_lift"].spark(spark, SF)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    # support + total joins are broadcast
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total cross join
+
+
+def test_activity_streaks_single_user_shuffle(spark):
+    """Island window, island grouping, and the per-user rollup must
+    all ride ONE hash exchange on user_id (plus the distinct's own
+    exchange) — no repeated reshuffling of the same key."""
+    df = all_queries()["events_activity_streaks"].spark(spark, SF)
+    plan = _plan(df, "simple")
+    # exchanges: one for the distinct (user_id, day) dedup, one for the
+    # user_id window; the groupBys reuse the window's partitioning
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_activity_streaks_islands_correct(spark):
+    """Streak arithmetic on a hand-checkable reconstruction."""
+    from real_time_predictive_maintenance_data_pipeline_spark.functions.timeutil import (
+        epoch_us,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {
+        r.user_id: r
+        for r in all_queries()["events_activity_streaks"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    days = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            F.floor(epoch_us(F.col("ts")) / F.lit(86400_000_000)).alias("d"),
+        )
+        .distinct()
+        .collect()
+    )
+    by_user = {}
+    for r in days:
+        by_user.setdefault(r.user_id, set()).add(r.d)
+    for uid, ds in by_user.items():
+        ds = sorted(ds)
+        streaks = []
+        cur = 1
+        for prev, nxt in zip(ds, ds[1:]):
+            if nxt == prev + 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        g = got[uid]
+        assert g.n_active_days == len(ds)
+        assert g.n_streaks == len(streaks)
+        assert g.longest_streak == max(streaks)
