@@ -978,3 +978,224 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w), 4).alias("frac_of_actual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Safety filtering, RAG chunking, dataset cards
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ("slow", "dup", "big")
+
+
+@register(
+    "doc_blocklist_filter",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_filter(string_split(text, ' '),
+             w -> w IN ('slow', 'dup', 'big')))) AS hits,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('slow', 'dup', 'big'))) AS n_hits
+  FROM documents
+)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+       array_to_string(hits, ',') AS matched_terms
+FROM m WHERE n_hits > 0
+""",
+    tags=("text", "governance"),
+)
+def doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety/blocklist term filter: flag documents containing any
+    blocked term, with occurrence counts and the distinct matched
+    terms — the policy-filter stage of corpus curation (the real list
+    is thousands of terms; the mechanism — a per-row set intersection
+    against a broadcast-small lexicon — is identical).
+
+    Scale: pure higher-order expressions per row, no shuffle; a
+    thousands-strong lexicon would become an `isin`/`array_intersect`
+    against a literal array or a broadcast join on exploded words —
+    either way corpus-linear."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    hit_list = F.filter(words, lambda w: w.isin(*_BLOCKLIST))
+    return (
+        d.select(
+            "doc_id",
+            F.size(hit_list).cast("long").alias("n_hits"),
+            F.array_join(
+                F.array_sort(F.array_distinct(hit_list)), ","
+            ).alias("matched_terms"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+_RAG_WINDOW = 24
+_RAG_STRIDE = 16
+
+
+@register(
+    "doc_chunk_sliding",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE doc_id <= 50
+),
+c AS (
+  SELECT doc_id,
+         UNNEST(range(0, GREATEST(1, CAST(ceil((len(words) - {_RAG_WINDOW - _RAG_STRIDE}) / {_RAG_STRIDE}.0) AS BIGINT))))
+           AS chunk_id,
+         UNNEST(list_transform(
+             range(0, GREATEST(1, CAST(ceil((len(words) - {_RAG_WINDOW - _RAG_STRIDE}) / {_RAG_STRIDE}.0) AS BIGINT))),
+             i -> array_to_string(
+                 words[i*{_RAG_STRIDE}+1 : LEAST(i*{_RAG_STRIDE}+{_RAG_WINDOW}, len(words))],
+                 ' '))) AS chunk
+  FROM w
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * {_RAG_STRIDE} AS BIGINT) AS start_word,
+       len(string_split(chunk, ' ')) AS n_tokens,
+       md5(chunk) AS md5_chunk
+FROM c
+""",
+    tags=("text", "reshape"),
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (window {w}, stride {s} →
+    {o}-word overlap) — the RAG/embedding-index chunker, as opposed to
+    doc_chunk's disjoint training chunks: overlap preserves context
+    across boundaries so retrieval never loses a sentence split in
+    two. Chunk text is verified by md5 (byte-exact) without pushing
+    long strings through the driver hash.
+
+    Scale: one generate/explode per document (output is ~len/stride
+    rows, each bounded by the window) — map-only, corpus-linear, the
+    chunk table inherits the scan's partitioning."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") <= 50)
+    words = F.split("text", " ")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.size(words) - F.lit(_RAG_WINDOW - _RAG_STRIDE))
+            / F.lit(float(_RAG_STRIDE))
+        ).cast("long"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.slice(
+                words,
+                i * _RAG_STRIDE + 1,
+                F.least(
+                    F.lit(_RAG_WINDOW),
+                    F.size(words) - i * _RAG_STRIDE,
+                ),
+            ),
+        ),
+    )
+    return (
+        d.select(
+            "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * _RAG_STRIDE).cast("long").alias("start_word"),
+            F.size(F.split("chunk", " ")).alias("n_tokens"),
+            F.md5("chunk").alias("md5_chunk"),
+        )
+    )
+
+
+doc_chunk_sliding.__doc__ = doc_chunk_sliding.__doc__.format(
+    w=_RAG_WINDOW, s=_RAG_STRIDE, o=_RAG_WINDOW - _RAG_STRIDE
+)
+
+
+@register(
+    "doc_dataset_card",
+    oracle="""
+WITH per_lang AS (
+  SELECT source, lang, COUNT(*) AS n
+  FROM documents GROUP BY source, lang
+),
+plt AS (
+  SELECT source, lang, n,
+         SUM(n) OVER (PARTITION BY source) AS tot
+  FROM per_lang
+),
+ent AS (
+  SELECT source,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         arg_max(lang, lpad(CAST(n AS VARCHAR), 10, '0') || '|' || lang)
+           AS top_lang,
+         ROUND(-list_reduce(list_prepend(0.0,
+             list((n * 1.0 / tot) * ln(n * 1.0 / tot)
+                  ORDER BY (n * 1.0 / tot) * ln(n * 1.0 / tot))),
+             (a, b) -> a + b), 4) AS lang_entropy
+  FROM plt GROUP BY source
+),
+tok AS (
+  SELECT source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         ROUND(AVG(ROUND(0.5 * LEAST(1.0, len(string_split(text, ' ')) / 50.0)
+             + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' '))), 4)), 4) AS avg_quality
+  FROM documents GROUP BY source
+)
+SELECT e.source, e.n_docs, t.total_tokens, t.avg_quality, e.n_langs,
+       e.top_lang, e.lang_entropy
+FROM ent e JOIN tok t USING (source)
+""",
+    tags=("governance", "agg"),
+)
+def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card ("datasheets for datasets"): document
+    and token counts, mean quality, language coverage with the
+    dominant language, and the Shannon entropy of the language mix —
+    the summary table published alongside every released corpus
+    snapshot.
+
+    Scale: two grouped aggregations ((source, lang) then source) plus
+    one source-grain token/quality pass — all map-side combined; the
+    entropy folds a value-sorted term list per the registry's
+    order-dependent-sum convention."""
+    from ..functions.timeutil import ordered_fold_sum
+
+    d = _docs(spark, sf_dir)
+    per_lang = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    wtot = Window.partitionBy("source")
+    plt = per_lang.withColumn("tot", F.sum("n").over(wtot))
+    p = F.col("n") / F.col("tot")
+    ent = plt.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        # composite (count, lang) tie-break key as a zero-padded string
+        # (DuckDB arg_max rejects struct ordering keys)
+        F.max_by(
+            "lang",
+            F.concat(
+                F.lpad(F.col("n").cast("string"), 10, "0"),
+                F.lit("|"),
+                F.col("lang"),
+            ),
+        ).alias("top_lang"),
+        F.round(
+            -ordered_fold_sum(F.collect_list(p * F.log(p))), 4
+        ).alias("lang_entropy"),
+    )
+    tok = d.groupBy("source").agg(
+        F.sum(T.token_count("text")).alias("total_tokens"),
+        F.round(F.avg(T.quality_score("text")), 4).alias("avg_quality"),
+    )
+    return ent.join(tok, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_quality",
+        "n_langs",
+        "top_lang",
+        "lang_entropy",
+    )
