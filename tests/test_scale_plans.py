@@ -655,3 +655,78 @@ def test_curation_funnel_no_cartesian_and_broadcast_bench(spark):
     plan = _plan(all_queries()["doc_curation_funnel"].spark(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # decontamination semi-join
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """session.py enables AQE skew-join splitting; this pins that the
+    mechanism actually FIRES: a join with one pathological hot key must
+    show skew=true on the sort-merge join in the adaptive executed
+    plan (the runtime remedy that complements operators/skew.py's
+    explicit salting)."""
+    import pyspark.sql.functions as F
+
+    overrides = {
+        # force a shuffle join (no broadcast escape hatch)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # make the skew detector sensitive enough for a test-sized frame
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        # non-foldable payload so the shuffle actually carries bytes
+        pad = F.concat(F.lit("x" * 100), F.col("id").cast("string"))
+        # 150k rows on ONE key, 50k spread over the rest
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            pad.alias("pad"),
+        )
+        right = spark.range(50_000).select(
+            F.col("id").alias("k"), pad.alias("pad2")
+        )
+        # keep the payload columns through the shuffle — projecting to
+        # the (constant-0) key alone would RLE-compress the hot
+        # partition below the skew threshold
+        out = left.join(right, "k").select("k", "pad", "pad2")
+        # execute THROUGH this Dataset so its own AQE plan finalizes
+        assert len(out.collect()) == 150_000
+        executed = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in executed
+        assert "skew=true" in executed, executed[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_matryoshka_truncate_map_only(spark):
+    df = all_queries()["emb_matryoshka_truncate"].spark(spark, SF)
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    plan = jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_k_anonymity_single_aggregation_pass(spark):
+    """QI audit = one grouped aggregation over the corpus (the
+    distinct-count expands in the same plan, no join/window)."""
+    df = all_queries()["rel_k_anonymity"].spark(spark, SF)
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    plan = jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "Join" not in plan and "Window" not in plan
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1
