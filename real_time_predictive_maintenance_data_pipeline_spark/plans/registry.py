@@ -68,6 +68,15 @@ _REGISTRY: dict[str, Query] = {}
 # whole catalog has driver rows. ``tools/check_window.py`` asserts the window
 # arithmetic (len(_RECHECK_FIRST) + len(_WINDOW_PRIORITY) == 50, no overlap,
 # no verified name inside the window without a recheck reason).
+# The round this window layout was packed FOR (i.e. results of rounds
+# < this are incorporated into _DRIVER_VERIFIED below). tools/
+# check_window.py compares it against the driver's PROGRESS.jsonl round
+# counter: a new round with a stale epoch fails the test suite until
+# the previous round's CORRECTNESS names are rotated — the guard that
+# the round-2 and round-3 verdicts asked for after two forgotten
+# rotations.
+_ROTATED_FOR_ROUND = 4
+
 _RECHECK_FIRST: tuple[str, ...] = (
     # r03's one red row: oracle count_if returned HUGEINT -> pandas float64
     # vs Spark int64 (values identical). Oracle now casts to BIGINT; must

@@ -32,6 +32,7 @@ def main() -> int:
     from real_time_predictive_maintenance_data_pipeline_spark.plans.registry import (
         _DRIVER_VERIFIED,
         _RECHECK_FIRST,
+        _ROTATED_FOR_ROUND,
         _WINDOW_PRIORITY,
         all_queries,
     )
@@ -68,18 +69,44 @@ def main() -> int:
 
     import glob
     import json
+    import re as _re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # 1) Every CORRECTNESS file from a round BEFORE the declared rotation
+    #    epoch must be fully rotated (the current round's file — written
+    #    by the driver after this layout was committed — is pending by
+    #    definition and excluded).
     driver_checked: set[str] = set()
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(_re.search(r"_r(\d+)", os.path.basename(path)).group(1))
+        if rnd >= _ROTATED_FOR_ROUND:
+            continue
         with open(path) as f:
             driver_checked.update(json.load(f))
     unrotated = sorted((driver_checked & names) - verified - recheck)
     if unrotated:
         errors.append(
-            "queries with driver rows not rotated into _DRIVER_VERIFIED "
-            f"(and not in _RECHECK_FIRST): {unrotated}"
+            "queries with pre-epoch driver rows not rotated into "
+            f"_DRIVER_VERIFIED (and not in _RECHECK_FIRST): {unrotated}"
         )
+    # 2) Forcing function for the NEXT round: the driver's progress log
+    #    carries the live round counter; a fresh round with a stale
+    #    rotation epoch means last round's results exist but were not
+    #    rotated — fail until they are.
+    progress = os.path.join(repo, "PROGRESS.jsonl")
+    if os.path.exists(progress):
+        with open(progress) as f:
+            lines = [ln for ln in f if ln.strip()]
+        if lines:
+            current_round = json.loads(lines[-1]).get("round")
+            if isinstance(current_round, int) and current_round > _ROTATED_FOR_ROUND:
+                errors.append(
+                    f"driver is on round {current_round} but the window was "
+                    f"rotated for round {_ROTATED_FOR_ROUND}: append "
+                    f"CORRECTNESS_r{current_round - 1:02d}'s green names to "
+                    "_DRIVER_VERIFIED, move fails to _RECHECK_FIRST, repack "
+                    "_WINDOW_PRIORITY, and bump _ROTATED_FOR_ROUND"
+                )
 
     unverified = [n for n in qs if n not in verified]
     window_size = len(_RECHECK_FIRST) + len(_WINDOW_PRIORITY)
