@@ -1199,3 +1199,96 @@ def doc_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_lang",
         "lang_entropy",
     )
+
+
+# ---------------------------------------------------------------------------
+# Run-length state spans
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_state_spans",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+g AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn
+                           ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM o
+),
+s AS (
+  SELECT user_id, span_id, event_type AS state,
+         COUNT(*) AS n_events,
+         MAX(t) - MIN(t) AS span_seconds
+  FROM g GROUP BY user_id, span_id, event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(MAX(n_events) AS BIGINT) AS longest_span_events,
+       CAST(MAX(span_seconds) AS BIGINT) AS longest_span_seconds,
+       arg_max(state, lpad(CAST(n_events AS VARCHAR), 10, '0')
+                      || '|' || CAST(span_id AS VARCHAR)) AS dominant_state
+FROM s GROUP BY user_id
+""",
+    tags=("analytics", "sequence", "timeseries"),
+)
+def events_state_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of per-machine state sequences: consecutive
+    identical states collapse into spans (break-flag + running-sum span
+    ids — the RLE dual of the gaps-and-islands trick), then per-machine
+    span statistics. This is how raw telemetry becomes
+    operating-mode/alarm-duration analytics (time-in-state, longest
+    uninterrupted run, dominant mode).
+
+    Scale: one shuffle on the machine key; the lag window, the span-id
+    running sum, the span grouping, and the per-machine rollup all
+    reuse that single partitioning (plan-asserted). Span count is
+    bounded by event count — no state blowup."""
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(epoch_us(F.col("ts")) / 1_000_000).cast("long").alias("t"),
+        F.row_number().over(wo).alias("rn"),
+        F.when(
+            ~F.lag("event_type")
+            .over(wo)
+            .eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wg = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = o.withColumn("span_id", F.sum("brk").over(wg))
+    s = g.groupBy("user_id", "span_id", F.col("event_type").alias("state")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).alias("span_seconds"),
+    )
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("n_events").alias("longest_span_events"),
+        F.max("span_seconds").alias("longest_span_seconds"),
+        F.max_by(
+            "state",
+            F.concat(
+                F.lpad(F.col("n_events").cast("string"), 10, "0"),
+                F.lit("|"),
+                F.col("span_id").cast("string"),
+            ),
+        ).alias("dominant_state"),
+    )

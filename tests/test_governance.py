@@ -346,3 +346,44 @@ def test_activity_streaks_islands_correct(spark):
         assert g.n_active_days == len(ds)
         assert g.n_streaks == len(streaks)
         assert g.longest_streak == max(streaks)
+
+
+def test_state_spans_single_user_shuffle(spark):
+    """lag window, span-id running sum, span grouping, and the final
+    rollup must all reuse ONE hash exchange on user_id."""
+    df = all_queries()["events_state_spans"].spark(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_state_spans_rle_correct(spark):
+    """RLE span stats recomputed in pure Python per machine."""
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {
+        r.user_id: r
+        for r in all_queries()["events_state_spans"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        spans = []
+        for r in rs:
+            if spans and spans[-1][0] == r.event_type:
+                spans[-1][1].append(r)
+            else:
+                spans.append((r.event_type, [r]))
+        g = got[uid]
+        assert g.n_spans == len(spans)
+        assert g.longest_span_events == max(len(s[1]) for s in spans)

@@ -281,3 +281,79 @@ def test_distributed_bpe_matches_reference(spark):
     n_syms = hist.selectExpr("sum(n * size(symbols)) s").first().s
     n_chars = hist.selectExpr("sum(n * (length(word) + 1)) s").first().s
     assert n_syms < n_chars
+
+
+# ---------------------------------------------------------------------------
+# Round-4 governance ops — pure-Python mirrors, many examples
+# ---------------------------------------------------------------------------
+
+
+def _normalize_py(s: str) -> str:
+    import re
+
+    return re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", s.lower())).strip()
+
+
+@given(st.text(max_size=200))
+def test_normalize_idempotent_and_canonical(s):
+    """Normalization is idempotent and its output alphabet is closed
+    (lowercase alnum + single spaces, no edge spaces) — the contract
+    doc_normalize_text's md5 verifies against DuckDB."""
+    n = _normalize_py(s)
+    assert _normalize_py(n) == n
+    assert n == n.strip()
+    assert "  " not in n
+    assert all(c.islower() or c.isdigit() or c == " " for c in n)
+
+
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll",), max_codepoint=0x7F),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(1, 50),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(0, 25),
+)
+def test_bpe_encode_replay_matches_reference_training(word_counts, n_merges):
+    """Encoding by merge replay must reproduce the reference trainer's
+    final symbol sequences for every trained word, at any merge count."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.bpe import (
+        encode_word,
+        reference_bpe,
+    )
+
+    merges = reference_bpe(word_counts, n_merges=n_merges)
+    merge_seq = [(a, b) for a, b, _ in merges]
+    # replay training sequentially to get the expected final histogram
+    hist = {tuple(list(w) + ["</w>"]): w for w in word_counts}
+    for a, b, _ in merges:
+        new = {}
+        for syms, w in hist.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            new[tuple(out)] = w
+        hist = new
+    expected = {w: list(syms) for syms, w in hist.items()}
+    for w in word_counts:
+        assert encode_word(w, merge_seq) == expected[w]
+
+
+@given(st.lists(st.text(max_size=30), max_size=30))
+def test_blocklist_partition_invariant(words):
+    """Blocklist filtering partitions tokens exactly: hits + survivors
+    == input, and hits are precisely the lexicon members."""
+    block = {"slow", "dup", "big"}
+    hits = [w for w in words if w in block]
+    keep = [w for w in words if w not in block]
+    assert len(hits) + len(keep) == len(words)
+    assert all(w in block for w in hits)
+    assert not any(w in block for w in keep)
