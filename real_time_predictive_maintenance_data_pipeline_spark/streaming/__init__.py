@@ -17,4 +17,4 @@ from .pipeline import (  # noqa: F401
     windowed_stats_stream,
 )
 from .simulator import payload_stream, telemetry_stream  # noqa: F401
-from .stateful import alarm_transitions  # noqa: F401
+from .stateful import alarm_transitions, silence_monitor  # noqa: F401

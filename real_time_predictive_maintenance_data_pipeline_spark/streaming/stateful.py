@@ -264,3 +264,93 @@ def running_totals_tws(scored: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Silence monitor (event-time timeout — the "machine went dark" alert)
+# ---------------------------------------------------------------------------
+
+#: One row per machine whose feed went silent past the threshold.
+SILENCE_SCHEMA = StructType(
+    [
+        StructField("machineId", StringType()),
+        StructField("last_seen", LongType()),  # unix seconds
+        StructField("state", StringType()),  # 'SILENT'
+    ]
+)
+
+#: Last event-time seen per machine (unix seconds).
+SILENCE_STATE_SCHEMA = StructType([StructField("last_seen", LongType())])
+
+
+def _make_silence_fn(silence_seconds: int):
+    def fn(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: Any
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (machine_id,) = key
+        if state.hasTimedOut:
+            (last_seen,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "machineId": [machine_id],
+                    "last_seen": [int(last_seen)],
+                    "state": ["SILENT"],
+                }
+            )
+            return
+        last = int(state.get[0]) if state.exists else None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["timestamp"].max())
+                last = m if last is None else max(last, m)
+        if last is not None:
+            state.update((last,))
+            # fire when the event-time watermark passes the machine's
+            # last heartbeat + the silence threshold
+            state.setTimeoutTimestamp((last + silence_seconds) * 1000)
+        yield pd.DataFrame(
+            {"machineId": [], "last_seen": [], "state": []}
+        ).astype({"machineId": "object", "last_seen": "int64", "state": "object"})
+
+    return fn
+
+
+def silence_monitor(
+    parsed: DataFrame,
+    silence_seconds: int = 30,
+    watermark_delay: str = "5 seconds",
+) -> DataFrame:
+    """Dead-feed detection: a machine that stops reporting for
+    ``silence_seconds`` of EVENT TIME gets one SILENT alert row — the
+    most basic predictive-maintenance signal there is (a sensor that
+    went dark), and one the reference's stateless per-record scorer
+    (realtime_inference.py:92-139) structurally cannot express because
+    absence of data never invokes a per-message callback.
+
+    Mechanism: per-machine state holds the last heartbeat; an
+    EventTimeTimeout is re-armed at ``last_seen + silence_seconds`` on
+    every record. When the stream's watermark passes the deadline with
+    no new data for the key, Spark runs the timeout branch — including
+    in the no-data micro-batch it schedules after a watermark advance,
+    so silence is detected without waiting for the dead machine to
+    (never) speak again.
+
+    Scale: O(1) state per machine plus one registered timeout; same
+    machineId keying/sharding story as the alarm machine. The
+    watermark delay bounds state only for the TIMELINESS of detection
+    — state itself is removed as each alert fires."""
+    from pyspark.sql import functions as F
+
+    with_evt = parsed.withColumn(
+        "event_time", F.timestamp_seconds(F.col("timestamp"))
+    ).withWatermark("event_time", watermark_delay)
+    return with_evt.groupBy("machineId").applyInPandasWithState(
+        _make_silence_fn(silence_seconds),
+        outputStructType=SILENCE_SCHEMA,
+        stateStructType=SILENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

@@ -849,3 +849,39 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         assert agg["M2"] == (2, 1)
     finally:
         q.stop()
+
+
+def test_silence_monitor_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout state expiry: M_DEAD reports until ts=104 then
+    goes dark; M_LIVE keeps reporting to ts=300, dragging the watermark
+    past M_DEAD's deadline (104 + 30 s silence + 5 s delay). Exactly one
+    SILENT alert for M_DEAD must fire — from the no-data timeout branch,
+    since the dead machine never produces another record. M_LIVE's own
+    deadline (300+30) stays ahead of the final watermark (295), so it
+    must NOT alert."""
+    from real_time_predictive_maintenance_data_pipeline_spark.streaming import (
+        silence_monitor,
+    )
+
+    d = tmp_path / "silence"
+    d.mkdir()
+    mk = (
+        lambda m, t: f'{{"machineId":"{m}","temperature":66.0,'
+        f'"vibration":1.3,"timestamp":{t}}}'
+    )
+    (d / "a.json").write_text(
+        "\n".join(mk("M_DEAD", t) for t in range(100, 105))
+        + "\n"
+        + "\n".join(mk("M_LIVE", t) for t in range(100, 105))
+    )
+    (d / "b.json").write_text(
+        "\n".join(mk("M_LIVE", t) for t in range(290, 301))
+    )
+    raw = spark.readStream.option("maxFilesPerTrigger", 1).text(str(d))
+    good, _ = quarantine_split(parse_telemetry(raw))
+    alerts = silence_monitor(good, silence_seconds=30)
+    _drain_to_memory(alerts, "t_silence")
+    rows = spark.table("t_silence").collect()
+    assert [(r.machineId, r.last_seen, r.state) for r in rows] == [
+        ("M_DEAD", 104, "SILENT")
+    ]
