@@ -357,3 +357,47 @@ def test_blocklist_partition_invariant(words):
     assert len(hits) + len(keep) == len(words)
     assert all(w in block for w in hits)
     assert not any(w in block for w in keep)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    lines=st.lists(
+        st.one_of(
+            st.text(max_size=80).filter(
+                lambda s: "\n" not in s and "\r" not in s and s.strip()
+            ),
+            st.builds(
+                lambda m, t, v, ts: (
+                    f'{{"machineId":"{m}","temperature":{t},'
+                    f'"vibration":{v},"timestamp":{ts}}}'
+                ),
+                st.sampled_from(["A", "B"]),
+                st.floats(0, 100, allow_nan=False),
+                st.floats(0, 10, allow_nan=False),
+                st.integers(0, 2_000_000_000),
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_quarantine_total_partition_property(spark, tmp_path_factory, lines):
+    """O24 robustness: for ARBITRARY input lines (valid payloads mixed
+    with garbage), parsing never throws and good + quarantined is a
+    partition of the non-empty input — nothing dropped, nothing
+    duplicated, and every good row has non-null sensor fields."""
+    from real_time_predictive_maintenance_data_pipeline_spark.streaming.pipeline import (
+        parse_telemetry,
+        quarantine_split,
+    )
+
+    d = tmp_path_factory.mktemp("fuzz")
+    (d / "in.txt").write_text("\n".join(lines))
+    raw = spark.read.text(str(d))
+    n_in = raw.count()  # text source may drop trailing empties
+    good, bad = quarantine_split(parse_telemetry(raw))
+    g = good.collect()
+    b = bad.count()
+    assert len(g) + b == n_in
+    for r in g:
+        assert r.temperature is not None and r.vibration is not None
