@@ -291,26 +291,37 @@ def simhash_signatures(
 
     words = distinct_tokens(F.col(text_col))
     hashes = F.transform(words, lambda w: F.xxhash64(w))
-    # For each bit position, majority vote across token hashes.
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(shr(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
-    )
+    # Majority vote for all 64 bit positions in ONE fold over the token
+    # hashes: the accumulator is the 64-wide vote vector, each token
+    # contributes ±1 per bit via zip_with, and the aggregate's finish
+    # lambda packs the signs into the signature long. The previous
+    # formulation folded `hashes` 64 times (one aggregate per bit),
+    # re-evaluating the tokenize+hash transform inside every per-bit
+    # lambda — identical votes, 64x the traversals.
     sig = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, i: F.when(v > 0, shl(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.when(
+                    shr(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
             ),
+            lambda a, b: a + b,
         ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
+        lambda votes: F.aggregate(
+            F.zip_with(
+                votes,
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda v, i: F.when(
+                    v > 0, shl(F.lit(1).cast("long"), i)
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseOR(x),
+        ),
     )
     return df.select(F.col(id_col), sig.alias("simhash"))
 
