@@ -273,3 +273,48 @@ def phash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return pruned.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def byte_stats_arrow(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-payload byte statistics via ``mapInArrow`` — the
+    zero-pandas Python boundary: RecordBatches cross from the JVM as
+    Arrow buffers and the byte sums are computed straight off those
+    buffers (numpy.frombuffer over each binary cell), never
+    materializing a pandas object. This is the API tier below
+    mapInPandas for binary-heavy multimodal work: no per-column Series
+    boxing, no object-dtype copies of the payload bytes.
+
+    Output: (id, n_bytes, first_byte, byte_sum). Scale: map-only over
+    whatever partitioning the payload table already has; batch size
+    bounded by spark.sql.execution.arrow.maxRecordsPerBatch."""
+    import pyarrow as pa
+
+    def _stats(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("__id")
+            payload = batch.column("payload")
+            n_bytes, first, total = [], [], []
+            for buf in payload:
+                b = buf.as_py()
+                n_bytes.append(len(b))
+                first.append(b[0] if b else None)
+                total.append(
+                    int(np.frombuffer(b, dtype=np.uint8).sum()) if b else 0
+                )
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(n_bytes, pa.int32()),
+                    pa.array(first, pa.int32()),
+                    pa.array(total, pa.int64()),
+                ],
+                names=["__id", "n_bytes", "first_byte", "byte_sum"],
+            )
+
+    narrow = df.select(F.col(id_col).alias("__id"), "payload")
+    out = narrow.mapInArrow(
+        _stats, "__id long, n_bytes int, first_byte int, byte_sum long"
+    )
+    return out.withColumnRenamed("__id", id_col)

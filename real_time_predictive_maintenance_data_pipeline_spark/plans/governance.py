@@ -1292,3 +1292,37 @@ def events_state_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dominant_state"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native multimodal boundary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_bytes_arrow",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       ascii(text) AS first_byte,
+       CAST(list_reduce(list_prepend(0,
+            list_transform(range(1, length(text) + 1), i -> ascii(text[i]))),
+            (a, b) -> a + b) AS BIGINT) AS byte_sum
+FROM documents
+""",
+    tags=("multimodal", "arrow"),
+)
+def mm_bytes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native payload statistics (``mapInArrow`` — the fourth
+    Python-boundary API next to pandas_udf / applyInPandas /
+    mapInPandas): byte length, first byte, and full byte sum computed
+    directly on the Arrow buffers. The corpus is ASCII, so the DuckDB
+    oracle reproduces the byte sum from character codes — upgrading
+    the Arrow path from rows-only to hash-checked.
+
+    Scale: map-only; the payload bytes cross the boundary once as
+    Arrow buffers with no pandas object materialization."""
+    from ..operators import multimodal as M
+
+    d = M.attach_binary_payload(_docs(spark, sf_dir))
+    return M.byte_stats_arrow(d)

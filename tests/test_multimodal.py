@@ -100,3 +100,33 @@ def test_phash_neardup_matches_bruteforce(spark):
                 lo, hi = sorted((a["__id"], b["__id"]))
                 want.add((lo, hi, h))
     assert got == want and len(want) > 0
+
+
+def test_byte_stats_arrow_matches_jvm(spark):
+    """mapInArrow byte stats must equal the JVM-side computation
+    (length/ascii) plus an exact Python byte-sum recompute."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators import (
+        multimodal as M,
+    )
+
+    d = M.attach_binary_payload(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    got = {r.doc_id: r for r in M.byte_stats_arrow(d).collect()}
+    jvm = {
+        r.doc_id: r
+        for r in d.select(
+            "doc_id",
+            F.length("payload").alias("n_bytes"),
+            F.ascii("text").alias("first_byte"),
+            "text",
+        ).collect()
+    }
+    assert got.keys() == jvm.keys()
+    for k, j in jvm.items():
+        g = got[k]
+        assert g.n_bytes == j.n_bytes
+        assert g.first_byte == j.first_byte
+        assert g.byte_sum == sum(j.text.encode("utf-8"))
