@@ -1326,3 +1326,93 @@ def mm_bytes_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = M.attach_binary_payload(_docs(spark, sf_dir))
     return M.byte_stats_arrow(d)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface: pipe syntax + transpose
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_sql_pipe",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("sql", "agg"),
+)
+def rel_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 / GoogleSQL-style ``|>`` chaining): the
+    Q1-shaped pricing rollup written as a linear pipeline — FROM |>
+    WHERE |> EXTEND |> AGGREGATE ... GROUP BY — instead of
+    inside-out nested SQL. Same Catalyst plan as the ANSI form; the
+    oracle IS the ANSI form, proving the two surfaces are equivalent.
+
+    Scale: identical to q1 — pushed date filter, partial+final hash
+    aggregation on a 6-key grain."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n,
+                     SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                     SUM(cents) AS revenue_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty, revenue_cents
+        """
+    )
+
+
+@register(
+    "rel_transpose",
+    oracle="""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+)
+SELECT 'n_docs' AS key,
+       (SELECT n_docs FROM c WHERE lang = 'de') AS de,
+       (SELECT n_docs FROM c WHERE lang = 'en') AS en,
+       (SELECT n_docs FROM c WHERE lang = 'es') AS es,
+       (SELECT n_docs FROM c WHERE lang = 'fr') AS fr,
+       (SELECT n_docs FROM c WHERE lang = 'zh') AS zh
+UNION ALL
+SELECT 'total_chars',
+       (SELECT total_chars FROM c WHERE lang = 'de'),
+       (SELECT total_chars FROM c WHERE lang = 'en'),
+       (SELECT total_chars FROM c WHERE lang = 'es'),
+       (SELECT total_chars FROM c WHERE lang = 'fr'),
+       (SELECT total_chars FROM c WHERE lang = 'zh')
+""",
+    tags=("sql", "reshape"),
+)
+def rel_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): per-language corpus metrics
+    flipped so metrics become rows and languages become columns — the
+    report-orientation reshape analysts otherwise hand-roll with
+    N stacked pivots. The index column must be ordered first: transpose
+    derives its output column order from input row order.
+
+    Scale note: transpose materializes one output column per input
+    row, so it is a SMALL-AGGREGATE-only operator by construction (here
+    5 language rows) — never applied to a fact table; the heavy lifting
+    is the grouped aggregation that feeds it."""
+    d = _docs(spark, sf_dir)
+    c = (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+    return c.transpose("lang")
