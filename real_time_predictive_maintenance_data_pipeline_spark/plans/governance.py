@@ -1416,3 +1416,111 @@ def rel_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
     return c.transpose("lang")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+_CMS_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_CMS_W = 256
+_CMS_HASHES = ((31, 7), (131, 13), (1009, 101), (8191, 911))  # (a, b) rows
+
+
+@register(
+    "rel_cms_freq_estimate",
+    oracle=f"""
+WITH rows_h AS (
+  SELECT UNNEST(range(0, {len(_CMS_HASHES)})) AS hrow,
+         UNNEST([{", ".join(str(a) for a, _ in _CMS_HASHES)}]) AS a,
+         UNNEST([{", ".join(str(b) for _, b in _CMS_HASHES)}]) AS b
+),
+cms AS (
+  SELECT hrow, ((a * l_partkey + b) % {_CMS_P}) % {_CMS_W} AS bucket,
+         COUNT(*) AS c
+  FROM lineitem CROSS JOIN rows_h
+  GROUP BY hrow, ((a * l_partkey + b) % {_CMS_P}) % {_CMS_W}
+),
+probes AS (SELECT UNNEST(range(1, 11)) AS pk),
+est AS (
+  SELECT p.pk, MIN(c.c) AS estimate
+  FROM probes p
+  JOIN rows_h h ON TRUE
+  JOIN cms c ON c.hrow = h.hrow
+            AND c.bucket = ((h.a * p.pk + h.b) % {_CMS_P}) % {_CMS_W}
+  GROUP BY p.pk
+),
+exact AS (
+  SELECT l_partkey AS pk, COUNT(*) AS exact_n
+  FROM lineitem WHERE l_partkey BETWEEN 1 AND 10 GROUP BY l_partkey
+)
+SELECT e.pk AS probe_key,
+       CAST(COALESCE(x.exact_n, 0) AS BIGINT) AS exact_n,
+       CAST(e.estimate AS BIGINT) AS estimate,
+       CAST(e.estimate - COALESCE(x.exact_n, 0) AS BIGINT) AS overestimate
+FROM est e LEFT JOIN exact x ON x.pk = e.pk
+""",
+    tags=("sketch", "agg"),
+)
+def rel_cms_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation — the third mergeable
+    sketch family next to HLL (distinct counts) and Misra-Gries (heavy
+    hitters): d=4 arithmetic hash rows x w=256 buckets built in ONE
+    map-side-combined aggregation, point queries answered as the
+    minimum over the d probed cells. CMS never underestimates
+    (overestimate >= 0 per row, asserted by the oracle's own algebra)
+    and the whole sketch is ~4 KB regardless of input size — the
+    re-aggregatable frequency state a 100 TB pipeline ships instead of
+    raw keys. Hashing is polynomial mod a Mersenne prime (engine- and
+    SQL-portable), so the DuckDB oracle reproduces the sketch cell for
+    cell — a hash-checked sketch, not a rows-only one.
+
+    Scale: the build shuffles (d x w) partial cells, not rows; probes
+    join the KB-scale sketch broadcast-style."""
+    l = _t(spark, sf_dir, "lineitem")
+    rows_h = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hrow"), F.lit(a).alias("a"), F.lit(b).alias("b")
+            )
+            for i, (a, b) in enumerate(_CMS_HASHES)
+        ]
+    )
+    cells = l.select(
+        "l_partkey", F.explode(rows_h).alias("h")
+    ).select(
+        F.col("h.hrow").alias("hrow"),
+        (
+            (F.col("h.a") * F.col("l_partkey") + F.col("h.b")) % _CMS_P
+            % _CMS_W
+        ).alias("bucket"),
+    )
+    cms = cells.groupBy("hrow", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    probes = spark.range(1, 11).select(F.col("id").alias("pk"))
+    hashes = probes.select(
+        "pk", F.explode(rows_h).alias("h")
+    ).select(
+        "pk",
+        F.col("h.hrow").alias("hrow"),
+        (
+            (F.col("h.a") * F.col("pk") + F.col("h.b")) % _CMS_P % _CMS_W
+        ).alias("bucket"),
+    )
+    est = (
+        hashes.join(cms, ["hrow", "bucket"])
+        .groupBy("pk")
+        .agg(F.min("c").alias("estimate"))
+    )
+    exact = (
+        l.filter(F.col("l_partkey").between(1, 10))
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return est.join(exact, "pk", "left").select(
+        F.col("pk").alias("probe_key"),
+        F.coalesce("exact_n", F.lit(0)).alias("exact_n"),
+        "estimate",
+        (F.col("estimate") - F.coalesce("exact_n", F.lit(0))).alias(
+            "overestimate"
+        ),
+    )

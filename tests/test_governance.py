@@ -387,3 +387,43 @@ def test_state_spans_rle_correct(spark):
         g = got[uid]
         assert g.n_spans == len(spans)
         assert g.longest_span_events == max(len(s[1]) for s in spans)
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """CMS invariants: estimate >= exact for every probe (one-sided
+    error), and the sketch is mergeable — building on two disjoint
+    halves and summing cells equals the single-pass sketch."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        all_queries()["rel_cms_freq_estimate"].spark(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.estimate >= r.exact_n
+
+    # mergeability on the raw cells
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.governance import (
+        _CMS_HASHES,
+        _CMS_P,
+        _CMS_W,
+    )
+
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select("l_partkey")
+
+    def cells(df):
+        out = {}
+        for r in df.collect():
+            for i, (a, b) in enumerate(_CMS_HASHES):
+                k = (i, (a * r.l_partkey + b) % _CMS_P % _CMS_W)
+                out[k] = out.get(k, 0) + 1
+        return out
+
+    full = cells(l)
+    h1 = cells(l.filter(F.col("l_partkey") % 2 == 0))
+    h2 = cells(l.filter(F.col("l_partkey") % 2 == 1))
+    merged = dict(h1)
+    for k, v in h2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full
