@@ -1524,3 +1524,117 @@ def rel_cms_freq_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+@register(
+    "ts_holt_linear",
+    oracle=f"""
+WITH b AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / 100 AS v
+  FROM events GROUP BY user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600
+),
+s AS (
+  SELECT user_id, list(v ORDER BY bucket) AS series FROM b GROUP BY user_id
+),
+f AS (
+  -- accumulator is the 2-list [level, trend]: DuckDB 1.0 list_reduce
+  -- mis-evaluates multi-field STRUCT accumulators whose merge
+  -- references acc fields more than once, while list accumulators
+  -- fold correctly (verified against the sequential reference)
+  SELECT user_id, len(series) AS n_obs,
+         list_reduce(
+           list_prepend([series[1], CAST(0.0 AS DOUBLE)],
+                        list_transform(series[2:], x -> [x, CAST(0.0 AS DOUBLE)])),
+           (acc, e) -> [
+               {_HOLT_ALPHA} * e[1] + {1 - _HOLT_ALPHA} * (acc[1] + acc[2]),
+               {_HOLT_BETA} * ({_HOLT_ALPHA} * e[1]
+                    + {1 - _HOLT_ALPHA} * (acc[1] + acc[2]) - acc[1])
+                    + {1 - _HOLT_BETA} * acc[2]
+           ]
+         ) AS st
+  FROM s
+)
+SELECT user_id, CAST(n_obs AS BIGINT) AS n_obs,
+       ROUND(st[1], 4) AS level, ROUND(st[2], 4) AS trend,
+       ROUND(st[1] + 1 * st[2], 4) AS forecast_1,
+       ROUND(st[1] + 2 * st[2], 4) AS forecast_2,
+       ROUND(st[1] + 3 * st[2], 4) AS forecast_3
+FROM f
+""",
+    tags=("timeseries", "forecast"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) per
+    machine over hourly means, with 1/2/3-step-ahead forecasts — the
+    forecasting step the decomposition ops (STL, EWMA, CUSUM) feed in
+    a predictive-maintenance stack: "where is this sensor heading next
+    hour?".
+
+    Determinism: hourly means come from EXACT integer-cent sums; the
+    smoothing recursion folds the TIME-ORDERED series left-to-right —
+    the same sequential arithmetic on both engines (DuckDB mirrors the
+    fold with a struct accumulator), so level/trend/forecasts agree to
+    the bit before edge rounding.
+
+    Scale: one shuffle to hourly grain (map-side combined), one to the
+    machine grain; each machine's series is bounded by the time range
+    (hours), so the per-key fold is small-state and embarrassingly
+    parallel across machines — the standard shape for fleet-wide
+    per-entity model fitting."""
+    from ..functions.timeutil import epoch_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    b = ev.groupBy(
+        "user_id", epoch_bucket(F.col("ts"), 3600).alias("bucket")
+    ).agg(
+        (F.sum(cents).cast("double") / F.count(F.lit(1)) / 100).alias("v")
+    )
+    s = b.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "v"))).alias("sb")
+    ).select(
+        "user_id",
+        F.transform("sb", lambda e: e["v"]).alias("series"),
+    )
+    a, bt = _HOLT_ALPHA, _HOLT_BETA
+    init = F.struct(
+        F.element_at("series", 1).alias("l"),
+        F.lit(0.0).alias("t"),
+    )
+    rest = F.slice(
+        "series", 2, F.greatest(F.size("series") - 1, F.lit(0))
+    )
+    new_l = lambda acc, x: a * x + (1 - a) * (acc["l"] + acc["t"])  # noqa: E731
+    st = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.struct(
+            new_l(acc, x).alias("l"),
+            (bt * (new_l(acc, x) - acc["l"]) + (1 - bt) * acc["t"]).alias("t"),
+        ),
+    )
+    f = s.select(
+        "user_id",
+        F.size("series").cast("long").alias("n_obs"),
+        st.alias("st"),
+    )
+    return f.select(
+        "user_id",
+        "n_obs",
+        F.round(F.col("st.l"), 4).alias("level"),
+        F.round(F.col("st.t"), 4).alias("trend"),
+        F.round(F.col("st.l") + 1 * F.col("st.t"), 4).alias("forecast_1"),
+        F.round(F.col("st.l") + 2 * F.col("st.t"), 4).alias("forecast_2"),
+        F.round(F.col("st.l") + 3 * F.col("st.t"), 4).alias("forecast_3"),
+    )

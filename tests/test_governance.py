@@ -427,3 +427,47 @@ def test_cms_never_underestimates_and_merges(spark):
     for k, v in h2.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == full
+
+
+def test_holt_linear_matches_python_recursion(spark):
+    """Level/trend/forecasts recomputed with the sequential Holt
+    recursion in pure Python over the same hourly-mean series."""
+    from real_time_predictive_maintenance_data_pipeline_spark.functions.timeutil import (
+        epoch_bucket,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {
+        r.user_id: r
+        for r in all_queries()["ts_holt_linear"].spark(spark, SF_SMOKE).collect()
+    }
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id", epoch_bucket(F.col("ts"), 3600).alias("b"))
+        .agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 100
+            ).alias("v")
+        )
+        .collect()
+    )
+    series = {}
+    for r in rows:
+        series.setdefault(r.user_id, []).append((r.b, r.v))
+    a, bt = 0.3, 0.1
+    for uid, pts in series.items():
+        vals = [v for _, v in sorted(pts)]
+        l, t = vals[0], 0.0
+        for x in vals[1:]:
+            nl = a * x + (1 - a) * (l + t)
+            t = bt * (nl - l) + (1 - bt) * t
+            l = nl
+        g = got[uid]
+        assert g.n_obs == len(vals)
+        assert g.level == pytest.approx(l, abs=1e-3)
+        assert g.trend == pytest.approx(t, abs=1e-3)
+        assert g.forecast_3 == pytest.approx(l + 3 * t, abs=1e-3)
