@@ -1638,3 +1638,69 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st.l") + 2 * F.col("st.t"), 4).alias("forecast_2"),
         F.round(F.col("st.l") + 3 * F.col("st.t"), 4).alias("forecast_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_weighted_median",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag, l_quantity AS q,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+c AS (
+  SELECT l_returnflag, q, w,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY q
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM g
+)
+SELECT l_returnflag,
+       MIN(q) AS weighted_median_qty,
+       CAST(MIN(tot) AS BIGINT) AS total_weight_cents
+FROM c WHERE cum * 2 >= tot
+GROUP BY l_returnflag
+""",
+    tags=("agg", "stats"),
+)
+def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the quantile that weighted reservoirs and
+    mixture-reweighting pipelines actually need (each quantity row
+    weighted by its revenue in exact integer cents): the smallest
+    value whose cumulative weight reaches half the total.
+
+    Determinism: weights are exact integer cents and the crossing test
+    is integer arithmetic (cum*2 >= tot — no division), so engines
+    agree exactly. Scale: pre-aggregate to (group, value) grain first
+    (map-side combined — the value domain, not the fact, enters the
+    window), then one running-sum window per group."""
+    l = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    g = l.groupBy("l_returnflag", F.col("l_quantity").alias("q")).agg(
+        F.sum(cents).alias("w")
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "q",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("q").alias("weighted_median_qty"),
+            F.min("tot").alias("total_weight_cents"),
+        )
+    )
