@@ -1704,3 +1704,99 @@ def rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tot").alias("total_weight_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid join
+# ---------------------------------------------------------------------------
+
+_GEO_CELL = 2.0  # grid cell size in degrees; must be >= the radius
+_GEO_RADIUS = 2.0  # neighborhood radius in degrees
+
+
+@register(
+    "rel_spatial_grid_join",
+    oracle=f"""
+WITH p AS (
+  SELECT s_suppkey AS id,
+         CAST((s_suppkey * 73 % 1600) AS DOUBLE) / 10 - 80 AS lat,
+         CAST((s_suppkey * 131 % 3600) AS DOUBLE) / 10 - 180 AS lon
+  FROM supplier
+),
+g AS (
+  SELECT *, CAST(FLOOR(lat / {_GEO_CELL}) AS BIGINT) AS cx,
+            CAST(FLOOR(lon / {_GEO_CELL}) AS BIGINT) AS cy
+  FROM p
+),
+probe AS (
+  SELECT g.*, cx + dx.d AS px, cy + dy.d AS py
+  FROM g, (SELECT UNNEST([-1, 0, 1]) AS d) dx, (SELECT UNNEST([-1, 0, 1]) AS d) dy
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(sqrt((a.lat - b.lat) * (a.lat - b.lat)
+                + (a.lon - b.lon) * (a.lon - b.lon)), 4) AS dist_deg
+FROM probe a JOIN g b ON a.px = b.cx AND a.py = b.cy AND a.id < b.id
+WHERE (a.lat - b.lat) * (a.lat - b.lat)
+    + (a.lon - b.lon) * (a.lon - b.lon) <= {_GEO_RADIUS} * {_GEO_RADIUS}
+""",
+    tags=("spatial", "join"),
+)
+def rel_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join via grid bucketing — the canonical
+    distributed spatial pattern (geohash/S2 cells at production scale):
+    each point lands in one grid cell, the probe side fans out to its
+    3x3 cell neighborhood, candidates meet through an EQUI-join on the
+    cell key, and the exact distance predicate prunes the corners.
+    With cell size >= radius the 3x3 neighborhood is lossless, and each
+    qualifying pair meets exactly once per covering cell (dedup-free
+    because the build side keeps its own cell only).
+
+    Coordinates are synthesized deterministically from supplier keys by
+    modular arithmetic, and the metric is planar-degree euclidean —
+    pure arithmetic end to end, so both engines agree exactly (no libm
+    trig divergence). Scale: shuffle on well-distributed cell ids; the
+    quadratic term is bounded per cell — same complexity shape as the
+    banded LSH joins."""
+    s = _t(spark, sf_dir, "supplier")
+    p = s.select(
+        F.col("s_suppkey").alias("id"),
+        ((F.col("s_suppkey") * 73 % 1600).cast("double") / 10 - 80).alias("lat"),
+        ((F.col("s_suppkey") * 131 % 3600).cast("double") / 10 - 180).alias(
+            "lon"
+        ),
+    )
+    g = p.select(
+        "*",
+        F.floor(F.col("lat") / _GEO_CELL).alias("cx"),
+        F.floor(F.col("lon") / _GEO_CELL).alias("cy"),
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    probe = (
+        g.select("*", d.alias("dx"))
+        .select("*", d.alias("dy"))
+        .select(
+            "id",
+            "lat",
+            "lon",
+            (F.col("cx") + F.col("dx")).alias("px"),
+            (F.col("cy") + F.col("dy")).alias("py"),
+        )
+    )
+    a, b = probe.alias("a"), g.alias("b")
+    dd = (F.col("a.lat") - F.col("b.lat")) * (
+        F.col("a.lat") - F.col("b.lat")
+    ) + (F.col("a.lon") - F.col("b.lon")) * (F.col("a.lon") - F.col("b.lon"))
+    return (
+        a.join(
+            b,
+            (F.col("a.px") == F.col("b.cx"))
+            & (F.col("a.py") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(dd <= _GEO_RADIUS * _GEO_RADIUS)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(F.sqrt(dd), 4).alias("dist_deg"),
+        )
+    )

@@ -471,3 +471,33 @@ def test_holt_linear_matches_python_recursion(spark):
         assert g.level == pytest.approx(l, abs=1e-3)
         assert g.trend == pytest.approx(t, abs=1e-3)
         assert g.forecast_3 == pytest.approx(l + 3 * t, abs=1e-3)
+
+
+def test_spatial_grid_join_equals_brute_force(spark):
+    """The 3x3 grid neighborhood must be lossless: grid-join pairs ==
+    brute-force all-pairs radius filter, each pair exactly once."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.governance import (
+        _GEO_RADIUS,
+    )
+
+    rows = (
+        all_queries()["rel_spatial_grid_join"].spark(spark, SF).collect()
+    )
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert len(got) == len(rows), "pair emitted more than once"
+    s = spark.read.parquet(f"{SF}/supplier.parquet").select("s_suppkey").collect()
+    pts = {
+        r.s_suppkey: (
+            (r.s_suppkey * 73 % 1600) / 10 - 80,
+            (r.s_suppkey * 131 % 3600) / 10 - 180,
+        )
+        for r in s
+    }
+    expected = set()
+    ids = sorted(pts)
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1 :]:
+            (la, lo), (lb, lo2) = pts[ia], pts[ib]
+            if (la - lb) ** 2 + (lo - lo2) ** 2 <= _GEO_RADIUS**2:
+                expected.add((ia, ib))
+    assert got == expected
