@@ -1800,3 +1800,162 @@ def rel_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt(dd), 4).alias("dist_deg"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage (entity resolution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_record_linkage",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_lev,
+       ABS(a.bal_cents - b.bal_cents) AS bal_diff_cents,
+       (levenshtein(a.c_name, b.c_name) <= 1
+        AND ABS(a.bal_cents - b.bal_cents) <= 50000) AS is_match
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+    tags=("linkage", "join"),
+)
+def rel_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (entity resolution) in the Fellegi–Sunter shape:
+    BLOCK on cheap exact keys (nation × market segment), generate
+    candidate pairs only inside blocks, score each candidate on
+    per-field agreement (name edit distance, balance proximity in
+    exact cents), and decide matches by the agreement rule. This is
+    the structured-record dual of the document near-dup operators —
+    the blocking join bounds the quadratic term exactly like LSH
+    bands bound it for text.
+
+    Scale: candidates form through an equi-join on the block key
+    (shuffle on well-distributed composites); the edit-distance scan
+    runs only on in-block pairs. Skewed blocks would get the salted
+    join from operators/skew.py."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    bal = F.abs(F.col("a.bal_cents") - F.col("b.bal_cents"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(lev <= 2)
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            lev.cast("long").alias("name_lev"),
+            bal.alias("bal_diff_cents"),
+            ((lev <= 1) & (bal <= 50000)).alias("is_match"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_S = 3 * 86400  # 3-day lookback
+
+
+@register(
+    "events_last_touch_attribution",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         CAST(FLOOR(epoch(ts) * 1000000) AS BIGINT) AS ts_us
+  FROM events
+),
+t AS (
+  SELECT *,
+         MAX(CASE WHEN event_type IN ('click', 'view')
+                  THEN lpad(CAST(ts_us AS VARCHAR), 20, '0') || '|'
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0') || '|'
+                       || event_type END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM e
+),
+p AS (
+  SELECT CASE
+           WHEN last_touch IS NOT NULL
+                AND ts_us - CAST(string_split(last_touch, '|')[1] AS BIGINT)
+                    <= {_ATTR_WINDOW_S}::BIGINT * 1000000
+           THEN string_split(last_touch, '|')[3]
+           ELSE 'organic'
+         END AS channel
+  FROM t WHERE event_type = 'purchase'
+)
+SELECT channel, COUNT(*) AS n_conversions FROM p GROUP BY channel
+""",
+    tags=("analytics", "attribution"),
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent click/view within a 3-day lookback, else
+    counted as organic — the conversion-credit primitive of every
+    growth-analytics stack (first/linear/time-decay models are the
+    same plan with a different pick over the touch window).
+
+    The running "latest touch" is a window MAX over a zero-padded
+    (timestamp, event_id, type) composite string — LOCF of the latest
+    qualifying row without a self-join, same single-shuffle shape as
+    the engine's as-of join. Scale: one shuffle on user_id; the
+    attribution aggregate is at channel grain."""
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_key = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.concat(
+            F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+            F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.lit("|"),
+            F.col("event_type"),
+        ),
+    )
+    t = e.withColumn("last_touch", F.max(touch_key).over(w))
+    touch_ts = F.split("last_touch", "\\|").getItem(0).cast("long")
+    channel = F.when(
+        F.col("last_touch").isNotNull()
+        & (F.col("ts_us") - touch_ts <= _ATTR_WINDOW_S * 1_000_000),
+        F.split("last_touch", "\\|").getItem(2),
+    ).otherwise(F.lit("organic"))
+    return (
+        t.filter(F.col("event_type") == "purchase")
+        .select(channel.alias("channel"))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
