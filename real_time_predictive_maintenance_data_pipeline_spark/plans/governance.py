@@ -1959,3 +1959,95 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("channel")
         .agg(F.count(F.lit(1)).alias("n_conversions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Capped running balance (non-linear recursion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_capped_running_balance",
+    oracle="""
+WITH d AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch(ts) * 1000000) AS BIGINT) AS ts_us, event_id,
+         CASE WHEN event_type IN ('purchase', 'signup', 'view')
+              THEN CAST(ROUND(value * 100) AS BIGINT)
+              ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS delta
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         list(delta ORDER BY ts_us, event_id) AS deltas
+  FROM d GROUP BY user_id
+),
+f AS (
+  SELECT user_id, len(deltas) AS n_events,
+         list_reduce(
+           list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+                        list_transform(deltas, x -> [x, CAST(0 AS BIGINT)])),
+           (acc, e) -> [
+             GREATEST(CAST(0 AS BIGINT), acc[1] + e[1]),
+             acc[2] + CASE WHEN acc[1] + e[1] < 0 THEN 1 ELSE 0 END
+           ]) AS st
+  FROM s
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       st[1] AS final_balance_cents,
+       st[2] AS n_floor_hits
+FROM f
+""",
+    tags=("analytics", "fold"),
+)
+def rel_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floored running balance — the canonical NON-LINEAR window
+    recursion (balance = max(0, balance + delta)) that plain SQL
+    window sums cannot express, because the clip at zero breaks
+    linearity: credits consumed at the floor don't carry. Positive
+    event types credit value, negative ones debit it; per account the
+    final balance and the number of times the floor clipped.
+
+    Mechanism: the ordered per-key delta sequence folds left-to-right
+    with a [balance, floor_hits] accumulator — exact integer cents, so
+    both engines agree bit-for-bit (DuckDB mirrors with a list
+    accumulator, same pattern as ts_holt_linear). Scale: one shuffle
+    to key grain; per-key state is two integers, series bounded by the
+    key's event count — the standard fleet-wide sequential-scan shape
+    (the streaming dual is the applyInPandasWithState alarm machine)."""
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "user_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup", "view"), cents
+        )
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    s = d.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "delta"))
+        ).alias("sd")
+    ).select(
+        "user_id", F.transform("sd", lambda e: e["delta"]).alias("deltas")
+    )
+    st = F.aggregate(
+        "deltas",
+        F.array(F.lit(0).cast("long"), F.lit(0).cast("long")),
+        lambda acc, x: F.array(
+            F.greatest(F.lit(0).cast("long"), F.element_at(acc, 1) + x),
+            F.element_at(acc, 2)
+            + F.when(F.element_at(acc, 1) + x < 0, 1).otherwise(0),
+        ),
+    )
+    return s.select(
+        "user_id",
+        F.size("deltas").cast("long").alias("n_events"),
+        F.element_at(st, 1).alias("final_balance_cents"),
+        F.element_at(st, 2).alias("n_floor_hits"),
+    )

@@ -501,3 +501,44 @@ def test_spatial_grid_join_equals_brute_force(spark):
             if (la - lb) ** 2 + (lo - lo2) ** 2 <= _GEO_RADIUS**2:
                 expected.add((ia, ib))
     assert got == expected
+
+
+def test_capped_balance_matches_python_fold(spark):
+    from real_time_predictive_maintenance_data_pipeline_spark.functions.timeutil import (
+        epoch_us,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {
+        r.user_id: r
+        for r in all_queries()["rel_capped_running_balance"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            epoch_us(F.col("ts")).alias("t"),
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        d = r.c if r.event_type in ("purchase", "signup", "view") else -r.c
+        by.setdefault(r.user_id, []).append((r.t, r.event_id, d))
+    for uid, ds in by.items():
+        bal, hits = 0, 0
+        for _, _, d in sorted(ds):
+            if bal + d < 0:
+                hits += 1
+            bal = max(0, bal + d)
+        g = got[uid]
+        assert g.n_events == len(ds)
+        assert g.final_balance_cents == bal
+        assert g.n_floor_hits == hits
