@@ -2051,3 +2051,107 @@ def rel_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(st, 1).alias("final_balance_cents"),
         F.element_at(st, 2).alias("n_floor_hits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FIFO lot allocation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_fifo_allocation",
+    oracle="""
+WITH lots AS (
+  -- the fixture carries duplicate (orderkey, linenumber) rows; the lot
+  -- grain must be unique or cumulative intervals overlap
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey, l_orderkey, l_linenumber
+),
+s AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, qty,
+         CAST(SUM(qty)
+              OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+  FROM lots WHERE l_orderkey % 2 = 0
+),
+d AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, qty,
+         CAST(SUM(qty)
+              OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+  FROM lots WHERE l_orderkey % 2 = 1
+)
+SELECT s.l_partkey AS partkey,
+       s.l_orderkey AS supply_order, s.l_linenumber AS supply_line,
+       d.l_orderkey AS demand_order, d.l_linenumber AS demand_line,
+       LEAST(s.hi, d.hi) - GREATEST(s.hi - s.qty, d.hi - d.qty) AS alloc_qty
+FROM s JOIN d
+  ON s.l_partkey = d.l_partkey
+ AND s.hi - s.qty < d.hi
+ AND d.hi - d.qty < s.hi
+""",
+    tags=("analytics", "join", "window"),
+)
+def rel_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot allocation as SET algebra, not a sequential scan:
+    supply lots and demand lines (even/odd orders stand in for
+    receipts/issues) each get cumulative-quantity intervals
+    [hi - qty, hi) per part; FIFO matching IS interval overlap —
+    allocation = min(hi) - max(lo) for every overlapping
+    (supply, demand) pair. The classic running-totals formulation of
+    inventory costing: what looks inherently sequential becomes two
+    window passes and one range join.
+
+    Determinism: quantities are integers, so the cumulative intervals
+    and allocations are exact. Scale: both cumulative sides shuffle
+    once on the part key, the overlap join is an equi-join on that
+    same key with the interval condition as a join filter — per-part
+    pair counts are bounded by lots x issues within the part (at
+    extreme per-key volumes the interval-banding of
+    rel_interval_join_banded applies)."""
+    l = _t(spark, sf_dir, "lineitem")
+    # unique lot grain first: the fixture carries duplicate
+    # (orderkey, linenumber) rows, and tied window rows would share a
+    # cumulative endpoint, making the intervals overlap
+    lots = l.groupBy("l_partkey", "l_orderkey", "l_linenumber").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+
+    def cum(side):
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return side.select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "qty",
+            F.sum("qty").over(w).alias("hi"),
+        )
+
+    s = cum(lots.filter(F.col("l_orderkey") % 2 == 0)).alias("s")
+    d = cum(lots.filter(F.col("l_orderkey") % 2 == 1)).alias("d")
+    s_lo = F.col("s.hi") - F.col("s.qty")
+    d_lo = F.col("d.hi") - F.col("d.qty")
+    return (
+        s.join(
+            d,
+            (F.col("s.l_partkey") == F.col("d.l_partkey"))
+            & (s_lo < F.col("d.hi"))
+            & (d_lo < F.col("s.hi")),
+        )
+        .select(
+            F.col("s.l_partkey").alias("partkey"),
+            F.col("s.l_orderkey").alias("supply_order"),
+            F.col("s.l_linenumber").alias("supply_line"),
+            F.col("d.l_orderkey").alias("demand_order"),
+            F.col("d.l_linenumber").alias("demand_line"),
+            (
+                F.least(F.col("s.hi"), F.col("d.hi"))
+                - F.greatest(s_lo, d_lo)
+            ).alias("alloc_qty"),
+        )
+    )

@@ -542,3 +542,32 @@ def test_capped_balance_matches_python_fold(spark):
         assert g.n_events == len(ds)
         assert g.final_balance_cents == bal
         assert g.n_floor_hits == hits
+
+
+def test_fifo_allocation_conserves_quantities(spark):
+    """Allocation must conserve: per demand line, allocations sum to
+    min(demand, remaining supply coverage); per supply lot they never
+    exceed the lot; and every allocation is positive."""
+    rows = all_queries()["rel_fifo_allocation"].spark(spark, SF_SMOKE).collect()
+    assert rows
+    per_supply = {}
+    per_demand = {}
+    for r in rows:
+        assert r.alloc_qty > 0
+        per_supply.setdefault(
+            (r.partkey, r.supply_order, r.supply_line), 0
+        )
+        per_supply[(r.partkey, r.supply_order, r.supply_line)] += r.alloc_qty
+        per_demand.setdefault(
+            (r.partkey, r.demand_order, r.demand_line), 0
+        )
+        per_demand[(r.partkey, r.demand_order, r.demand_line)] += r.alloc_qty
+    l = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    qty = {}
+    for r in l:
+        k = (r.l_partkey, r.l_orderkey, r.l_linenumber)
+        qty[k] = qty.get(k, 0) + int(r.l_quantity)
+    for k, alloc in per_supply.items():
+        assert alloc <= qty[k], ("supply overallocated", k)
+    for k, alloc in per_demand.items():
+        assert alloc <= qty[k], ("demand overfilled", k)
