@@ -2155,3 +2155,128 @@ def rel_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alloc_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram + snapshot diff
+# ---------------------------------------------------------------------------
+
+_EQD_BUCKETS = 8
+
+
+@register(
+    "rel_equidepth_histogram",
+    oracle=f"""
+WITH r AS (
+  SELECT l_extendedprice AS v,
+         CAST(CEIL(cume_dist() OVER (ORDER BY l_extendedprice)
+                   * {_EQD_BUCKETS}) AS BIGINT) AS bucket
+  FROM lineitem
+)
+SELECT bucket, COUNT(*) AS n,
+       ROUND(MIN(v), 4) AS lo, ROUND(MAX(v), 4) AS hi
+FROM r GROUP BY bucket
+""",
+    tags=("agg", "stats"),
+)
+def rel_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile buckets) — the statistics object
+    cost-based optimizers actually build, vs rel_histogram's equi-width
+    bins: every bucket holds ~1/{_EQD_BUCKETS} of the rows, so bucket
+    boundaries ARE the octile values. Bucketing by
+    ceil(cume_dist * k) rather than ntile keeps TIED values in one
+    bucket deterministically (ntile splits ties by arbitrary row
+    position, which no cross-engine oracle can reproduce).
+
+    Scale: cume_dist over a global ordering is a range-partitioned
+    sort (Spark's distributed sort) — the one-pass histogram build;
+    per-bucket min/max/count then partial-aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice")
+    r = l.select(
+        F.col("l_extendedprice").alias("v"),
+        F.ceil(F.cume_dist().over(w) * _EQD_BUCKETS).cast("long").alias(
+            "bucket"
+        ),
+    )
+    return r.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("v"), 4).alias("lo"),
+        F.round(F.max("v"), 4).alias("hi"),
+    )
+
+
+@register(
+    "rel_snapshot_diff",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 101 <> 0
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN '1-URGENT'
+              ELSE o_orderpriority END AS o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders WHERE o_orderkey % 103 <> 0
+)
+SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       CASE WHEN v1.o_orderkey IS NULL THEN 'I'
+            WHEN v2.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       v2.o_orderpriority AS new_priority,
+       v2.price_cents AS new_price_cents
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+   OR v1.o_orderpriority <> v2.o_orderpriority
+   OR v1.price_cents <> v2.price_cents
+""",
+    tags=("cdc", "join"),
+)
+def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the INVERSE of rel_changelog_apply: given two
+    table versions (v2 deletes some keys, restores others, and bumps
+    priorities), derive the minimal I/U/D change feed by a full outer
+    join on the key with column-level change detection. This is how a
+    lakehouse emits CDC from systems that only hand over snapshots.
+
+    Scale: one shuffle join on the primary key (AQE-skew-safe);
+    unchanged rows — the overwhelming majority in real diffs — are
+    filtered before anything downstream sees them. Comparing on exact
+    integer cents avoids float-equality noise in change detection."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v1 = o.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        "o_orderpriority",
+        cents.alias("price_cents"),
+    )
+    v2 = o.filter(F.col("o_orderkey") % 103 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit("1-URGENT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        cents.alias("price_cents"),
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    op = (
+        F.when(F.col("a.o_orderkey").isNull(), "I")
+        .when(F.col("b.o_orderkey").isNull(), "D")
+        .otherwise("U")
+    )
+    changed = (
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.o_orderpriority") != F.col("b.o_orderpriority"))
+        | (F.col("a.price_cents") != F.col("b.price_cents"))
+    )
+    return j.filter(changed).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        op.alias("op"),
+        F.col("b.o_orderpriority").alias("new_priority"),
+        F.col("b.price_cents").alias("new_price_cents"),
+    )

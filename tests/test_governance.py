@@ -571,3 +571,62 @@ def test_fifo_allocation_conserves_quantities(spark):
         assert alloc <= qty[k], ("supply overallocated", k)
     for k, alloc in per_demand.items():
         assert alloc <= qty[k], ("demand overfilled", k)
+
+
+def test_snapshot_diff_roundtrip_with_changelog_apply(spark):
+    """Composition proof: applying the derived diff to v1 reproduces
+    v2 exactly — snapshot_diff and changelog-apply are inverses."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    v1 = {
+        r.o_orderkey: (r.o_orderpriority, r.price_cents)
+        for r in o.filter(F.col("o_orderkey") % 101 != 0)
+        .select("o_orderkey", "o_orderpriority", cents.alias("price_cents"))
+        .collect()
+    }
+    v2 = {
+        r.o_orderkey: (r.o_orderpriority, r.price_cents)
+        for r in o.filter(F.col("o_orderkey") % 103 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("1-URGENT"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            cents.alias("price_cents"),
+        )
+        .collect()
+    }
+    diff = all_queries()["rel_snapshot_diff"].spark(spark, SF_SMOKE).collect()
+    applied = dict(v1)
+    for r in diff:
+        if r.op == "D":
+            del applied[r.o_orderkey]
+        else:
+            applied[r.o_orderkey] = (r.new_priority, r.new_price_cents)
+    assert applied == v2
+    # and the diff is minimal: every emitted U actually changes a column
+    for r in diff:
+        if r.op == "U":
+            assert v1[r.o_orderkey] != (r.new_priority, r.new_price_cents)
+
+
+def test_equidepth_buckets_balanced(spark):
+    rows = (
+        all_queries()["rel_equidepth_histogram"].spark(spark, SF_SMOKE).collect()
+    )
+    total = sum(r.n for r in rows)
+    assert total == spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").count()
+    # buckets contiguous, boundaries monotone
+    rows.sort(key=lambda r: r.bucket)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+    # equi-depth within a tolerance driven by value ties
+    avg = total / len(rows)
+    for r in rows:
+        assert r.n <= avg * 1.5
