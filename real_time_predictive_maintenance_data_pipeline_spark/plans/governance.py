@@ -2188,9 +2188,13 @@ def rel_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket deterministically (ntile splits ties by arbitrary row
     position, which no cross-engine oracle can reproduce).
 
-    Scale: cume_dist over a global ordering is a range-partitioned
-    sort (Spark's distributed sort) — the one-pass histogram build;
-    per-bucket min/max/count then partial-aggregate."""
+    Scale: EXACT global cume_dist funnels the ordered data through a
+    single window task — correct for the statistics-build sizes this
+    runs on (samples, dimension columns), but NOT the 100 TB path. At
+    fact scale the same histogram comes from approx_percentile
+    boundaries (rel_approx_quantile) + a map-only range assignment;
+    this operator is the exact-small twin, the way
+    sim_topk_bruteforce is the labeled exact baseline for ANN."""
     l = _t(spark, sf_dir, "lineitem")
     w = Window.orderBy("l_extendedprice")
     r = l.select(

@@ -630,3 +630,19 @@ def test_equidepth_buckets_balanced(spark):
     avg = total / len(rows)
     for r in rows:
         assert r.n <= avg * 1.5
+
+
+def test_fifo_join_is_equi_on_partkey(spark):
+    """The overlap conditions must ride an EQUI join on the part key
+    (interval tests as join filters), never a nested-loop cross."""
+    df = all_queries()["rel_fifo_allocation"].spark(spark, SF)
+    plan = _plan(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_single_key_join(spark):
+    df = all_queries()["rel_snapshot_diff"].spark(spark, SF)
+    plan = _plan(df, "simple")
+    assert plan.count("Join") == 1
+    assert "FullOuter" in plan
