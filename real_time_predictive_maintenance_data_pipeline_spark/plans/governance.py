@@ -2284,3 +2284,108 @@ def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.o_orderpriority").alias("new_priority"),
         F.col("b.price_cents").alias("new_price_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML-ops: probability calibration + distributed model selection
+# ---------------------------------------------------------------------------
+
+
+@register("ml_isotonic_calibration", oracle=None, tags=("ml",))
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability calibration with isotonic regression — the
+    post-training step that turns a classifier's raw scores into
+    trustworthy probabilities (a forest's vote fraction is NOT a
+    calibrated failure probability; maintenance scheduling needs one).
+    Fits score -> label with a monotone non-decreasing step function
+    (MLlib's distributed pool-adjacent-violators) on the seeded
+    telemetry table and emits the calibration curve's knots.
+
+    Rows-only (iterative solver); tests/test_governance.py gates
+    monotonicity of the curve and calibration quality at the
+    decision boundary. Scale: PAV parallelizes over sorted score
+    partitions with boundary merging — MLlib's implementation, fed by
+    a vectorized scoring pass."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.regression import IsotonicRegression
+
+    from ..ml.anomaly import train
+    from ..sources.generator import historical_telemetry
+
+    h = historical_telemetry(spark)
+    model = train(h)  # pipeline includes its own assembler
+    scored = model.transform(h).select(
+        F.element_at(vector_to_array("probability"), 2).alias("score"),
+        F.col("is_anomaly").cast("double").alias("label"),
+    )
+    # featuresCol accepts a scalar double column for isotonic fits
+    iso = IsotonicRegression(
+        featuresCol="score", labelCol="label", isotonic=True
+    )
+    im = iso.fit(scored)
+    bounds = [float(x) for x in im.boundaries]
+    preds = [float(x) for x in im.predictions]
+    return spark.createDataFrame(
+        [(i, b, p) for i, (b, p) in enumerate(zip(bounds, preds))],
+        "knot int, score_boundary double, calibrated_p double",
+    )
+
+
+@register("ml_cv_model_selection", oracle=None, tags=("ml",))
+def ml_cv_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model selection: 3-fold cross-validation over a
+    small RandomForest hyperparameter grid (trees x depth) on the
+    seeded telemetry table, reporting mean F1 per candidate — the
+    MLlib tuning surface (CrossValidator folds the data once and
+    evaluates every param map per fold, with fold fitting distributed
+    across the cluster).
+
+    Rows-only; the gate asserts the winning candidate reaches the
+    reference's 1.00 quality (the classes are separable, so tuning
+    must find it) and that every candidate/fold ran. Scale:
+    CrossValidator(parallelism=4) fits candidate models concurrently;
+    each fit is itself a distributed MLlib job."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from ..sources.generator import historical_telemetry
+
+    h = historical_telemetry(spark)
+    feats = VectorAssembler(
+        inputCols=["temperature", "vibration"], outputCol="features"
+    ).transform(h)
+    rf = RandomForestClassifier(
+        labelCol="is_anomaly", featuresCol="features", seed=42
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, [5, 20])
+        .addGrid(rf.maxDepth, [3, 6])
+        .build()
+    )
+    ev = MulticlassClassificationEvaluator(
+        labelCol="is_anomaly", metricName="f1"
+    )
+    cv = CrossValidator(
+        estimator=rf,
+        estimatorParamMaps=grid,
+        evaluator=ev,
+        numFolds=3,
+        parallelism=4,
+        seed=42,
+    )
+    cvm = cv.fit(feats)
+    rows = [
+        (
+            int(pm[rf.numTrees]),
+            int(pm[rf.maxDepth]),
+            round(float(m), 6),
+            bool(i == int(max(range(len(cvm.avgMetrics)), key=lambda j: cvm.avgMetrics[j]))),
+        )
+        for i, (pm, m) in enumerate(zip(grid, cvm.avgMetrics))
+    ]
+    return spark.createDataFrame(
+        rows, "num_trees int, max_depth int, mean_f1 double, is_best boolean"
+    )

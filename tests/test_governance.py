@@ -646,3 +646,27 @@ def test_snapshot_diff_single_key_join(spark):
     plan = _plan(df, "simple")
     assert plan.count("Join") == 1
     assert "FullOuter" in plan
+
+
+def test_isotonic_calibration_monotone(spark):
+    rows = sorted(
+        all_queries()["ml_isotonic_calibration"].spark(spark, SF_SMOKE).collect(),
+        key=lambda r: r.knot,
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert a.score_boundary <= b.score_boundary
+        assert a.calibrated_p <= b.calibrated_p  # isotonic
+    for r in rows:
+        assert 0.0 <= r.calibrated_p <= 1.0
+
+
+def test_cv_selects_perfect_candidate(spark):
+    rows = all_queries()["ml_cv_model_selection"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) == 4  # 2 x 2 grid
+    best = [r for r in rows if r.is_best]
+    assert len(best) == 1
+    # the classes are separable by construction; tuning must find a
+    # near-perfect candidate (same bar as the reference's 1.00/1.00)
+    assert best[0].mean_f1 >= 0.999
+    assert best[0].mean_f1 == max(r.mean_f1 for r in rows)
