@@ -2389,3 +2389,99 @@ def ml_cv_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "num_trees int, max_depth int, mean_f1 double, is_best boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# Population stability index (data drift)
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_MAX = 500.0  # fixture value range is [0, ~490]
+
+
+@register(
+    "events_psi_drift",
+    oracle=f"""
+WITH halves AS (
+  SELECT event_type, value,
+         CASE WHEN CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) % 2 = 0
+              THEN 'ref' ELSE 'cur' END AS period,
+         LEAST({_PSI_BUCKETS - 1},
+               CAST(FLOOR(value / {_PSI_MAX} * {_PSI_BUCKETS}) AS BIGINT))
+           AS bucket
+  FROM events
+),
+c AS (
+  SELECT event_type, bucket,
+         COUNT(CASE WHEN period = 'ref' THEN 1 END) + 1 AS n_ref,
+         COUNT(CASE WHEN period = 'cur' THEN 1 END) + 1 AS n_cur
+  FROM halves GROUP BY event_type, bucket
+),
+tot AS (
+  SELECT c.*,
+         SUM(n_ref) OVER (PARTITION BY event_type) AS t_ref,
+         SUM(n_cur) OVER (PARTITION BY event_type) AS t_cur
+  FROM c
+),
+term AS (
+  SELECT event_type,
+         (n_cur * 1.0 / t_cur - n_ref * 1.0 / t_ref)
+           * ln((n_cur * 1.0 / t_cur) / (n_ref * 1.0 / t_ref)) AS t
+  FROM tot
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(list_reduce(list_prepend(0.0, list(t ORDER BY t)),
+             (a, b) -> a + b), 4) AS psi
+FROM term GROUP BY event_type
+""",
+    tags=("analytics", "drift", "mlops"),
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between even and odd
+    days — THE production data-drift gate for deployed models (PSI
+    < 0.1 stable, > 0.25 retrain): fixed-bin value distributions for
+    the reference and current periods, psi = sum (p_cur - p_ref) *
+    ln(p_cur / p_ref). Add-one smoothing keeps empty bins finite, the
+    standard practice.
+
+    Determinism: bucketing and counts are exact integers; ratio terms
+    are identical double expressions; the final sum folds
+    VALUE-SORTED terms (registry convention). Scale: one grouped count
+    at (type, bucket) grain over the fact — the drift report costs a
+    single partial-agg pass regardless of volume; windows run on the
+    tiny bucket table."""
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(epoch_us(F.col("ts")) / F.lit(86400_000_000))
+    bucket = F.least(
+        F.lit(_PSI_BUCKETS - 1),
+        F.floor(F.col("value") / _PSI_MAX * _PSI_BUCKETS).cast("long"),
+    )
+    halves = ev.select(
+        "event_type",
+        F.when(day % 2 == 0, "ref").otherwise("cur").alias("period"),
+        bucket.alias("bucket"),
+    )
+    c = halves.groupBy("event_type", "bucket").agg(
+        (F.count(F.when(F.col("period") == "ref", 1)) + 1).alias("n_ref"),
+        (F.count(F.when(F.col("period") == "cur", 1)) + 1).alias("n_cur"),
+    )
+    wt = Window.partitionBy("event_type")
+    tot = c.select(
+        "*",
+        F.sum("n_ref").over(wt).alias("t_ref"),
+        F.sum("n_cur").over(wt).alias("t_cur"),
+    )
+    p_ref = F.col("n_ref") / F.col("t_ref")
+    p_cur = F.col("n_cur") / F.col("t_cur")
+    term = tot.select(
+        "event_type", ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("t")
+    )
+    from ..functions.timeutil import ordered_fold_sum
+
+    return term.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.round(ordered_fold_sum(F.collect_list("t")), 4).alias("psi"),
+    )
