@@ -2485,3 +2485,213 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
         F.round(ordered_fold_sum(F.collect_list("t")), 4).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KS two-sample, Benford audit, time-to-convert
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ks_two_sample",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS v,
+         CAST(user_id % 2 AS BIGINT) AS grp
+  FROM events
+),
+c AS (
+  SELECT event_type, v,
+         COUNT(CASE WHEN grp = 0 THEN 1 END) AS na,
+         COUNT(CASE WHEN grp = 1 THEN 1 END) AS nb
+  FROM s GROUP BY event_type, v
+),
+cum AS (
+  SELECT event_type, v,
+         CAST(SUM(na) OVER w AS BIGINT) AS ca,
+         CAST(SUM(nb) OVER w AS BIGINT) AS cb,
+         CAST(SUM(na) OVER (PARTITION BY event_type) AS BIGINT) AS ta,
+         CAST(SUM(nb) OVER (PARTITION BY event_type) AS BIGINT) AS tb
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type,
+       ta AS n_a, tb AS n_b,
+       ROUND(MAX(ABS(ca * 1.0 / ta - cb * 1.0 / tb)), 4) AS ks_d
+FROM cum GROUP BY event_type, ta, tb
+""",
+    tags=("analytics", "stats"),
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample statistic per event type between
+    the user-parity cohorts: D = max |ECDF_a - ECDF_b|, evaluated at
+    every observed value — the nonparametric drift/equality test that
+    complements the parametric Welch t (mean shift) and the binned PSI
+    (distribution shift): KS catches shape changes the others miss.
+
+    Determinism: values are quantized to exact integer cents, so the
+    grouped counts, cumulative sums, and ECDF fractions are identical
+    on both engines; the max over exact fractions needs no fold
+    convention. Scale: one count at (type, value) grain collapses the
+    fact to its value domain before the per-type cumulative window —
+    the same value-domain trick as the weighted median."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        (F.col("user_id") % 2).alias("grp"),
+    )
+    c = s.groupBy("event_type", "v").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("na"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("nb"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        F.sum("na").over(wc).alias("ca"),
+        F.sum("nb").over(wc).alias("cb"),
+        F.sum("na").over(wt).alias("ta"),
+        F.sum("nb").over(wt).alias("tb"),
+    )
+    return cum.groupBy("event_type", F.col("ta").alias("n_a"), F.col("tb").alias("n_b")).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")
+                )
+            ),
+            4,
+        ).alias("ks_d")
+    ).select("event_type", "n_a", "n_b", "ks_d")
+
+
+@register(
+    "rel_benford_digits",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+           AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+SELECT c.digit, c.n,
+       ROUND(c.n * 1.0 / t.total, 4) AS observed_p,
+       ROUND(ln(1 + 1.0 / c.digit) / ln(10), 4) AS benford_p
+FROM c CROSS JOIN t
+""",
+    tags=("analytics", "audit"),
+)
+def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic forensic screen for fabricated numeric data (organically
+    generated amounts follow P(d) = log10(1 + 1/d); synthetic or
+    tampered ones usually don't, which is exactly what this corpus
+    will show). Digits come from the exact integer-cents string, so
+    both engines extract identical leading digits.
+
+    Scale: one grouped count over the fact (9 groups), the expected
+    distribution is a constant expression — audit cost is a single
+    partial-agg scan."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = (
+        o.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("total"), 4).alias("observed_p"),
+        F.round(F.log(1 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 4).alias(
+            "benford_p"
+        ),
+    )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'
+                  THEN CAST(FLOOR(epoch(ts) * 1000000) AS BIGINT) END) AS t_signup,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(epoch(ts) * 1000000) AS BIGINT) END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT (t_purchase - t_signup) / 1000000 AS delay_s
+  FROM f WHERE t_signup IS NOT NULL AND t_purchase > t_signup
+),
+base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signup FROM f
+         WHERE t_signup IS NOT NULL)
+SELECT base.n_signup,
+       CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted,
+       ROUND((SELECT COUNT(*) FROM conv) * 1.0 / base.n_signup, 4)
+         AS conversion_rate,
+       CAST((SELECT median(delay_s) FROM conv) AS DOUBLE) AS median_delay_s,
+       CAST((SELECT quantile_cont(delay_s, 0.9) FROM conv) AS DOUBLE)
+         AS p90_delay_s
+FROM base
+""",
+    tags=("analytics", "funnel"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: first signup → first subsequent
+    purchase per user, reporting conversion rate plus median and p90
+    delay — the LATENCY half of funnel analytics
+    (events_funnel_steps counts WHO converts; this measures HOW LONG
+    conversion takes, which is what activation work actually moves).
+
+    Determinism: delays are exact integer seconds; median/p90 are
+    selection-interpolation stats (percentile matches DuckDB's
+    quantile_cont) — no summation order anywhere. Scale: one grouped
+    min-pass collapses the fact to per-user firsts; the distribution
+    stats run on the converting-user frame."""
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", epoch_us(F.col("ts")))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", epoch_us(F.col("ts")))
+        ).alias("t_purchase"),
+    )
+    conv = f.filter(
+        F.col("t_signup").isNotNull()
+        & (F.col("t_purchase") > F.col("t_signup"))
+    ).select(
+        ((F.col("t_purchase") - F.col("t_signup")) / 1_000_000).alias(
+            "delay_s"
+        )
+    )
+    base = f.filter(F.col("t_signup").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_signup")
+    )
+    stats = conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile(F.col("delay_s"), F.lit(0.5)).alias("median_delay_s"),
+        F.percentile(F.col("delay_s"), F.lit(0.9)).alias("p90_delay_s"),
+    )
+    return base.crossJoin(stats).select(
+        "n_signup",
+        "n_converted",
+        F.round(F.col("n_converted") / F.col("n_signup"), 4).alias(
+            "conversion_rate"
+        ),
+        F.col("median_delay_s").cast("double").alias("median_delay_s"),
+        F.col("p90_delay_s").cast("double").alias("p90_delay_s"),
+    )
