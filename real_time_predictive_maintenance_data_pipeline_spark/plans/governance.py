@@ -2695,3 +2695,135 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("median_delay_s").cast("double").alias("median_delay_s"),
         F.col("p90_delay_s").cast("double").alias("p90_delay_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimator
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ml_kaplan_meier",
+    oracle="""
+WITH per AS (
+  SELECT user_id,
+         MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t0,
+         MIN(CASE WHEN event_type = 'error'
+                  THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_err,
+         MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_end
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT user_id,
+         -- integer division: DuckDB's / on BIGINTs is FLOAT division and
+         -- CAST(double AS BIGINT) ROUNDS where Spark's cast truncates
+         CASE WHEN t_err IS NOT NULL THEN (t_err - t0) // 3600
+              ELSE (t_end - t0) // 3600 END AS dur_h,
+         (t_err IS NOT NULL) AS failed
+  FROM per
+),
+ev AS (
+  SELECT dur_h AS t,
+         COUNT(CASE WHEN failed THEN 1 END) AS d,
+         COUNT(*) AS leaving
+  FROM obs GROUP BY dur_h
+),
+risk AS (
+  SELECT t, d,
+         CAST((SELECT COUNT(*) FROM obs) AS BIGINT)
+           - CAST(COALESCE(SUM(leaving) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_risk
+  FROM ev
+),
+km AS (
+  -- a step where EVERYONE at risk fails drives survival exactly to 0;
+  -- track it with a flag instead of ln(0)
+  SELECT t, d, n_risk,
+         SUM(CASE WHEN d > 0 AND d < n_risk THEN ln(1.0 - d * 1.0 / n_risk)
+             ELSE 0.0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS log_s,
+         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit_zero
+  FROM risk
+)
+SELECT CAST(t AS BIGINT) AS t_hours, CAST(d AS BIGINT) AS n_failed,
+       n_risk,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE ROUND(exp(log_s), 4) END
+         AS survival
+FROM km WHERE d > 0
+""",
+    tags=("ml", "timeseries", "stats"),
+)
+def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over machine time-to-first-failure
+    (hours from first event; machines with no failure are
+    right-censored at their last observation) — the NONPARAMETRIC
+    estimator beside the parametric Weibull AFT (ml_survival_aft):
+    S(t) = prod over failure times of (1 - d_i / n_i), with censored
+    machines leaving the risk set without contributing a failure term.
+
+    Determinism: risk sets and failure counts are exact integers; the
+    product is a running sum of logs in TIME order (both engines add
+    the same terms in the same order, so the float sum is
+    bit-identical) exponentiated at the edge. Scale: the fact
+    collapses to per-machine (t0, t_err, t_end) in one pass; the curve
+    itself lives at distinct-duration grain."""
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    sec = (epoch_us(F.col("ts")) / 1_000_000).cast("long")
+    per = ev.groupBy("user_id").agg(
+        F.min(sec).alias("t0"),
+        F.min(F.when(F.col("event_type") == "error", sec)).alias("t_err"),
+        F.max(sec).alias("t_end"),
+    )
+    obs = per.select(
+        F.when(
+            F.col("t_err").isNotNull(),
+            ((F.col("t_err") - F.col("t0")) / 3600).cast("long"),
+        )
+        .otherwise(((F.col("t_end") - F.col("t0")) / 3600).cast("long"))
+        .alias("dur_h"),
+        F.col("t_err").isNotNull().alias("failed"),
+    )
+    evd = obs.groupBy(F.col("dur_h").alias("t")).agg(
+        F.count(F.when(F.col("failed"), 1)).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    n_total = obs.count()
+    wprev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_risk = F.lit(n_total) - F.coalesce(
+        F.sum("leaving").over(wprev), F.lit(0)
+    )
+    # a step where EVERYONE at risk fails drives survival exactly to
+    # 0; track it with a flag instead of ln(0)
+    km = evd.select(
+        "t",
+        "d",
+        n_risk.alias("n_risk"),
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < n_risk),
+                F.log(1.0 - F.col("d") / n_risk),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(wcum)
+        .alias("log_s"),
+        F.max(F.when(F.col("d") == n_risk, 1).otherwise(0))
+        .over(wcum)
+        .alias("hit_zero"),
+    )
+    return km.filter(F.col("d") > 0).select(
+        F.col("t").alias("t_hours"),
+        F.col("d").alias("n_failed"),
+        "n_risk",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("log_s"), 4))
+        .alias("survival"),
+    )

@@ -670,3 +670,23 @@ def test_cv_selects_perfect_candidate(spark):
     # near-perfect candidate (same bar as the reference's 1.00/1.00)
     assert best[0].mean_f1 >= 0.999
     assert best[0].mean_f1 == max(r.mean_f1 for r in rows)
+
+
+def test_kaplan_meier_curve_valid(spark):
+    """KM invariants: survival non-increasing in [0,1]; risk sets
+    strictly decreasing; recompute matches the textbook product."""
+    rows = sorted(
+        all_queries()["ml_kaplan_meier"].spark(spark, SF_SMOKE).collect(),
+        key=lambda r: r.t_hours,
+    )
+    assert rows
+    s_prev, n_prev = 1.0 + 1e-9, None
+    surv = 1.0
+    for r in rows:
+        assert 0.0 <= r.survival <= 1.0
+        assert r.survival <= s_prev + 1e-9
+        if n_prev is not None:
+            assert r.n_risk < n_prev
+        surv *= 1.0 - r.n_failed / r.n_risk
+        assert r.survival == pytest.approx(surv, abs=1e-3)
+        s_prev, n_prev = r.survival, r.n_risk
