@@ -2827,3 +2827,52 @@ def ml_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("log_s"), 4))
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed shuffle-free aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "src_bucketed_groupby",
+    oracle="""
+SELECT l_orderkey, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY l_orderkey
+""",
+    tags=("source", "agg", "eager-io"),
+)
+def src_bucketed_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free aggregation on a bucketed table: lineitem written
+    ``bucketBy(8, l_orderkey)`` aggregates on the bucket key with ZERO
+    exchange — the scan's hash-clustered bucket layout already
+    satisfies the aggregation's distribution requirement
+    (plan-asserted in tests/test_governance.py). The aggregation twin
+    of src_bucketed_join: at 100 TB, bucketing the fact on its
+    dominant group/join key removes the biggest shuffle from BOTH
+    operations for the cost of one layout-time sort.
+
+    The oracle is the same aggregate off the raw table — bucketing
+    must never change results, only the plan."""
+    from ..sources.scratch import scratch_dir
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    wh = scratch_dir("bucketed_gb_")
+    name = "li_bucketed_gb"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        l.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{wh}/{name}")
+        .saveAsTable(name)
+    )
+    return (
+        spark.table(name)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )

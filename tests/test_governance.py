@@ -690,3 +690,15 @@ def test_kaplan_meier_curve_valid(spark):
         surv *= 1.0 - r.n_failed / r.n_risk
         assert r.survival == pytest.approx(surv, abs=1e-3)
         s_prev, n_prev = r.survival, r.n_risk
+
+
+def test_bucketed_groupby_no_shuffle(spark):
+    """The aggregation on the bucket key must plan ZERO exchanges —
+    the bucketed scan already satisfies the required distribution."""
+    df = all_queries()["src_bucketed_groupby"].spark(spark, SF)
+    try:
+        plan = _plan(df, "simple")
+        assert "Exchange" not in plan, plan
+        assert "HashAggregate" in plan or "SortAggregate" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed_gb")
