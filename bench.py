@@ -63,6 +63,17 @@ def main() -> None:
 
         _model(spark)
 
+    # Pre-read the benchmark dataset once so the timed loop measures
+    # the ENGINE, not the host's page-cache state: this sandbox
+    # periodically evicts the cache, and a cold first-touch bills
+    # multi-second disk reads to whichever query scans a table first
+    # (measured 1.3-4.7x drift on plan-identical queries).
+    for root, _, files in os.walk(sf_dir):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(8 << 20):
+                    pass
+
     # Queries tagged "caches" persist intermediates inside their plan
     # (the cached partitions outlive the returned DataFrame); clear
     # them between queries so the loop doesn't accumulate executor
