@@ -2876,3 +2876,54 @@ def src_bucketed_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_sql_udf",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS disc_revenue_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+            AS BIGINT)) AS BIGINT) AS charged_cents
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("sql", "functions"),
+)
+def rel_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 ``CREATE FUNCTION ...
+    RETURN expr``): the business logic (discounted price, charged
+    amount COMPOSED from the first function) lives as named catalog
+    functions that any SQL user calls — the governance answer to
+    copy-pasted expressions drifting apart across queries. Catalyst
+    INLINES the bodies, so the plan is identical to writing the
+    expressions by hand (zero runtime cost, unlike an opaque Python
+    UDF) — which is exactly what the oracle checks, being the same
+    aggregate with the functions inlined manually.
+
+    Scale: one partial-aggregated scan; SQL UDFs never leave the JVM
+    or break whole-stage codegen."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(ROUND(p * (1 - d) * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_cents(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(ROUND(p * (1 - d) * (1 + t) * 100) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(disc_cents(l_extendedprice, l_discount)) AS disc_revenue_cents,
+               SUM(charged_cents(l_extendedprice, l_discount, l_tax)) AS charged_cents
+        FROM li_sqludf GROUP BY l_returnflag
+        """
+    )
