@@ -18,6 +18,7 @@ cents for money-like sums, index-order array folds, HUGEINT casts).
 
 from __future__ import annotations
 
+import datetime
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -2926,4 +2927,45 @@ def rel_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(charged_cents(l_extendedprice, l_discount, l_tax)) AS charged_cents
         FROM li_sqludf GROUP BY l_returnflag
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_parameterized_sql",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_totalprice > 1000.0
+GROUP BY o_orderpriority
+""",
+    tags=("sql",),
+)
+def rel_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(query, args=...)``): the
+    injection-safe way applications template queries — parameters bind
+    as typed literals in the parse tree, never by string splicing, so
+    a hostile value cannot change query structure. The oracle is the
+    same query with the values inlined: binding must be semantically
+    equivalent to literal text (including pushing the bound filters
+    down to the scan).
+
+    Scale: identical plan to the literal form — parameter binding is a
+    parse-time concern with zero execution footprint."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders_param
+        WHERE o_orderdate >= :cutoff AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": datetime.date(1996, 1, 1), "min_price": 1000.0},
     )
