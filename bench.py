@@ -80,15 +80,28 @@ def main() -> None:
     # storage memory across the run.
     spark.catalog.clearCache()
 
+    # Repeat the timed loop n>=3 times: the FIRST pass is the headline
+    # (comparable to prior rounds, which timed a single pass); the
+    # per-query MIN across passes is the quiet-machine floor that
+    # separates environment drift (host page-cache drops, CPU/IO
+    # throttling — measured 1.3-4.7x on plan-identical queries) from a
+    # real plan regression. Override with SPARK_GRAFT_BENCH_REPEAT=1 for
+    # a quick iteration loop.
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     timings: dict[str, float] = {}
-    for name in sorted(queries):
-        q = queries[name]
-        t0 = time.perf_counter()
-        df = q.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        if "caches" in q.tags:
-            spark.catalog.clearCache()
+    best: dict[str, float] = {}
+    for i in range(repeat):
+        for name in sorted(queries):
+            q = queries[name]
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            if i == 0:
+                timings[name] = dt
+            best[name] = min(best.get(name, dt), dt)
+            if "caches" in q.tags:
+                spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
@@ -99,6 +112,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_from_dir(sf_dir),
+                "best_of": repeat,
+                "value_best": round(sum(best.values()), 3),
+                "queries_best": best,
             }
         )
     )

@@ -298,6 +298,11 @@ def byte_stats_arrow(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             n_bytes, first, total = [], [], []
             for buf in payload:
                 b = buf.as_py()
+                if b is None:  # NULL payload cell — emit nulls, not a crash
+                    n_bytes.append(None)
+                    first.append(None)
+                    total.append(None)
+                    continue
                 n_bytes.append(len(b))
                 first.append(b[0] if b else None)
                 total.append(

@@ -19,7 +19,6 @@ cents for money-like sums, index-order array folds, HUGEINT casts).
 from __future__ import annotations
 
 import datetime
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -397,6 +396,48 @@ def rel_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def copy_on_write_delete(spark: SparkSession, path: str, pred, part_col: str) -> None:
+    """DELETE WHERE ``pred`` from the partitioned parquet table at
+    ``path`` by rewriting only the partitions that contain matching rows
+    (dynamic partition overwrite), and explicitly dropping any hit
+    partition whose every row matched — dynamic overwrite only replaces
+    partitions PRESENT in the written frame, so a fully-deleted
+    partition's files would otherwise silently survive."""
+    hit = [
+        r[part_col]
+        for r in spark.read.parquet(path)
+        .filter(pred)
+        .select(part_col)
+        .distinct()
+        .collect()
+    ]
+    survivors = spark.read.parquet(path).filter(
+        F.col(part_col).isin(hit) & ~pred
+    )
+    # Which hit partitions keep at least one row — computed BEFORE the
+    # overwrite (the lazy plan reads the original files, which the write
+    # below replaces). Both driver-side lists are bounded by the number of
+    # affected partitions.
+    survived = {
+        r[part_col] for r in survivors.select(part_col).distinct().collect()
+    }
+    with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.partitionBy(part_col).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
+    # Drop emptied partition directories through the Hadoop FS API — works
+    # on any filesystem Spark writes to, not just local disk.
+    emptied = [p for p in hit if p not in survived]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for p in emptied:
+            part = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_col}={p}")
+            part.getFileSystem(hconf).delete(part, True)
+
+
 @register(
     "rel_delete_where_rewrite",
     oracle="""
@@ -427,29 +468,9 @@ def rel_delete_where_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = scratch_dir("delete_cow_")
     n.write.partitionBy("n_regionkey").mode("overwrite").parquet(path)
-
-    pred = F.col("n_name").like("%1")
-    # partitions that contain doomed rows — ONLY these are rewritten
-    hit = [
-        r.n_regionkey
-        for r in spark.read.parquet(path)
-        .filter(pred)
-        .select("n_regionkey")
-        .distinct()
-        .collect()
-    ]
-    survivors = (
-        spark.read.parquet(path)
-        .filter(F.col("n_regionkey").isin(hit) & ~pred)
+    copy_on_write_delete(
+        spark, path, F.col("n_name").like("%1"), "n_regionkey"
     )
-    with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        survivors.write.partitionBy("n_regionkey").mode("overwrite").parquet(
-            path
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
     return (
         spark.read.parquet(path)
         .groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey"))

@@ -1543,7 +1543,7 @@ SELECT t.doc_id, COUNT(*) AS n_tokens,
        ROUND(AVG(
          ln((f.ct + 1) * 1.0 / (tot.n_t + tot.vocab))
          - ln((f.cr + 1) * 1.0 / (tot.n_r + tot.vocab))
-       ), 4) AS importance
+       ), 4) + 0.0 AS importance
 FROM tok t JOIN freq f USING (w), tot
 WHERE t.doc_id % 20 <> 0
 GROUP BY t.doc_id
@@ -1588,7 +1588,9 @@ def doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(ratio), 4).alias("importance"),
+            # + 0.0 normalizes -0.0 (registry convention: rounded floats
+            # near zero — the r04 driver hash-fail on doc_id 87).
+            (F.round(F.avg(ratio), 4) + F.lit(0.0)).alias("importance"),
         )
     )
 

@@ -75,20 +75,87 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 4
+_ROTATED_FOR_ROUND = 5
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # r03's one red row: oracle count_if returned HUGEINT -> pandas float64
-    # vs Spark int64 (values identical). Oracle now casts to BIGINT; must
+    # r04's one red row: all 475 rows numerically identical in both
+    # engines, but doc_id 87 rounds to -0.0 in DuckDB vs 0.0 in Spark and
+    # the driver hash distinguishes signed zeros. Both sides now add
+    # ``+ 0.0`` after the round (registry convention above); must
     # re-verify hash-green this round.
-    "rel_agg_bool_bit",
+    "doc_dsir_importance",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # round-4 window: 1 recheck above + the 49 names below = 50. Packs all
-    # 43 not-yet-verified ORACLED queries (round-3 wave) first, then 6
-    # rows-only ones whose correctness lives in local recall/equality gates.
-    # Curation / dedup wave (plans/curation.py, plans/llm.py)
+    # round-5 window: 1 recheck above + the 49 names below = 50. Packs all
+    # 39 not-yet-verified ORACLED queries (the late round-4 wave) first,
+    # then 10 of the 12 rows-only ones. Two rows-only names did not fit:
+    # ``ml_cv_model_selection`` and ``rel_approx_quantile`` (both carry
+    # strong local gates — CV grid repro / epsilon bound) — pack them
+    # FIRST in round 6.
+    # Normalization / curation / eval wave (plans/governance.py, curation.py)
+    "doc_normalize_text",
+    "doc_curriculum_order",
+    "doc_token_budget_select",
+    "doc_blocklist_filter",
+    "doc_chunk_sliding",
+    "doc_dataset_card",
+    "doc_langid_confusion",
+    "doc_zipf_slope",
+    "dedup_incremental_batch",
+    "emb_matryoshka_truncate",
+    "emb_recall_eval",
+    # Sequence & attribution analytics
+    "events_activity_streaks",
+    "events_state_spans",
+    "events_last_touch_attribution",
+    "events_time_to_convert",
+    "events_ks_two_sample",
+    "events_psi_drift",
+    # Governance & statistics
+    "rel_k_anonymity",
+    "rel_ab_ttest",
+    "rel_chi_square",
+    "rel_benford_digits",
+    "rel_cms_freq_estimate",
+    "rel_equidepth_histogram",
+    "rel_weighted_median",
+    "rel_basket_pairs_lift",
+    "rel_capped_running_balance",
+    "rel_fifo_allocation",
+    "ml_kaplan_meier",
+    "ts_holt_linear",
+    # Spatial & linkage, lake/CDC completion
+    "rel_spatial_grid_join",
+    "rel_record_linkage",
+    "rel_snapshot_diff",
+    "rel_delete_where_rewrite",
+    # Spark-4 API breadth
+    "rel_sql_pipe",
+    "rel_sql_udf",
+    "rel_parameterized_sql",
+    "rel_transpose",
+    "src_bucketed_groupby",
+    "mm_bytes_arrow",
+    # rows-only (10): local gates are the correctness signal; driver
+    # records a rows-only row so every catalog query eventually has one.
+    "doc_bpe_vocab",
+    "doc_bpe_encode",
+    "doc_compression_ratio",
+    "doc_dup_pagerank",
+    "emb_pca_whitening",
+    "emb_pq_codes",
+    "ml_isotonic_calibration",
+    "ml_quality_classifier",
+    "ml_survival_aft",
+    "rel_approx_distinct",
+)
+
+_DRIVER_VERIFIED: tuple[str, ...] = (
+    # round 4 (CORRECTNESS_r04.json): 43 hash-green + 6 rows-only by
+    # contract. doc_dsir_importance (the 50th) is in _RECHECK_FIRST, not
+    # here.
+    "rel_agg_bool_bit",
     "doc_chunk_dedup",
     "doc_span_dedup",
     "doc_bm25_search",
@@ -96,12 +163,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_char_entropy",
     "doc_curation_funnel",
     "doc_domain_mix_weights",
-    "doc_dsir_importance",
     "doc_ngram_novelty",
     "doc_stable_sample",
     "doc_vocab_growth",
     "emb_coreset_per_label",
-    # Behavioral analytics / time-series wave
     "events_retention_cohorts",
     "events_funnel_steps",
     "events_mad_outliers",
@@ -116,7 +181,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ts_seasonal_hour_profile",
     "ts_resample_ohlc",
     "ts_ewma_last",
-    # Lake / CDC robustness set
     "rel_changelog_apply",
     "rel_dq_expectations",
     "src_bucketed_join",
@@ -125,7 +189,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "src_csv_quarantine",
     "src_compaction",
     "rel_zorder_key",
-    # Relational long tail
     "rel_window_ignore_nulls",
     "rel_regexp_funcs",
     "rel_mode_per_group",
@@ -135,17 +198,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "rel_observe_metrics",
     "rel_heavy_hitters",
     "graph_triangle_count",
-    # rows-only (6): local gates are the correctness signal; driver records
-    # a rows-only row so every catalog query eventually has one.
     "dedup_simhash_banded",
     "mm_phash_neardup",
     "sim_pq_adc_topk",
     "sim_ivf_pq_topk",
     "sem_dedup",
     "ml_als_recommend",
-)
-
-_DRIVER_VERIFIED: tuple[str, ...] = (
     # round 3 (CORRECTNESS_r03.json): 48 hash-green + 1 rows-only by
     # contract (telemetry_artifact_score). rel_agg_bool_bit (the 50th) is
     # in _RECHECK_FIRST, not here.

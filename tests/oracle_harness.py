@@ -27,7 +27,14 @@ def _canon(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        r = round(v, 6)
+        if r == 0:
+            # The driver hash is byte-sensitive and distinguishes -0.0
+            # from 0.0 (r04 `doc_dsir_importance`); Python's == does not.
+            # Represent zeros sign-sensitively so the mirror is at least
+            # as strict as the driver.
+            return ("0", math.copysign(1.0, r))
+        return r
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):

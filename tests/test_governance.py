@@ -144,6 +144,36 @@ def test_delete_where_rewrite_leaves_untouched_partitions_alone(spark):
     )
 
 
+def test_delete_where_rewrite_drops_fully_deleted_partition(spark):
+    """When EVERY row of a partition matches the delete predicate,
+    dynamic overwrite writes nothing for it — the COW helper must still
+    remove its files (the r4-advice gap: 'deleted' rows silently
+    surviving the GDPR-style rewrite)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.governance import (
+        copy_on_write_delete,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources import scratch
+
+    df = spark.createDataFrame(
+        [(p, i, f"name_{p}_{i}") for p in range(4) for i in range(5)],
+        "part long, id long, name string",
+    )
+    path = scratch.scratch_dir("cow_full_delete_")
+    df.write.partitionBy("part").mode("overwrite").parquet(path)
+
+    # partition 1 fully matches; partition 2 partially; 0 and 3 untouched
+    pred = (F.col("part") == 1) | ((F.col("part") == 2) & (F.col("id") < 2))
+    copy_on_write_delete(spark, path, pred, "part")
+
+    assert not glob.glob(os.path.join(path, "part=1", "*.parquet")), (
+        "fully-deleted partition's files must be removed"
+    )
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("part") == 1).count() == 0
+    assert back.filter(F.col("part") == 2).count() == 3
+    assert back.count() == 20 - 5 - 2
+
+
 # ---------------------------------------------------------------------------
 # Statistics closed-form checks
 # ---------------------------------------------------------------------------

@@ -130,3 +130,25 @@ def test_byte_stats_arrow_matches_jvm(spark):
         assert g.n_bytes == j.n_bytes
         assert g.first_byte == j.first_byte
         assert g.byte_sum == sum(j.text.encode("utf-8"))
+
+
+def test_byte_stats_arrow_null_and_empty_payloads(spark):
+    """NULL payload cells must yield null stats (not a worker crash —
+    the r4-advice gap: `buf.as_py()` returns None and `len(None)`
+    raised inside mapInArrow); empty bytes yield (0, null, 0)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators import (
+        multimodal as M,
+    )
+
+    d = spark.createDataFrame(
+        [(1, b"ab"), (2, None), (3, b"")],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in M.byte_stats_arrow(d).collect()}
+    assert (got[1].n_bytes, got[1].first_byte, got[1].byte_sum) == (2, 97, 195)
+    assert (got[2].n_bytes, got[2].first_byte, got[2].byte_sum) == (
+        None,
+        None,
+        None,
+    )
+    assert (got[3].n_bytes, got[3].first_byte, got[3].byte_sum) == (0, None, 0)
