@@ -1,0 +1,1397 @@
+"""Round-5 catalog wave: business-analytics, evaluation-metric, and
+inequality/concentration statistics over the TPC-H-ish fixtures — the
+operators a warehouse team runs daily (RFM, ABC, YoY, Gini/HHI, lift
+tables, AUC) that the reference (a fixed five-phase telemetry pipeline,
+`SURVEY.md` §2.1) has no machinery for, expressed as single-pass
+DataFrame programs with DuckDB oracles per the registry conventions
+(identical aliases, integer cents for money sums, deterministic
+tiebreaks under every window order, ``+ 0.0`` after near-zero rounds).
+
+Scale stance shared by the module: every query is one or two shuffles
+on well-distributed keys (custkey/partkey/user_id); every window is
+partitioned (no global single-partition ordering except over
+already-aggregated frames whose cardinality is bounded by a dimension,
+e.g. 366 days, 10 deciles); no collects, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# Exact integer cents of a 2-dp money column (registry convention: sums
+# of integral doubles are order-independent; raw double sums are not).
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100)
+
+
+# lineitem revenue in exact integer 1/10000ths: extendedprice (2 dp)
+# times (1 - discount) (2 dp) has at most 4 decimals, so scaling by
+# 10^4 and rounding lands on the exact integer in both engines.
+_REV_TMT = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+_REV_TMT_SQL = "ROUND(l_extendedprice * (1 - l_discount) * 10000)"
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_rfm_segmentation",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey AS custkey,
+         CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS last_day,
+         COUNT(*) AS frequency,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT MAX(last_day) AS max_day FROM cust),
+scored AS (
+  SELECT custkey, (a.max_day - last_day) AS recency_days, frequency,
+         monetary_cents,
+         NTILE(5) OVER (ORDER BY (a.max_day - last_day) ASC, custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+  FROM cust, anchor a
+)
+SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+       monetary_cents, r_score, f_score, m_score,
+       CONCAT(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+              CAST(m_score AS VARCHAR)) AS rfm_cell
+FROM scored
+""",
+    tags=("analytics", "window"),
+)
+def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    per-customer order stats, then NTILE(5) quintile scores on each
+    axis with a custkey tiebreak so the tiling is deterministic, and
+    the concatenated RFM cell every campaign tool keys on.
+
+    Scale: one groupBy(custkey) shuffle builds the per-customer frame
+    (cardinality = |customer| << |orders|); the three quintile windows
+    order that AGGREGATED frame, and at 100 TB each becomes a range
+    partition + rank over customers, not facts. Recency anchors on the
+    data's own max day so the query is deterministic, and days are
+    integer epoch-day buckets (no double seconds cross the engines)."""
+    from ..functions.timeutil import epoch_us
+
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.floor(epoch_us("o_orderdate") / 86_400_000_000)).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("monetary_cents"),
+    )
+    anchor = cust.agg(F.max("last_day").alias("max_day"))
+    scored = (
+        cust.crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", (F.col("max_day") - F.col("last_day")))
+        .withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy(F.asc("recency_days"), F.asc("custkey"))),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.desc("frequency"), F.asc("custkey"))),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy(F.desc("monetary_cents"), F.asc("custkey"))),
+        )
+    )
+    return scored.select(
+        "custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_cell"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC classification (cumulative-share bucketing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_abc_classification",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         CAST(SUM({_REV_TMT_SQL}) AS BIGINT) AS rev_tmt
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(rev_tmt) AS total FROM rev),
+ranked AS (
+  SELECT partkey, rev_tmt,
+         SUM(rev_tmt) OVER (ORDER BY rev_tmt DESC, partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_tmt
+  FROM rev
+)
+SELECT partkey, rev_tmt,
+       ROUND(cum_tmt * 1.0 / t.total, 4) AS cum_share,
+       CASE WHEN cum_tmt * 1.0 / t.total <= 0.8 THEN 'A'
+            WHEN cum_tmt * 1.0 / t.total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked, tot t
+""",
+    tags=("analytics", "window"),
+)
+def rel_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, running
+    cumulative share, A = first 80 % of revenue, B = next 15 %, C =
+    tail — the Pareto cut purchasing teams drive stocking policy with.
+
+    Scale: revenue aggregates per partkey first (one shuffle; output
+    cardinality = |part|), the running sum orders the aggregated frame.
+    Revenue is summed in exact integer ten-thousandths so the running
+    total is order-exact, and the share division happens on identical
+    integers in both engines (the class boundary compare is then safe
+    — no float drift can flip a row across 0.8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(_REV_TMT).cast("bigint").alias("rev_tmt")
+    )
+    tot = rev.agg(F.sum("rev_tmt").alias("total"))
+    w = Window.orderBy(F.desc("rev_tmt"), F.asc("partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.withColumn("cum_tmt", F.sum("rev_tmt").over(w))
+    share = F.col("cum_tmt") * 1.0 / F.col("total")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "partkey",
+            "rev_tmt",
+            F.round(share, 4).alias("cum_share"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_yoy_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS revenue_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT order_year, revenue_cents, n_orders,
+       LAG(revenue_cents) OVER (ORDER BY order_year) AS prev_cents,
+       ROUND((revenue_cents - LAG(revenue_cents) OVER (ORDER BY order_year))
+             * 1.0 / LAG(revenue_cents) OVER (ORDER BY order_year), 4) + 0.0
+         AS yoy_growth
+FROM yearly
+""",
+    tags=("analytics", "window"),
+)
+def rel_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth: yearly totals (exact cents), LAG
+    to the prior year, growth ratio. ``+ 0.0`` normalizes the signed
+    zero a flat year's tiny negative growth can round to.
+
+    Scale: the window orders the AGGREGATED yearly frame (a handful of
+    rows at any data size); the only fact-table pass is one groupBy on
+    the year."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("order_year")
+    ).agg(
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("order_year")
+    prev = F.lag("revenue_cents").over(w)
+    return yearly.select(
+        "order_year",
+        "revenue_cents",
+        "n_orders",
+        prev.alias("prev_cents"),
+        (
+            F.round((F.col("revenue_cents") - prev) * 1.0 / prev, 4) + F.lit(0.0)
+        ).alias("yoy_growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inequality / concentration statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_gini_coefficient",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_nationkey AS nationkey, c.c_custkey,
+         CAST(SUM(ROUND(o.o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nationkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY nationkey
+                            ORDER BY cents, c_custkey) AS i,
+         COUNT(*) OVER (PARTITION BY nationkey) AS n,
+         SUM(cents) OVER (PARTITION BY nationkey) AS total
+  FROM spend
+)
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(2.0 * SUM(i * cents) / (MAX(n) * MAX(total))
+             - (MAX(n) + 1.0) / MAX(n), 4) + 0.0 AS gini
+FROM ranked GROUP BY nationkey
+""",
+    tags=("analytics", "statistics"),
+)
+def rel_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation via the rank
+    formula G = 2*Σ(i·xᵢ)/(n·Σx) − (n+1)/n over values sorted
+    ascending — the single-pass inequality audit for revenue
+    concentration. Near-equal nations round to ±0 → ``+ 0.0``.
+
+    Scale: spend aggregates on (nationkey, custkey) — one shuffle on a
+    well-distributed composite; the rank window partitions BY NATION
+    (parallel across nations, never a global sort); Σ(i·xᵢ) is exact
+    integer arithmetic (cents × row number) so partial-agg order
+    cannot drift the double."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"), "c_custkey"
+        )
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("cents"))
+    )
+    wp = Window.partitionBy("nationkey")
+    ranked = spend.select(
+        "nationkey",
+        "cents",
+        F.row_number()
+        .over(wp.orderBy(F.asc("cents"), F.asc("c_custkey")))
+        .alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("total"),
+    )
+    return ranked.groupBy(F.col("nationkey").cast("bigint").alias("nationkey")).agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        (
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("cents")) / (F.max("n") * F.max("total"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("gini"),
+    )
+
+
+@register(
+    "rel_herfindahl_index",
+    oracle=f"""
+WITH rev AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+         SUM({_REV_TMT_SQL}) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+sh AS (
+  SELECT nationkey, r / SUM(r) OVER (PARTITION BY nationkey) AS share
+  FROM rev
+)
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(share * share), 4) AS hhi
+FROM sh GROUP BY nationkey
+""",
+    tags=("analytics", "statistics"),
+)
+def rel_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    share within each nation: Σ shareᵢ² — 1/n = perfectly even, 1.0 =
+    monopoly. The market-concentration audit for supply-chain risk.
+
+    Scale: revenue per (nation, supplier) is one shuffle; shares come
+    from a nation-partitioned window over the aggregated frame (one
+    row per supplier). The share squares divide identical exact
+    integer sums, so both engines square identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
+        .agg(F.sum(_REV_TMT).alias("r"))
+    )
+    share = F.col("r") / F.sum("r").over(Window.partitionBy("nationkey"))
+    return (
+        rev.withColumn("sq", share * share)
+        .groupBy(F.col("nationkey").cast("bigint").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.round(F.sum("sq"), 4).alias("hhi"),
+        )
+    )
+
+
+@register(
+    "rel_entropy_by_group",
+    oracle="""
+WITH c AS (
+  SELECT user_id % 10 AS user_bucket, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT user_bucket, SUM(n) AS total, COUNT(*) AS n_types FROM c GROUP BY 1
+)
+SELECT c.user_bucket, CAST(MAX(t.total) AS BIGINT) AS n_events,
+       CAST(MAX(t.n_types) AS BIGINT) AS n_types,
+       ROUND(-SUM((c.n * 1.0 / t.total) * ln(c.n * 1.0 / t.total)), 4) + 0.0
+         AS entropy
+FROM c JOIN t USING (user_bucket)
+GROUP BY c.user_bucket
+""",
+    tags=("analytics", "statistics"),
+)
+def rel_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type distribution per user bucket
+    — the diversity score behind engagement-mix dashboards (0 = one
+    behavior only). A single-type bucket yields −(1·ln 1) = −0.0, the
+    exact signed-zero trap → ``+ 0.0``.
+
+    Scale: counts aggregate on (bucket, type) — the entropy sum then
+    runs over an aggregate whose cardinality is buckets × types, not
+    events."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy(
+        (F.col("user_id") % 10).alias("user_bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_bucket").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("n") * 1.0 / F.col("total")
+    return (
+        c.join(t, "user_bucket")
+        .groupBy("user_bucket")
+        .agg(
+            F.max("total").cast("bigint").alias("n_events"),
+            F.max("n_types").cast("bigint").alias("n_types"),
+            (F.round(-F.sum(p * F.log(p)), 4) + F.lit(0.0)).alias("entropy"),
+        )
+    )
+
+
+@register(
+    "rel_percent_of_total",
+    oracle=f"""
+WITH rev AS (
+  SELECT n.n_name AS nation, CAST(SUM({_REV_TMT_SQL}) AS BIGINT) AS rev_tmt
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT nation, rev_tmt,
+       ROUND(rev_tmt * 100.0 / SUM(rev_tmt) OVER (), 4) AS pct_of_total,
+       CAST(RANK() OVER (ORDER BY rev_tmt DESC) AS BIGINT) AS rev_rank
+FROM rev
+""",
+    tags=("analytics", "window"),
+)
+def rel_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution per supplier nation with a dense
+    revenue rank — the share-of-wallet readout. The unpartitioned
+    window runs over the AGGREGATED nation frame (25 rows at any scale
+    factor), never the fact table; revenue is exact integers so the
+    global sum is order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_REV_TMT).cast("bigint").alias("rev_tmt"))
+    )
+    return rev.select(
+        "nation",
+        "rev_tmt",
+        F.round(
+            F.col("rev_tmt") * 100.0 / F.sum("rev_tmt").over(Window.partitionBy()),
+            4,
+        ).alias("pct_of_total"),
+        F.rank().over(Window.orderBy(F.desc("rev_tmt"))).cast("bigint").alias("rev_rank"),
+    )
+
+
+@register(
+    "rel_top_decile_ratio",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_nationkey % 5 AS region_bucket, o.o_custkey,
+         CAST(SUM(ROUND(o.o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+tiled AS (
+  SELECT region_bucket, cents,
+         NTILE(10) OVER (PARTITION BY region_bucket
+                         ORDER BY cents, o_custkey) AS decile
+  FROM spend
+)
+SELECT region_bucket,
+       CAST(SUM(CASE WHEN decile = 10 THEN cents ELSE 0 END) AS BIGINT)
+         AS top_cents,
+       CAST(SUM(CASE WHEN decile = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS bottom_cents,
+       ROUND(SUM(CASE WHEN decile = 10 THEN cents ELSE 0 END) * 1.0
+             / SUM(CASE WHEN decile = 1 THEN cents ELSE 0 END), 4)
+         AS decile_ratio
+FROM tiled GROUP BY region_bucket
+""",
+    tags=("analytics", "window"),
+)
+def rel_top_decile_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-decile-to-bottom-decile spend ratio per customer bucket —
+    the dispersion headline in pricing reviews. NTILE carries a
+    custkey tiebreak (deterministic tiling), the ratio divides exact
+    integer cent totals.
+
+    Scale: one (bucket, custkey) aggregate shuffle; the decile window
+    partitions by bucket over the aggregated frame."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy((F.col("c_nationkey") % 5).alias("region_bucket"), "o_custkey")
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("cents"))
+    )
+    tiled = spend.withColumn(
+        "decile",
+        F.ntile(10).over(
+            Window.partitionBy("region_bucket").orderBy(
+                F.asc("cents"), F.asc("o_custkey")
+            )
+        ),
+    )
+    top = F.sum(F.when(F.col("decile") == 10, F.col("cents")).otherwise(0))
+    bot = F.sum(F.when(F.col("decile") == 1, F.col("cents")).otherwise(0))
+    return tiled.groupBy("region_bucket").agg(
+        top.cast("bigint").alias("top_cents"),
+        bot.cast("bigint").alias("bottom_cents"),
+        F.round(top * 1.0 / bot, 4).alias("decile_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-stream behavioral statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_dau_stickiness",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+),
+monthly AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 // 30 AS BIGINT) AS month30,
+         COUNT(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT m.month30, CAST(m.mau AS BIGINT) AS mau,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(SUM(d.dau) * 1.0 / COUNT(*), 4) AS avg_dau,
+       ROUND(SUM(d.dau) * 1.0 / COUNT(*) / m.mau, 4) AS stickiness
+FROM daily d JOIN monthly m ON d.day // 30 = m.month30
+GROUP BY m.month30, m.mau
+""",
+    tags=("analytics", "events"),
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per 30-day epoch bucket: average daily
+    distinct users over monthly distinct users — the engagement-depth
+    ratio. Day and month are integer epoch-day buckets so no timezone
+    or calendar-month edge crosses the engines.
+
+    Scale: two COUNT(DISTINCT user_id) aggregations (partial
+    distinct via hash sets per bucket) on day/month keys; the final
+    join is per-day against the tiny month frame. Counts are exact
+    integers, so the ratios divide identical operands."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(epoch_us("ts") / 86_400_000_000).cast("bigint")
+    daily = e.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    monthly = e.groupBy(F.floor(day / 30).cast("bigint").alias("month30")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        daily.withColumn("month30", F.floor(F.col("day") / 30).cast("bigint"))
+        .join(monthly, "month30")
+        .groupBy("month30", "mau")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.sum("dau") * 1.0 / F.count(F.lit(1)), 4).alias("avg_dau"),
+            F.round(
+                F.sum("dau") * 1.0 / F.count(F.lit(1)) / F.col("mau"), 4
+            ).alias("stickiness"),
+        )
+        .select(
+            "month30",
+            F.col("mau").cast("bigint").alias("mau"),
+            "n_days",
+            "avg_dau",
+            "stickiness",
+        )
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+),
+gaps AS (
+  SELECT user_id, us - prev_us AS gap_us FROM seq WHERE prev_us IS NOT NULL
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       SUM(gap_us) * 1.0 / COUNT(*) AS avg_gap_us,
+       quantile_cont(gap_us, 0.5) AS median_gap_us
+FROM gaps GROUP BY user_id
+""",
+    tags=("analytics", "events", "window"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per user: LAG over the per-user
+    event sequence, then count/min/max/mean/median of the gaps — the
+    cadence fingerprint behind bot detection and engagement scoring.
+
+    Float-parity: gaps are integer MICROSECONDS end-to-end; mean and
+    median stay unrounded (exact integer sums divided by exact counts,
+    and a linear-interpolated median of integers is at worst x.5 —
+    binary-exact in both engines), per the raw-doubles convention.
+
+    Scale: the LAG window partitions by user_id (parallel, no global
+    sort); the aggregate is one shuffle on the same key — at 100 TB
+    this is the canonical sessionization shape."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events").withColumn("us", epoch_us("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = (
+        e.withColumn("prev_us", F.lag("us").over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .select("user_id", (F.col("us") - F.col("prev_us")).alias("gap_us"))
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        (F.sum("gap_us") * 1.0 / F.count(F.lit(1))).alias("avg_gap_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"),
+    )
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT event_type, c AS x,
+         LEAD(c) OVER (PARTITION BY event_type ORDER BY hour) AS y
+  FROM hourly
+),
+p AS (SELECT event_type, x, y FROM pairs WHERE y IS NOT NULL)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) /
+             (sqrt(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) *
+              sqrt(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 4) + 0.0
+         AS autocorr_lag1
+FROM p GROUP BY event_type
+""",
+    tags=("analytics", "timeseries", "statistics"),
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series per
+    event type — positive = bursty/trending traffic, near zero =
+    memoryless. Pearson r over (c_t, c_{t+1}) pairs computed from
+    INTEGER sufficient statistics (Σx, Σy, Σxy, Σx², Σy² of counts are
+    exact in any partial-agg order), one division at the end; the
+    near-zero round gets ``+ 0.0``.
+
+    Scale: counts aggregate per (type, hour) first; the LEAD window
+    partitions by type over the aggregated series."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(epoch_us("ts") / 3_600_000_000).cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    p = (
+        hourly.select(
+            "event_type",
+            F.col("c").alias("x"),
+            F.lead("c").over(w).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt(n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")) * F.sqrt(
+        n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y")
+    )
+    return p.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_pairs"),
+        (F.round(num / den, 4) + F.lit(0.0)).alias("autocorr_lag1"),
+    )
+
+
+@register(
+    "events_power_user_share",
+    oracle="""
+WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_users,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM per_user
+)
+SELECT event_type,
+       CAST(MAX(n_users) AS BIGINT) AS n_users,
+       CAST(CEIL(MAX(n_users) * 0.05) AS BIGINT) AS n_power,
+       CAST(SUM(CASE WHEN rk <= CEIL(n_users * 0.05) THEN n ELSE 0 END)
+            AS BIGINT) AS power_events,
+       ROUND(SUM(CASE WHEN rk <= CEIL(n_users * 0.05) THEN n ELSE 0 END)
+             * 1.0 / MAX(total), 4) AS power_share
+FROM ranked GROUP BY event_type
+""",
+    tags=("analytics", "events"),
+)
+def events_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user concentration: the share of each event type's volume
+    generated by its top-5 % most active users (ceil, user_id
+    tiebreak) — the skew number capacity planning and abuse teams both
+    ask for. All counts are exact integers; one final division.
+
+    Scale: per-(type, user) counts are one shuffle; ranking partitions
+    by type over the aggregated frame. CEIL on n_users*0.05 is integer
+    arithmetic on both engines."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        "n",
+        F.row_number().over(wp.orderBy(F.desc("n"), F.asc("user_id"))).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n_users"),
+        F.sum("n").over(wp).alias("total"),
+    )
+    in_top = F.col("rk") <= F.ceil(F.col("n_users") * 0.05)
+    power = F.sum(F.when(in_top, F.col("n")).otherwise(0))
+    return ranked.groupBy("event_type").agg(
+        F.max("n_users").cast("bigint").alias("n_users"),
+        F.ceil(F.max("n_users") * 0.05).cast("bigint").alias("n_power"),
+        power.cast("bigint").alias("power_events"),
+        F.round(power * 1.0 / F.max("total"), 4).alias("power_share"),
+    )
+
+
+@register(
+    "ts_bollinger_bands",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         ROUND(value * 100) AS cents
+  FROM events
+),
+win AS (
+  SELECT event_type, us, event_id, cents,
+         COUNT(*) OVER w AS n,
+         SUM(cents) OVER w AS s,
+         SUM(cents * cents) OVER w AS ss,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY us, event_id) AS rk
+  FROM seq
+  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, CAST(us AS BIGINT) AS ts_us,
+       ROUND(s / n / 100.0, 4) AS ma20,
+       ROUND(s / n / 100.0
+             + 2 * sqrt((ss - s * s / n) / (n - 1)) / 100.0, 4) AS upper_band,
+       ROUND(s / n / 100.0
+             - 2 * sqrt((ss - s * s / n) / (n - 1)) / 100.0, 4) AS lower_band
+FROM win WHERE rk >= 20
+""",
+    tags=("analytics", "timeseries", "window"),
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (20-observation moving average ± 2σ) over each
+    event type's value series — the volatility envelope, computed from
+    INTEGER-CENT window sums (Σc and Σc² are exact in the sequential
+    frame on both engines; mean and sample variance derive from them
+    with one division each) instead of a built-in STDDEV whose
+    accumulation algorithm differs between engines.
+
+    Scale: one ordered window per event_type partition — rows never
+    leave their partition, the frame is bounded (20 rows), and the
+    same shape holds per machine/sensor at 100 TB."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        epoch_us("ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    wr = Window.partitionBy("event_type").orderBy("us", "event_id")
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("cents").over(w)
+    ss = F.sum(F.col("cents") * F.col("cents")).over(w)
+    win = e.select(
+        "event_type",
+        F.col("us").cast("bigint").alias("ts_us"),
+        n.alias("n"),
+        s.alias("s"),
+        ss.alias("ss"),
+        F.row_number().over(wr).alias("rk"),
+    ).filter(F.col("rk") >= 20)
+    ma = F.col("s") / F.col("n") / 100.0
+    sd = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    ) / 100.0
+    return win.select(
+        "event_type",
+        "ts_us",
+        F.round(ma, 4).alias("ma20"),
+        F.round(ma + 2 * sd, 4).alias("upper_band"),
+        F.round(ma - 2 * sd, 4).alias("lower_band"),
+    )
+
+
+@register(
+    "ts_max_drawdown",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         SUM(ROUND(value * 100)) OVER (PARTITION BY event_type
+                                       ORDER BY epoch_us(ts), event_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+),
+dd AS (
+  SELECT event_type, cum,
+         MAX(cum) OVER (PARTITION BY event_type
+                        ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM seq
+)
+SELECT event_type,
+       CAST(MAX(runmax - cum) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(runmax) AS BIGINT) AS peak_cents,
+       CAST(MAX(cum) AS BIGINT) AS high_cents
+FROM dd GROUP BY event_type
+""",
+    tags=("analytics", "timeseries", "window"),
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each event type's cumulative value series:
+    running total (integer cents) in event order, running peak, and
+    the deepest peak-to-trough drop — the risk statistic ported from
+    finance to any cumulative KPI (credits burned, balance, score).
+    Both windows order by the same (epoch, event_id) sequence so the
+    frames align row-for-row across engines, and the series is integer
+    cents end-to-end.
+
+    Scale: two stacked windows, both partitioned by event_type —
+    rows never cross partitions and the state per row is O(1)."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events")
+    wseq = (
+        Window.partitionBy("event_type")
+        .orderBy(epoch_us("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = e.select(
+        "event_type",
+        epoch_us("ts").alias("us"),
+        "event_id",
+        F.sum(F.round(F.col("value") * 100)).over(wseq).alias("cum"),
+    )
+    wmax = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = seq.withColumn("runmax", F.max("cum").over(wmax))
+    return dd.groupBy("event_type").agg(
+        F.max(F.col("runmax") - F.col("cum")).cast("bigint").alias(
+            "max_drawdown_cents"
+        ),
+        F.max("runmax").cast("bigint").alias("peak_cents"),
+        F.max("cum").cast("bigint").alias("high_cents"),
+    )
+
+
+@register(
+    "events_weekday_profile",
+    oracle="""
+WITH daily AS (
+  SELECT dayofweek(ts) + 1 AS weekday,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+wd AS (
+  SELECT weekday, SUM(n) AS total, COUNT(*) AS n_days FROM daily GROUP BY 1
+),
+ov AS (SELECT SUM(total) * 1.0 / SUM(n_days) AS overall_avg FROM wd)
+SELECT weekday, CAST(total AS BIGINT) AS total_events,
+       CAST(n_days AS BIGINT) AS n_days,
+       total * 1.0 / n_days AS avg_per_day,
+       ROUND(total * 1.0 / n_days / o.overall_avg, 4) AS seasonality_index
+FROM wd, ov o
+""",
+    tags=("analytics", "timeseries"),
+)
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: average events per calendar
+    day for each weekday and its index against the all-day average —
+    the weekly traffic shape. Spark's ``dayofweek`` is 1=Sunday while
+    DuckDB's is 0=Sunday, so the oracle shifts by one; days are epoch
+    buckets.
+
+    Scale: one (weekday, day) count aggregate; everything after runs
+    on ≤7×n_days rows. Averages divide exact integer totals (raw
+    double is hash-safe); only the index — a double/double ratio — is
+    rounded."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.dayofweek("ts").alias("weekday"),
+        F.floor(epoch_us("ts") / 86_400_000_000).cast("bigint").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = daily.groupBy("weekday").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    ov = wd.agg(
+        (F.sum("total") * 1.0 / F.sum("n_days")).alias("overall_avg")
+    )
+    return wd.crossJoin(F.broadcast(ov)).select(
+        "weekday",
+        F.col("total").cast("bigint").alias("total_events"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        (F.col("total") * 1.0 / F.col("n_days")).alias("avg_per_day"),
+        F.round(
+            F.col("total") * 1.0 / F.col("n_days") / F.col("overall_avg"), 4
+        ).alias("seasonality_index"),
+    )
+
+
+@register(
+    "ts_xmr_control",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, ROUND(value * 100) AS cents,
+         LAG(ROUND(value * 100)) OVER (PARTITION BY event_type
+                                       ORDER BY epoch_us(ts), event_id)
+           AS prev_cents
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       SUM(cents) / COUNT(*) / 100.0 AS mean_value,
+       SUM(ABS(cents - prev_cents)) FILTER (WHERE prev_cents IS NOT NULL)
+         / COUNT(*) FILTER (WHERE prev_cents IS NOT NULL) / 100.0 AS avg_mr,
+       SUM(cents) / COUNT(*) / 100.0
+         + 2.66 * (SUM(ABS(cents - prev_cents))
+                     FILTER (WHERE prev_cents IS NOT NULL)
+                   / COUNT(*) FILTER (WHERE prev_cents IS NOT NULL) / 100.0)
+         AS ucl_x,
+       SUM(cents) / COUNT(*) / 100.0
+         - 2.66 * (SUM(ABS(cents - prev_cents))
+                     FILTER (WHERE prev_cents IS NOT NULL)
+                   / COUNT(*) FILTER (WHERE prev_cents IS NOT NULL) / 100.0)
+         AS lcl_x
+FROM seq GROUP BY event_type
+""",
+    tags=("analytics", "timeseries", "statistics"),
+)
+def ts_xmr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals / moving-range) control-chart parameters per
+    event type: process mean, average moving range |xₜ−xₜ₋₁|, and the
+    ±2.66·mR natural process limits — the SPC chart for unsubgrouped
+    telemetry. Every statistic derives from integer-cent sums (exact
+    in any partial order) followed by identical scalar arithmetic, so
+    all four doubles are emitted RAW (no round needed).
+
+    Scale: one LAG window per event_type partition + one aggregate on
+    the same key."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).alias("cents"),
+        epoch_us("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    seq = e.withColumn("prev_cents", F.lag("cents").over(w))
+    has_prev = F.col("prev_cents").isNotNull()
+    mr_sum = F.sum(
+        F.when(has_prev, F.abs(F.col("cents") - F.col("prev_cents"))).otherwise(
+            F.lit(None)
+        )
+    )
+    mr_n = F.count(F.when(has_prev, F.lit(1)))
+    mean = F.sum("cents") / F.count(F.lit(1)) / 100.0
+    avg_mr = mr_sum / mr_n / 100.0
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        mean.alias("mean_value"),
+        avg_mr.alias("avg_mr"),
+        (mean + 2.66 * avg_mr).alias("ucl_x"),
+        (mean - 2.66 * avg_mr).alias("lcl_x"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text profile statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_ttr",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+       ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+             / len(string_split(text, ' ')), 4) AS ttr
+FROM documents
+""",
+    tags=("analytics", "text"),
+)
+def doc_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document (distinct words / words) — the
+    lexical-diversity score used as a cheap quality/repetition signal
+    in pretraining curation (low TTR = boilerplate or spam).
+
+    Scale: map-only higher-order expressions (split + array_distinct),
+    zero shuffles; the ratio divides exact integer lengths."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_types"),
+        F.round(
+            F.size(F.array_distinct(words)) * 1.0 / F.size(words), 4
+        ).alias("ttr"),
+    )
+
+
+@register(
+    "doc_hapax_ratio",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS cf FROM tok GROUP BY w)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN f.cf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       ROUND(SUM(CASE WHEN f.cf = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         + 0.0 AS hapax_ratio
+FROM tok t JOIN freq f USING (w)
+GROUP BY t.doc_id
+""",
+    tags=("analytics", "text"),
+)
+def doc_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hapax ratio per document: the fraction of a document's
+    tokens that occur exactly once in the WHOLE corpus — high values
+    mark novel/rare-vocabulary documents (or OCR noise), a standard
+    curation feature alongside DSIR.
+
+    Scale: the same two-pass shape as doc_dsir_importance — one
+    shuffle builds the corpus frequency table keyed by word, the
+    scoring join reuses that key (AQE broadcasts when the vocab is
+    small); a common word-soup corpus has near-zero hapax ratios, so
+    the round gets ``+ 0.0``."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    is_hapax = (F.col("cf") == 1).cast("int")
+    return (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(is_hapax).cast("bigint").alias("n_hapax"),
+            (
+                F.round(F.sum(is_hapax) * 1.0 / F.count(F.lit(1)), 4)
+                + F.lit(0.0)
+            ).alias("hapax_ratio"),
+        )
+    )
+
+
+@register(
+    "doc_word_len_profile",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(w)) AS BIGINT) AS total_chars,
+       SUM(length(w)) * 1.0 / COUNT(*) AS avg_word_len,
+       CAST(MAX(length(w)) AS BIGINT) AS max_word_len,
+       ROUND(SUM(CASE WHEN length(w) >= 6 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) + 0.0 AS long_word_ratio
+FROM tok GROUP BY doc_id
+""",
+    tags=("analytics", "text"),
+)
+def doc_word_len_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length profile per document (mean/max length, share of
+    long words) — the morphology half of a quality heuristic: machine-
+    generated word soup and natural prose separate cleanly on these.
+
+    Scale: explode + one groupBy(doc_id) shuffle; all statistics are
+    exact-integer sums (mean emitted raw, ratio rounded with the
+    signed-zero guard)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wl = F.length("w")
+    long_n = F.sum(F.when(wl >= 6, 1).otherwise(0))
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(wl).cast("bigint").alias("total_chars"),
+        (F.sum(wl) * 1.0 / F.count(F.lit(1))).alias("avg_word_len"),
+        F.max(wl).cast("bigint").alias("max_word_len"),
+        (F.round(long_n * 1.0 / F.count(F.lit(1)), 4) + F.lit(0.0)).alias(
+            "long_word_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation metrics (deterministic synthetic score, exact-rank math)
+# ---------------------------------------------------------------------------
+
+# Deterministic "model score" over lineitem: a hash-ish mix of keys in
+# [0,1) plus a signal term on the label (returnflag = 'R') so the
+# metrics are non-trivial. Pure integer arithmetic up to the final
+# division — bit-identical in both engines.
+_SCORE_SQL = """
+(((l_partkey * 31 + l_suppkey * 7 + l_linenumber) % 1000) / 1000.0
+ + CASE WHEN l_returnflag = 'R' THEN 0.4 ELSE 0.0 END)
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    score = (
+        (F.col("l_partkey") * 31 + F.col("l_suppkey") * 7 + F.col("l_linenumber"))
+        % 1000
+    ) / 1000.0 + F.when(F.col("l_returnflag") == "R", 0.4).otherwise(0.0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        score.alias("score"),
+    )
+
+
+@register(
+    "ml_roc_auc",
+    oracle=f"""
+WITH scored AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         {_SCORE_SQL} AS score
+  FROM lineitem
+),
+ranked AS (
+  SELECT y,
+         RANK() OVER (ORDER BY score) AS rk,
+         COUNT(*) OVER (PARTITION BY score) AS tie_n
+  FROM scored
+),
+agg AS (
+  SELECT SUM(CASE WHEN y = 1 THEN rk + (tie_n - 1) / 2.0 ELSE 0 END)
+           AS pos_rank_sum,
+         SUM(y) AS n_pos, COUNT(*) - SUM(y) AS n_neg
+  FROM ranked
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) AS auc
+FROM agg
+""",
+    tags=("analytics", "ml-eval"),
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the Mann-Whitney rank statistic with proper
+    average-rank tie handling: AUC = (Σ ranks₊ − n₊(n₊+1)/2)/(n₊n₋).
+    The score is a deterministic integer-hash mix (documented above)
+    so the metric is oracle-checkable; swap in any model score column
+    at call sites. AUC emitted RAW — every term is exact integer
+    arithmetic until the one final division.
+
+    Scale: no per-row Python, no collect — RANK() is a global sort at
+    metric time, the one place a total order is inherent to the
+    statistic (at 100 TB: approximate AUC via score-histogram buckets;
+    this exact variant is the audit path)."""
+    s = _scored(spark, sf_dir)
+    ranked = s.select(
+        "y",
+        F.rank().over(Window.orderBy("score")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("tie_n"),
+    )
+    avg_rank = F.col("rk") + (F.col("tie_n") - 1) / 2.0
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1, avg_rank).otherwise(0.0)).alias(
+            "pos_rank_sum"
+        ),
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        (
+            (F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+@register(
+    "ml_lift_deciles",
+    oracle=f"""
+WITH scored AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         {_SCORE_SQL} AS score
+  FROM lineitem
+),
+tiled AS (
+  SELECT y, NTILE(10) OVER (ORDER BY score DESC, l_orderkey, l_linenumber)
+           AS decile
+  FROM scored
+),
+ov AS (SELECT SUM(y) * 1.0 / COUNT(*) AS base_rate FROM tiled)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       SUM(y) * 1.0 / COUNT(*) AS response_rate,
+       ROUND(SUM(y) * 1.0 / COUNT(*) / o.base_rate, 4) AS lift
+FROM tiled, ov o GROUP BY decile, o.base_rate
+""",
+    tags=("analytics", "ml-eval"),
+)
+def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table: rows tiled into 10 score-ordered buckets
+    (deterministic key tiebreak), per-decile response rate vs the base
+    rate — the campaign-targeting readout every scoring model ships
+    with. Counts are exact; rates divide exact integers (raw), only
+    the rate-of-rates lift is rounded.
+
+    Scale: like AUC, the NTILE total order is inherent to the metric;
+    everything else is one aggregate over 10 groups."""
+    s = _scored(spark, sf_dir)
+    tiled = s.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score"), "l_orderkey", "l_linenumber"))
+        .alias("decile"),
+    )
+    ov = tiled.agg((F.sum("y") * 1.0 / F.count(F.lit(1))).alias("base_rate"))
+    rate = F.sum("y") * 1.0 / F.count(F.lit(1))
+    return (
+        tiled.crossJoin(F.broadcast(ov))
+        .groupBy("decile", "base_rate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            rate.alias("response_rate"),
+            F.round(rate / F.col("base_rate"), 4).alias("lift"),
+        )
+        .drop("base_rate")
+    )
+
+
+@register(
+    "ml_confusion_threshold",
+    oracle=f"""
+WITH scored AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         CASE WHEN {_SCORE_SQL} >= 0.9 THEN 1 ELSE 0 END AS yhat
+  FROM lineitem
+)
+SELECT CAST(SUM(y * yhat) AS BIGINT) AS tp,
+       CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
+       CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
+       CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn,
+       SUM(y * yhat) * 1.0 / SUM(yhat) AS precision_,
+       SUM(y * yhat) * 1.0 / SUM(y) AS recall_,
+       2.0 * SUM(y * yhat) / (SUM(yhat) + SUM(y)) AS f1
+FROM scored
+""",
+    tags=("analytics", "ml-eval"),
+)
+def ml_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 at a fixed decision
+    threshold (0.9) over the deterministic score — the classification
+    scoreboard as ONE aggregate pass (each cell is a product-of-
+    indicators sum; no join, no four filters). The threshold compare
+    happens on bit-identical doubles in both engines. Ratios divide
+    exact integers — emitted raw.
+
+    Scale: single map + single reduce; this is the shape to prefer
+    over four filtered counts at 100 TB (one pass, partial aggs)."""
+    s = _scored(spark, sf_dir)
+    yhat = (F.col("score") >= 0.9).cast("int")
+    d = s.select("y", yhat.alias("yhat"))
+    tp = F.sum(F.col("y") * F.col("yhat"))
+    fp = F.sum((1 - F.col("y")) * F.col("yhat"))
+    fn = F.sum(F.col("y") * (1 - F.col("yhat")))
+    tn = F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
+    return d.agg(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        (tp * 1.0 / F.sum("yhat")).alias("precision_"),
+        (tp * 1.0 / F.sum("y")).alias("recall_"),
+        (2.0 * tp / (F.sum("yhat") + F.sum("y"))).alias("f1"),
+    )
+
+
+@register(
+    "ml_ndcg_at_k",
+    oracle="""
+WITH scored AS (
+  SELECT event_type, event_id, user_id % 4 AS rel,
+         CAST(ROUND(value * 100) AS BIGINT) % 997 AS score
+  FROM events
+),
+ranked AS (
+  SELECT event_type, rel,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY score DESC, event_id) AS pos,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY rel DESC, event_id) AS ideal_pos
+  FROM scored
+)
+SELECT event_type,
+       SUM(CASE WHEN pos <= 10 THEN rel / log2(pos + 1.0) ELSE 0 END)
+         AS dcg10,
+       SUM(CASE WHEN ideal_pos <= 10 THEN rel / log2(ideal_pos + 1.0)
+                ELSE 0 END) AS idcg10,
+       ROUND(SUM(CASE WHEN pos <= 10 THEN rel / log2(pos + 1.0) ELSE 0 END)
+             / SUM(CASE WHEN ideal_pos <= 10
+                        THEN rel / log2(ideal_pos + 1.0) ELSE 0 END), 4)
+         AS ndcg10
+FROM ranked GROUP BY event_type
+""",
+    tags=("analytics", "ml-eval"),
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query group (event_type stands in for the query):
+    graded relevance = user_id %% 4, deterministic integer score, DCG
+    against the ideal ordering — the ranking-quality metric for search
+    and recommendation evals. Discounts are log2 of small integers
+    (identical doubles); at most 10 additions per group in rank order
+    — both engines add the same ≤10 terms in the same order via the
+    CASE-gated sum over rank positions.
+
+    Scale: both rankings partition by the query key — per-query sorts,
+    never global."""
+    e = _t(spark, sf_dir, "events")
+    scored = e.select(
+        "event_type",
+        "event_id",
+        (F.col("user_id") % 4).alias("rel"),
+        (F.round(F.col("value") * 100).cast("bigint") % 997).alias("score"),
+    )
+    wq = Window.partitionBy("event_type")
+    ranked = scored.select(
+        "event_type",
+        "rel",
+        F.row_number().over(wq.orderBy(F.desc("score"), "event_id")).alias("pos"),
+        F.row_number()
+        .over(wq.orderBy(F.desc("rel"), "event_id"))
+        .alias("ideal_pos"),
+    )
+    dcg = F.sum(
+        F.when(F.col("pos") <= 10, F.col("rel") / F.log2(F.col("pos") + 1.0)).otherwise(
+            0.0
+        )
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("ideal_pos") <= 10,
+            F.col("rel") / F.log2(F.col("ideal_pos") + 1.0),
+        ).otherwise(0.0)
+    )
+    return ranked.groupBy("event_type").agg(
+        dcg.alias("dcg10"),
+        idcg.alias("idcg10"),
+        F.round(dcg / idcg, 4).alias("ndcg10"),
+    )
