@@ -1395,3 +1395,742 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         idcg.alias("idcg10"),
         F.round(dcg / idcg, 4).alias("ndcg10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: pivot/collect/ordinality/spine/leave-one-out
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_pivot_multi_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END)
+            AS BIGINT) AS f_qty,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+         AS f_n,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)
+            AS BIGINT) AS o_qty,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+         AS o_n
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("analytics", "agg"),
+)
+def rel_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate pivot: returnflag × linestatus with BOTH a sum
+    and a count per pivot cell — ``.pivot(col, values).agg(a, b)``
+    with explicit pivot values so no extra distinct-values job runs
+    and the plan is a single hash aggregate (Catalyst rewrites the
+    pivot into exactly the oracle's conditional aggregation).
+
+    Scale: declaring pivot values turns an eager two-pass operator
+    into one shuffle — required practice at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_qty").cast("bigint").alias("f_qty"),
+        F.col("F_n").cast("bigint").alias("f_n"),
+        F.col("O_qty").cast("bigint").alias("o_qty"),
+        F.col("O_n").cast("bigint").alias("o_n"),
+    )
+
+
+@register(
+    "rel_collect_sorted_string",
+    oracle="""
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',')
+         AS line_seq,
+       array_to_string(list(l_partkey ORDER BY l_linenumber, l_partkey), ',')
+         AS part_seq
+FROM lineitem GROUP BY l_orderkey
+""",
+    tags=("analytics", "agg", "array"),
+)
+def rel_collect_sorted_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect-to-string per group: the line-number sequence
+    and the partkey sequence IN LINE ORDER — the composition
+    (collect under a sort key → serialize) behind every "order items
+    as a list" denormalization. Spark has no ``list(x ORDER BY y)``,
+    so the partkey sequence collects (linenumber, partkey) structs and
+    sorts the struct array — lexicographic, so partkey itself is the
+    tiebreak for duplicate line numbers (the fixture has them; the
+    oracle orders by the same composite key).
+
+    Scale: one groupBy(orderkey) shuffle; group payloads are bounded
+    (7 lines/order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("line_seq"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("l_linenumber", "l_partkey"))
+                ),
+                lambda s: s["l_partkey"].cast("string"),
+            ),
+            ",",
+        ).alias("part_seq"),
+    )
+
+
+@register(
+    "rel_word_positions",
+    oracle="""
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+SELECT pos, w, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok WHERE pos <= 3 GROUP BY pos, w
+""",
+    tags=("analytics", "text", "array"),
+)
+def rel_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional token frequencies (posexplode / UNNEST WITH
+    ORDINALITY parity): how often each word opens a document at
+    positions 1-3 — the cheap template/boilerplate detector (one word
+    dominating position 1 = a generated corpus).
+
+    Scale: posexplode is map-side; the filter to the first 3 positions
+    prunes before the single count shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.posexplode(F.split("text", " ")).alias("pos0", "w"))
+        .select((F.col("pos0") + 1).alias("pos"), "w")
+        .filter(F.col("pos") <= 3)
+        .groupBy("pos", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "rel_reorder_gaps",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS day,
+         LAG(epoch_us(o_orderdate) // 86400000000)
+           OVER (PARTITION BY o_custkey
+                 ORDER BY epoch_us(o_orderdate), o_orderkey) AS prev_day
+  FROM orders
+)
+SELECT o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(prev_day) AS BIGINT) AS n_gaps,
+       SUM(day - prev_day) * 1.0 / COUNT(prev_day) AS avg_gap_days,
+       CAST(MAX(day - prev_day) AS BIGINT) AS max_gap_days
+FROM seq GROUP BY o_custkey
+""",
+    tags=("analytics", "window"),
+)
+def rel_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-cadence profile: days between a customer's consecutive
+    orders (LAG over the per-customer sequence), average and maximum
+    gap — the replenishment-cycle input to churn models. Gaps are
+    integer epoch-day diffs; the mean divides exact integers (raw).
+
+    Scale: window and aggregate share the custkey partitioning — one
+    shuffle total."""
+    from ..functions.timeutil import epoch_us
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.floor(epoch_us("o_orderdate") / 86_400_000_000)
+    w = Window.partitionBy("o_custkey").orderBy(epoch_us("o_orderdate"), "o_orderkey")
+    seq = o.select(
+        "o_custkey", day.alias("day"), F.lag(day).over(w).alias("prev_day")
+    )
+    gap = F.col("day") - F.col("prev_day")
+    return seq.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.count("prev_day").cast("bigint").alias("n_gaps"),
+        (F.sum(gap) * 1.0 / F.count("prev_day")).alias("avg_gap_days"),
+        F.max(gap).cast("bigint").alias("max_gap_days"),
+    )
+
+
+@register(
+    "rel_date_spine_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(o_orderdate) AS DATE) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT strftime(CAST(s.d AS DATE), '%Y-%m-%d') AS day,
+       CAST(COALESCE(dy.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(dy.cents, 0) AS BIGINT) AS revenue_cents
+FROM spine s LEFT JOIN daily dy ON CAST(s.d AS DATE) = dy.d
+""",
+    tags=("analytics", "timeseries"),
+)
+def rel_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar date spine with zero-fill: generate every day between
+    the data's own min and max order date, left-join the daily
+    aggregate, fill gaps with zeros — the densification step every
+    time-series chart needs (missing days must plot as 0, not
+    disappear).
+
+    Scale: the spine is sequence+explode of a 2-row bound aggregate
+    (days are cheap — 36 500 rows per century); the daily aggregate is
+    the only fact-table pass, and the spine side of the join is
+    broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("cents"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce("cents", F.lit(0)).cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "rel_weighted_avg_price",
+    oracle="""
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       SUM(ROUND(l.l_extendedprice * 100) * CAST(l.l_quantity AS BIGINT))
+         / SUM(CAST(l.l_quantity AS BIGINT)) / 100.0 AS wavg_price,
+       SUM(ROUND(l.l_extendedprice * 100)) / COUNT(*) / 100.0
+         AS plain_avg_price
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    tags=("analytics", "agg"),
+)
+def rel_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per brand next to the naive
+    row average — the Simpson's-paradox guard for pricing dashboards.
+    Numerators are exact integers (cents × integral quantity), so
+    both averages are emitted raw.
+
+    Scale: one join (part side broadcastable) + one aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("bigint")
+    cents = _cents("l_extendedprice")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(qty).cast("bigint").alias("total_qty"),
+            (F.sum(cents * qty) / F.sum(qty) / 100.0).alias("wavg_price"),
+            (F.sum(cents) / F.count(F.lit(1)) / 100.0).alias("plain_avg_price"),
+        )
+    )
+
+
+@register(
+    "rel_geo_harmonic_means",
+    oracle="""
+WITH q AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(exp(list_reduce(list_prepend(0.0, list(ln(x) ORDER BY ln(x), x)),
+                             (a, b) -> a + b) / COUNT(*)), 4) AS geo_mean,
+       ROUND(COUNT(*) / list_reduce(list_prepend(0.0,
+                                                 list(1.0 / x ORDER BY 1.0 / x, x)),
+                                    (a, b) -> a + b), 4) AS harmonic_mean
+FROM q GROUP BY l_returnflag
+""",
+    tags=("analytics", "statistics"),
+)
+def rel_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means of quantity per return flag — the
+    other two Pythagorean means (rate averaging, growth averaging)
+    missing from most engines' built-ins. Both fold VALUE-SORTED lists
+    (registry convention: non-integral addends must sum in identical
+    order on both engines — plain AVG(ln x) partial-agg order is not
+    reproducible).
+
+    Scale: the sorted fold collects per-GROUP lists — fine for bounded
+    group counts; at 100 TB switch to two-level compensated sums (the
+    docstringed trade-off; the fold is the oracle-parity audit path)."""
+    from ..functions.timeutil import ordered_fold_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("x")
+    )
+    ln_sum = ordered_fold_sum(F.collect_list(F.log(F.col("x").cast("double"))))
+    inv_sum = ordered_fold_sum(F.collect_list(1.0 / F.col("x")))
+    n = F.count(F.lit(1))
+    return q.groupBy("l_returnflag").agg(
+        n.cast("bigint").alias("n"),
+        F.round(F.exp(ln_sum / n), 4).alias("geo_mean"),
+        F.round(n / inv_sum, 4).alias("harmonic_mean"),
+    )
+
+
+@register(
+    "rel_self_excluding_avg",
+    oracle="""
+WITH g AS (
+  SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * 100) AS cents,
+         SUM(ROUND(l_extendedprice * 100)) OVER (PARTITION BY l_orderkey)
+           AS s,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN n > 1 THEN (s - cents) / (n - 1) / 100.0 END AS loo_avg_price,
+       CASE WHEN n > 1 THEN (cents - (s - cents) / (n - 1.0)) / 100.0 END
+         AS delta_vs_peers
+FROM g
+""",
+    tags=("analytics", "window"),
+)
+def rel_self_excluding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out group average via the (Σ−x)/(n−1) window
+    identity: each line's price against the average of its SIBLING
+    lines — the peer-comparison feature that a naive self-join would
+    compute with a shuffle per row. Exact integer cents throughout;
+    single-line orders yield NULL (no peers), not a division blowup.
+
+    Scale: one unordered window partitioned by orderkey — no join, no
+    second shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    g = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _cents("l_extendedprice").alias("cents"),
+        F.sum(_cents("l_extendedprice")).over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    many = F.col("n") > 1
+    loo = (F.col("s") - F.col("cents")) / (F.col("n") - 1)
+    return g.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(many, loo / 100.0).alias("loo_avg_price"),
+        F.when(
+            many, (F.col("cents") - (F.col("s") - F.col("cents")) / (F.col("n") - 1.0)) / 100.0
+        ).alias("delta_vs_peers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the order bipartite graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_histogram",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (SELECT c, COUNT(*) AS degree FROM edges GROUP BY c)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM deg GROUP BY degree
+""",
+    tags=("analytics", "graph"),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer–supplier bipartite graph
+    (distinct trading pairs → per-customer degree → histogram) — the
+    first diagnostic of any graph workload: is the network skewed
+    enough to need salted joins / hub handling?
+
+    Scale: DISTINCT on the edge pair is the one big shuffle (hash on a
+    well-distributed composite); both degree aggregations reuse the
+    partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy(F.col("degree").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+@register(
+    "graph_jaccard_pairs",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (SELECT s, COUNT(*) AS d FROM edges GROUP BY s),
+common AS (
+  SELECT a.s AS s1, b.s AS s2, COUNT(*) AS common
+  FROM edges a JOIN edges b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+)
+SELECT c.s1, c.s2, CAST(c.common AS BIGINT) AS n_common,
+       ROUND(c.common * 1.0 / (d1.d + d2.d - c.common), 4) AS jaccard
+FROM common c
+JOIN deg d1 ON c.s1 = d1.s
+JOIN deg d2 ON c.s2 = d2.s
+""",
+    tags=("analytics", "graph"),
+)
+def graph_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-overlap (Jaccard) link prediction between suppliers:
+    co-customer counts via the classic self-join-on-the-shared-node
+    blocking, normalized by degree union — pairs that never share a
+    customer are never materialized (no all-pairs).
+
+    Scale: the pair join is blocked BY CUSTOMER — quadratic only in
+    each customer's supplier list (bounded by order width), the same
+    candidate-blocking shape as the dedup operators; degrees join on
+    the supplier key (broadcastable aggregate)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = edges.alias("a")
+    b = edges.alias("b")
+    common = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        common.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("common").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("common") * 1.0 / (F.col("d1") + F.col("d2") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_norm_quantiles",
+    oracle="""
+WITH n AS (
+  SELECT label,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+           AS norm
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(quantile_cont(norm, 0.25), 4) AS q25,
+       ROUND(quantile_cont(norm, 0.5), 4) AS q50,
+       ROUND(quantile_cont(norm, 0.75), 4) AS q75
+FROM n GROUP BY label
+""",
+    tags=("analytics", "similarity"),
+)
+def emb_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm quartiles per label — the first drift check on an
+    embedding table (a norm distribution that shifts between labels
+    or snapshots means the encoder changed). Norms are index-order
+    array folds (exact-identical doubles on both engines); quartiles
+    are exact linear-interpolated percentiles over those identical
+    values.
+
+    Scale: map-only norm + one grouped exact percentile; at 100 TB
+    swap percentile for approx_percentile (docstringed trade-off)."""
+    e = _t(spark, sf_dir, "embeddings")
+    from ..functions.vectors import as_double
+
+    emb = as_double("embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(emb, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    n = e.select(F.col("label").cast("bigint").alias("label"), norm.alias("norm"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.expr("percentile(norm, 0.25)"), 4).alias("q25"),
+        F.round(F.expr("percentile(norm, 0.5)"), 4).alias("q50"),
+        F.round(F.expr("percentile(norm, 0.75)"), 4).alias("q75"),
+    )
+
+
+@register(
+    "emb_simhash_bits",
+    oracle="""
+SELECT vec_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(generate_series(1, 32),
+           i -> CASE WHEN embedding[i] > 0
+                     THEN (CAST(1 AS BIGINT) << (i - 1))
+                     ELSE CAST(0 AS BIGINT) END)),
+         (a, b) -> a + b) AS sig_lo,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(generate_series(33, 64),
+           i -> CASE WHEN embedding[i] > 0
+                     THEN (CAST(1 AS BIGINT) << (i - 33))
+                     ELSE CAST(0 AS BIGINT) END)),
+         (a, b) -> a + b) AS sig_hi,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+FROM embeddings
+""",
+    tags=("analytics", "similarity"),
+)
+def emb_simhash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit signature of each embedding (two 32-bit halves packed
+    into bigints + positive-dimension count) — the hyperplane-LSH
+    sketch: Hamming distance between signatures approximates angular
+    distance, and the packed ints bucket-join for near-neighbor
+    blocking. Bit tests (x > 0) and integer shifts are exact on both
+    engines — no float drift possible.
+
+    Scale: map-only; an 8-byte signature per vector replaces a
+    256-byte float array in every downstream shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    half = (
+        "aggregate(transform(sequence({lo}, {hi}), "
+        "i -> IF(element_at(embedding, i) > 0, shiftleft(CAST(1 AS BIGINT), "
+        "i - {lo}), CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return e.select(
+        "vec_id",
+        F.expr(half.format(lo=1, hi=32)).alias("sig_lo"),
+        F.expr(half.format(lo=33, hi=64)).alias("sig_hi"),
+        F.size(F.filter("embedding", lambda x: x > 0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+
+
+@register(
+    "doc_shingle_uniqueness",
+    oracle="""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text) - 4),
+                        i -> substr(text, i, 5)) AS grams
+  FROM documents WHERE length(text) >= 5
+)
+SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       ROUND(len(list_distinct(grams)) * 1.0 / len(grams), 4) AS uniqueness
+FROM g
+""",
+    tags=("analytics", "text"),
+)
+def doc_shingle_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram uniqueness per document (distinct shingles /
+    total shingles) — the repetition detector at the sub-word level
+    that catches copy-paste spam word-level TTR misses. Shingling is
+    a JVM-side higher-order transform over a position sequence; the
+    ratio divides exact integer counts.
+
+    Scale: map-only — the shingle arrays never leave their row (the
+    distinct happens inside the array), so nothing is exploded into
+    the shuffle."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 5)
+    # the length >= 5 filter guards sequence(1, n): start > stop would
+    # generate a DESCENDING sequence and probe out of bounds
+    grams = F.expr(
+        "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))"
+    )
+    return d.select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+        F.round(F.size(F.array_distinct(grams)) * 1.0 / F.size(grams), 4).alias(
+            "uniqueness"
+        ),
+    )
+
+
+@register(
+    "ml_brier_calibration",
+    oracle="""
+WITH scored AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         (l_partkey * 31 + l_suppkey * 7 + l_linenumber) % 1000 AS k
+  FROM lineitem
+)
+SELECT CAST(k // 100 AS BIGINT) AS prob_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       SUM(k) * 1.0 / COUNT(*) / 1000.0 AS avg_pred,
+       SUM(y) * 1.0 / COUNT(*) AS obs_rate,
+       SUM((k - 1000 * y) * (k - 1000 * y)) * 1.0 / COUNT(*) / 1000000.0
+         AS brier
+FROM scored GROUP BY 1
+""",
+    tags=("analytics", "ml-eval"),
+)
+def ml_brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-reliability table + per-bin Brier score over the
+    deterministic integer score k∈[0,1000): predicted-vs-observed rate
+    per decile bin, and the Brier term computed as Σ(k−1000y)²/10⁶·n —
+    ENTIRELY integer arithmetic until the final divisions, so every
+    float column is emitted raw (the squared-error sum is exact in any
+    partial-agg order).
+
+    Scale: single aggregate pass over 10 groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        (
+            (F.col("l_partkey") * 31 + F.col("l_suppkey") * 7 + F.col("l_linenumber"))
+            % 1000
+        ).alias("k"),
+    )
+    sq = (F.col("k") - 1000 * F.col("y")) * (F.col("k") - 1000 * F.col("y"))
+    n = F.count(F.lit(1))
+    return s.groupBy(
+        F.floor(F.col("k") / 100).cast("bigint").alias("prob_bin")
+    ).agg(
+        n.cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.sum("k") * 1.0 / n / 1000.0).alias("avg_pred"),
+        (F.sum("y") * 1.0 / n).alias("obs_rate"),
+        (F.sum(sq) * 1.0 / n / 1_000_000.0).alias("brier"),
+    )
+
+
+@register(
+    "ml_precision_at_k",
+    oracle="""
+WITH scored AS (
+  SELECT event_type, event_id,
+         CASE WHEN user_id % 4 >= 2 THEN 1 ELSE 0 END AS relevant,
+         CAST(ROUND(value * 100) AS BIGINT) % 997 AS score
+  FROM events
+),
+ranked AS (
+  SELECT event_type, relevant,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY score DESC, event_id) AS pos
+  FROM scored
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN pos <= 10 THEN relevant ELSE 0 END) AS BIGINT)
+         AS hits_at_10,
+       SUM(CASE WHEN pos <= 10 THEN relevant ELSE 0 END) / 10.0
+         AS precision_at_10,
+       SUM(CASE WHEN pos <= 10 THEN relevant ELSE 0 END) * 1.0
+         / SUM(relevant) AS recall_at_10
+FROM ranked GROUP BY event_type
+""",
+    tags=("analytics", "ml-eval"),
+)
+def ml_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10 / Recall@10 per query group with binary relevance
+    (graded rel ≥ 2) and the same deterministic ranking as NDCG — the
+    retrieval-eval pair for the ANN/similarity operators. Pure integer
+    counts; raw divisions.
+
+    Scale: per-group ranking window, one aggregate."""
+    e = _t(spark, sf_dir, "events")
+    scored = e.select(
+        "event_type",
+        "event_id",
+        (F.col("user_id") % 4 >= 2).cast("int").alias("relevant"),
+        (F.round(F.col("value") * 100).cast("bigint") % 997).alias("score"),
+    )
+    ranked = scored.select(
+        "event_type",
+        "relevant",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(F.desc("score"), "event_id")
+        )
+        .alias("pos"),
+    )
+    hits = F.sum(F.when(F.col("pos") <= 10, F.col("relevant")).otherwise(0))
+    return ranked.groupBy("event_type").agg(
+        hits.cast("bigint").alias("hits_at_10"),
+        (hits / 10.0).alias("precision_at_10"),
+        (hits * 1.0 / F.sum("relevant")).alias("recall_at_10"),
+    )
+
+
+@register(
+    "rel_json_props_stats",
+    oracle="""
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
+       SUM(k) * 1.0 / COUNT(k) AS avg_k
+FROM p GROUP BY event_type
+""",
+    tags=("analytics", "json"),
+)
+def rel_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction + profiling of a semi-structured JSON property
+    column: pull ``$.k`` as a bigint, count presence, min/max/mean —
+    the schema-on-read path for event properties. The mean divides
+    exact integer sums (raw).
+
+    Scale: get_json_object is a JVM-side expression (no UDF); one
+    aggregate shuffle."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    p = e.select("event_type", k.alias("k"))
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count("k").cast("bigint").alias("n_with_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        (F.sum("k") * 1.0 / F.count("k")).alias("avg_k"),
+    )
