@@ -36,7 +36,13 @@ def _cents(col: str) -> F.Column:
 # lineitem revenue in exact integer 1/10000ths: extendedprice (2 dp)
 # times (1 - discount) (2 dp) has at most 4 decimals, so scaling by
 # 10^4 and rounding lands on the exact integer in both engines.
-_REV_TMT = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+# (A function, not a module constant: building a Column requires an
+# active SparkContext, and the catalog must import session-free —
+# tools/check_window.py walks it before any session exists.)
+def _rev_tmt() -> F.Column:
+    return F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+
+
 _REV_TMT_SQL = "ROUND(l_extendedprice * (1 - l_discount) * 10000)"
 
 
@@ -167,7 +173,7 @@ def rel_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no float drift can flip a row across 0.8)."""
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum(_REV_TMT).cast("bigint").alias("rev_tmt")
+        F.sum(_rev_tmt()).cast("bigint").alias("rev_tmt")
     )
     tot = rev.agg(F.sum("rev_tmt").alias("total"))
     w = Window.orderBy(F.desc("rev_tmt"), F.asc("partkey")).rowsBetween(
@@ -347,7 +353,7 @@ def rel_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nationkey"), "l_suppkey")
-        .agg(F.sum(_REV_TMT).alias("r"))
+        .agg(F.sum(_rev_tmt()).alias("r"))
     )
     share = F.col("r") / F.sum("r").over(Window.partitionBy("nationkey"))
     return (
@@ -437,7 +443,7 @@ def rel_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(_REV_TMT).cast("bigint").alias("rev_tmt"))
+        .agg(F.sum(_rev_tmt()).cast("bigint").alias("rev_tmt"))
     )
     return rev.select(
         "nation",
@@ -1805,7 +1811,7 @@ common AS (
   GROUP BY a.s, b.s
 )
 SELECT c.s1, c.s2, CAST(c.common AS BIGINT) AS n_common,
-       ROUND(c.common * 1.0 / (d1.d + d2.d - c.common), 4) AS jaccard
+       c.common * 1.0 / (d1.d + d2.d - c.common) AS jaccard
 FROM common c
 JOIN deg d1 ON c.s1 = d1.s
 JOIN deg d2 ON c.s2 = d2.s
@@ -1846,9 +1852,8 @@ def graph_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s1",
             "s2",
             F.col("common").cast("bigint").alias("n_common"),
-            F.round(
-                F.col("common") * 1.0 / (F.col("d1") + F.col("d2") - F.col("common")),
-                4,
+            (
+                F.col("common") * 1.0 / (F.col("d1") + F.col("d2") - F.col("common"))
             ).alias("jaccard"),
         )
     )
@@ -2134,3 +2139,483 @@ def rel_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("bigint").alias("max_k"),
         (F.sum("k") * 1.0 / F.count("k")).alias("avg_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort / lifecycle analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_cohort_ltv",
+    oracle="""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) AS BIGINT) AS month_idx,
+         CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+cohort AS (SELECT o_custkey, MIN(month_idx) AS cohort_month FROM m GROUP BY 1),
+cell AS (
+  SELECT c.cohort_month, m.month_idx - c.cohort_month AS age_months,
+         SUM(m.cents) AS cents, COUNT(DISTINCT m.o_custkey) AS active
+  FROM m JOIN cohort c USING (o_custkey)
+  GROUP BY 1, 2
+),
+sized AS (SELECT cohort_month, COUNT(*) AS cohort_size FROM cohort GROUP BY 1)
+SELECT cl.cohort_month, CAST(cl.age_months AS BIGINT) AS age_months,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(cl.active AS BIGINT) AS active_customers,
+       CAST(cl.cents AS BIGINT) AS revenue_cents,
+       SUM(cl.cents) OVER (PARTITION BY cl.cohort_month
+                           ORDER BY cl.age_months
+                           ROWS UNBOUNDED PRECEDING)
+         * 1.0 / s.cohort_size / 100.0 AS cum_ltv
+FROM cell cl JOIN sized s USING (cohort_month)
+""",
+    tags=("analytics", "window"),
+)
+def rel_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by first-order month,
+    revenue laid out by months-since-acquisition, cumulative LTV per
+    cohort member — THE subscription/commerce lifetime-value readout.
+    Month index is integer year*12+month (no calendar arithmetic
+    crosses engines); the running LTV sums exact integer cents over an
+    integer-ordered window, divided once per row.
+
+    Scale: per-(customer, month) aggregate → cohort min → cell
+    aggregate, all shuffling on custkey/cohort keys; the LTV window
+    runs over the cohort×age matrix (dimension-bounded)."""
+    o = _t(spark, sf_dir, "orders")
+    month_idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    m = o.groupBy("o_custkey", month_idx.alias("month_idx")).agg(
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("cents")
+    )
+    cohort = m.groupBy("o_custkey").agg(F.min("month_idx").alias("cohort_month"))
+    cell = (
+        m.join(cohort, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (F.col("month_idx") - F.col("cohort_month")).alias("age_months"),
+        )
+        .agg(
+            F.sum("cents").alias("cents"),
+            F.countDistinct("o_custkey").alias("active"),
+        )
+    )
+    sized = cohort.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cell.join(F.broadcast(sized), "cohort_month")
+        .select(
+            "cohort_month",
+            F.col("age_months").cast("bigint").alias("age_months"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.col("active").cast("bigint").alias("active_customers"),
+            F.col("cents").cast("bigint").alias("revenue_cents"),
+            (
+                F.sum("cents").over(w) * 1.0 / F.col("cohort_size") / 100.0
+            ).alias("cum_ltv"),
+        )
+    )
+
+
+@register(
+    "events_cumulative_users",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id,
+         MIN(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS first_day
+  FROM events GROUP BY user_id
+),
+newbies AS (SELECT first_day AS day, COUNT(*) AS new_users
+            FROM first_seen GROUP BY 1)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_users
+FROM newbies
+""",
+    tags=("analytics", "events", "window"),
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day WITHOUT a running COUNT
+    DISTINCT: reduce each user to their first-seen day (one shuffle on
+    user_id), count arrivals per day, running-sum the arrivals — the
+    standard rewrite that turns an O(days × users) windowed distinct
+    into two linear aggregations. Exact integers end-to-end.
+
+    Scale: this is the ONLY shape that survives 100 TB — a windowed
+    `approx_count_distinct` per day re-scans every prior day's users;
+    first-touch attribution scans each fact row once."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(epoch_us("ts") / 86_400_000_000).cast("bigint")
+    first_seen = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    newbies = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return newbies.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@register(
+    "rel_new_vs_returning",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, MIN(epoch_us(o_orderdate)) AS first_us FROM orders
+  GROUP BY 1
+)
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) * 12
+            + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS month_idx,
+       CAST(SUM(CASE WHEN epoch_us(o.o_orderdate) = f.first_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS new_orders,
+       CAST(SUM(CASE WHEN epoch_us(o.o_orderdate) = f.first_us
+                     THEN 0 ELSE 1 END) AS BIGINT) AS returning_orders,
+       CAST(SUM(CASE WHEN epoch_us(o.o_orderdate) = f.first_us
+                     THEN ROUND(o.o_totalprice * 100) ELSE 0 END) AS BIGINT)
+         AS new_cents,
+       CAST(SUM(CASE WHEN epoch_us(o.o_orderdate) = f.first_us
+                     THEN 0 ELSE ROUND(o.o_totalprice * 100) END) AS BIGINT)
+         AS returning_cents
+FROM orders o JOIN firsts f USING (o_custkey)
+GROUP BY 1
+""",
+    tags=("analytics",),
+)
+def rel_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue split per month: an order is "new" iff
+    it carries its customer's first-ever order timestamp — the
+    acquisition-vs-retention mix every growth dashboard leads with.
+    Exact integer cents and epoch comparisons only.
+
+    Scale: the firsts aggregate and the classifying join share the
+    custkey shuffle; the monthly rollup is the only other exchange."""
+    from ..functions.timeutil import epoch_us
+
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(epoch_us("o_orderdate")).alias("first_us")
+    )
+    j = o.join(firsts, "o_custkey")
+    is_new = epoch_us("o_orderdate") == F.col("first_us")
+    month_idx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    return j.groupBy(month_idx.alias("month_idx")).agg(
+        F.sum(is_new.cast("int")).cast("bigint").alias("new_orders"),
+        F.sum((~is_new).cast("int")).cast("bigint").alias("returning_orders"),
+        F.sum(F.when(is_new, _cents("o_totalprice")).otherwise(0))
+        .cast("bigint")
+        .alias("new_cents"),
+        F.sum(F.when(~is_new, _cents("o_totalprice")).otherwise(0))
+        .cast("bigint")
+        .alias("returning_cents"),
+    )
+
+
+@register(
+    "doc_js_divergence",
+    oracle="""
+WITH tok AS (
+  SELECT CASE WHEN source = 'src0' THEN 'a' ELSE 'b' END AS side,
+         UNNEST(string_split(text, ' ')) AS w
+  FROM documents
+),
+freq AS (
+  SELECT w, SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+  FROM tok GROUP BY w
+),
+tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         COUNT(*) AS v
+  FROM freq
+),
+p AS (
+  SELECT (ca + 1.0) / (na + v) AS pa, (cb + 1.0) / (nb + v) AS pb
+  FROM freq, tot
+)
+SELECT CAST(MIN(t.v) AS BIGINT) AS vocab_size,
+       ROUND(SUM(0.5 * pa * ln(pa / ((pa + pb) / 2))
+                 + 0.5 * pb * ln(pb / ((pa + pb) / 2))) / ln(2), 4) + 0.0
+         AS js_divergence_bits
+FROM p, tot t
+""",
+    tags=("analytics", "text", "statistics"),
+)
+def doc_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between the word distributions
+    of source src0 and the rest of the corpus, add-1 smoothed over the
+    shared vocabulary — the symmetric, bounded distribution-shift
+    score for domain drift between crawl snapshots or data sources.
+    Identical sources score −0.0 after rounding → ``+ 0.0``.
+
+    Scale: the same one-vocabulary-pass shape as doc_dsir_importance —
+    conditional counts carry both distributions through ONE shuffle on
+    the word; the divergence is a single scalar aggregate over the
+    vocab frame."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.when(F.col("source") == "src0", "a").otherwise("b").alias("side"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    freq = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("side") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tot = freq.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = freq.crossJoin(F.broadcast(tot)).select(
+        ((F.col("ca") + 1.0) / (F.col("na") + F.col("v"))).alias("pa"),
+        ((F.col("cb") + 1.0) / (F.col("nb") + F.col("v"))).alias("pb"),
+        "v",
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col("pb") * F.log(
+        F.col("pb") / m
+    )
+    return p.agg(
+        F.min("v").cast("bigint").alias("vocab_size"),
+        (F.round(F.sum(term) / F.log(F.lit(2.0)), 4) + F.lit(0.0)).alias(
+            "js_divergence_bits"
+        ),
+    )
+
+
+@register(
+    "ts_naive_forecast_error",
+    oracle="""
+WITH seq AS (
+  SELECT event_type, ROUND(value * 100) AS cents,
+         LAG(ROUND(value * 100)) OVER (PARTITION BY event_type
+                                       ORDER BY epoch_us(ts), event_id)
+           AS prev_cents
+  FROM events
+),
+s AS (SELECT * FROM seq WHERE prev_cents IS NOT NULL)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(ABS(cents - prev_cents)) / COUNT(*) / 100.0 AS mae,
+       SUM(ABS(cents - prev_cents)) * 1.0 / SUM(ABS(cents)) AS wape,
+       SUM((cents - prev_cents) * (cents - prev_cents))
+         / COUNT(*) / 10000.0 AS mse
+FROM s GROUP BY event_type
+""",
+    tags=("analytics", "timeseries", "ml-eval"),
+)
+def ts_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-persistence forecast baseline scored in one pass: MAE,
+    WAPE, and MSE of predicting each value by its predecessor — the
+    floor every real forecaster must beat (and the denominator of
+    MASE). All three errors are exact-integer-cent sums with one final
+    division each (raw doubles).
+
+    Scale: LAG window and aggregate share the event_type partitioning."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).alias("cents"),
+        epoch_us("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    s = e.withColumn("prev_cents", F.lag("cents").over(w)).filter(
+        F.col("prev_cents").isNotNull()
+    )
+    err = F.col("cents") - F.col("prev_cents")
+    n = F.count(F.lit(1))
+    return s.groupBy("event_type").agg(
+        n.cast("bigint").alias("n"),
+        (F.sum(F.abs(err)) / n / 100.0).alias("mae"),
+        (F.sum(F.abs(err)) * 1.0 / F.sum(F.abs("cents"))).alias("wape"),
+        (F.sum(err * err) / n / 10000.0).alias("mse"),
+    )
+
+
+@register(
+    "events_hourly_heatmap",
+    oracle="""
+WITH c AS (
+  SELECT dayofweek(ts) + 1 AS weekday, EXTRACT(hour FROM ts) AS hour,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT weekday, CAST(hour AS BIGINT) AS hour, CAST(n AS BIGINT) AS n_events,
+       ROUND(n * 10000.0 / t.total, 4) AS pct_bp
+FROM c, t
+""",
+    tags=("analytics", "events"),
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap with basis-point shares — the
+    traffic-shape matrix behind capacity planning and on-call
+    staffing. Hour extraction happens on the naive wall-clock value in
+    both engines (NTZ semantics); the weekday convention shift is
+    encoded in the oracle.
+
+    Scale: one count aggregate to a ≤168-cell frame; the share joins a
+    1-row broadcast total."""
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.dayofweek("ts").alias("weekday"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "weekday",
+        "hour",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("n") * 10000.0 / F.col("total"), 4).alias("pct_bp"),
+    )
+
+
+@register(
+    "rel_order_linecount_dist",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY 1
+),
+d AS (SELECT n_lines, COUNT(*) AS n_orders FROM per_order GROUP BY 1)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       ROUND(n_orders * 100.0 / SUM(n_orders) OVER (), 4) AS pct_orders,
+       ROUND(SUM(n_orders) OVER (ORDER BY n_lines ROWS UNBOUNDED PRECEDING)
+             * 100.0 / SUM(n_orders) OVER (), 4) AS cum_pct
+FROM d
+""",
+    tags=("analytics", "window"),
+)
+def rel_order_linecount_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-width distribution: how many orders have k line items,
+    with percentage and cumulative percentage — the fan-out histogram
+    that sizes join amplification (it bounds the per-key work of every
+    orderkey join in the engine). Exact integer counts; shares divide
+    identical integers.
+
+    Scale: two aggregates (fact → per-order → histogram); the windows
+    run over the ≤max-width histogram frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    d = per_order.groupBy(F.col("n_lines").cast("bigint").alias("n_lines")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("n_lines").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        "n_lines",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(F.col("n_orders") * 100.0 / F.sum("n_orders").over(wall), 4).alias(
+            "pct_orders"
+        ),
+        F.round(
+            F.sum("n_orders").over(wcum) * 100.0 / F.sum("n_orders").over(wall), 4
+        ).alias("cum_pct"),
+    )
+
+
+@register(
+    "rel_grouping_id",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    tags=("analytics", "agg"),
+)
+def rel_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with the grouping_id bitmask surfaced — the
+    column that lets a consumer tell a real NULL group from a rollup
+    subtotal row (gid 0 = detail, 1 = per-flag subtotal, 3 = grand
+    total; Spark and DuckDB share the bitmask convention).
+
+    Scale: Catalyst plans grouping sets as one Expand + one hash
+    aggregate — a single shuffle regardless of how many sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"),
+    )
+
+
+@register(
+    "emb_dim_variance_topk",
+    oracle="""
+WITH d AS (
+  SELECT generate_subscripts(embedding, 1) AS dim,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+v AS (
+  SELECT dim, COUNT(*) AS n,
+         list_reduce(list_prepend(0.0, list(x ORDER BY x, x)),
+                     (a, b) -> a + b) AS s,
+         list_reduce(list_prepend(0.0, list(x * x ORDER BY x * x, x)),
+                     (a, b) -> a + b) AS ss
+  FROM d GROUP BY dim
+),
+r AS (
+  SELECT dim, (ss - s * s / n) / (n - 1) AS variance,
+         ROW_NUMBER() OVER (ORDER BY (ss - s * s / n) / (n - 1) DESC, dim)
+           AS rk
+  FROM v
+)
+SELECT CAST(dim AS BIGINT) AS dim, variance, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 5
+""",
+    tags=("analytics", "similarity", "statistics"),
+)
+def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five highest-variance embedding dimensions — the feature-
+    selection readout before PCA/matryoshka truncation (dead dims
+    carry no variance; a few hot dims dominating signals a training
+    bug). Σx and Σx² fold VALUE-SORTED lists (non-integral floats:
+    plain SUM partial order is not reproducible across engines), the
+    variance then derives from identical doubles and is emitted raw.
+
+    Scale: posexplode → one shuffle on the 64-value dim key; the
+    top-5 window runs over the 64-row variance frame. At 100 TB the
+    sorted fold per dim becomes the bottleneck — switch to Welford
+    partials and round instead (docstringed trade-off; this is the
+    oracle-parity audit path)."""
+    e = _t(spark, sf_dir, "embeddings")
+    from ..functions.timeutil import ordered_fold_sum
+
+    d = e.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x")
+    ).select((F.col("dim0") + 1).alias("dim"), "x")
+    v = d.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        ordered_fold_sum(F.collect_list("x")).alias("s"),
+        ordered_fold_sum(F.collect_list(F.col("x") * F.col("x"))).alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    r = v.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        var.alias("variance"),
+        F.row_number().over(Window.orderBy(var.desc(), "dim")).cast("bigint").alias("rk"),
+    )
+    return r.filter(F.col("rk") <= 5)

@@ -92,7 +92,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # then 10 of the 12 rows-only ones. Two rows-only names did not fit:
     # ``ml_cv_model_selection`` and ``rel_approx_quantile`` (both carry
     # strong local gates — CV grid repro / epsilon bound) — pack them
-    # FIRST in round 6.
+    # FIRST in round 6 together with the 48-query round-5 analytics wave
+    # (plans/analytics.py, all oracled, locally hash-verified at
+    # sf0.001/sf0.01/sf0.1): 2 + 48 = exactly one 50-slot window.
     # Normalization / curation / eval wave (plans/governance.py, curation.py)
     "doc_normalize_text",
     "doc_curriculum_order",

@@ -730,3 +730,67 @@ def test_k_anonymity_single_aggregation_pass(spark):
     assert "Join" not in plan and "Window" not in plan
     scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
     assert len(scans) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-5 analytics wave plan shapes
+# ---------------------------------------------------------------------------
+
+
+def _simple_plan(spark, name):
+    df = all_queries()[name].spark(spark, SF)
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    return jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["doc_ttr", "doc_shingle_uniqueness", "emb_simhash_bits"]
+)
+def test_wave_map_only_queries_have_no_exchange(spark, name):
+    """Per-row text/embedding profiles must stay map-only: the arrays
+    are reduced INSIDE their row, nothing explodes into a shuffle."""
+    plan = _simple_plan(spark, name)
+    assert "Exchange" not in plan, plan
+
+
+def test_self_excluding_avg_single_window_no_join(spark):
+    """Leave-one-out averages must use the (sum-x)/(n-1) window
+    identity — a self-join here would shuffle the fact table twice."""
+    plan = _simple_plan(spark, "rel_self_excluding_avg")
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    assert len([ln for ln in plan.splitlines() if "Scan parquet" in ln]) == 1
+
+
+def test_date_spine_broadcasts_spine_side(spark):
+    """The generated calendar spine (tiny) must broadcast; the daily
+    aggregate side must never be collected or nested-looped."""
+    plan = _simple_plan(spark, "rel_date_spine_fill")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_pairs_blocked_no_cartesian(spark):
+    """Supplier-pair candidates must come from the shared-customer
+    equi-join (blocked), never an all-pairs product."""
+    plan = _simple_plan(spark, "graph_jaccard_pairs")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pivot_multi_agg_single_pass(spark):
+    """Explicit pivot values = one scan + one aggregate (no eager
+    distinct-values job, no second scan)."""
+    plan = _simple_plan(spark, "rel_pivot_multi_agg")
+    assert len([ln for ln in plan.splitlines() if "Scan parquet" in ln]) == 1
+    assert "Join" not in plan
+
+
+def test_confusion_matrix_one_pass_no_join(spark):
+    """All four confusion cells from ONE aggregate (indicator sums),
+    not four filtered scans."""
+    plan = _simple_plan(spark, "ml_confusion_threshold")
+    assert len([ln for ln in plan.splitlines() if "Scan parquet" in ln]) == 1
+    assert "Join" not in plan
