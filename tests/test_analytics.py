@@ -1,0 +1,201 @@
+"""Closed-form cross-checks for the round-5 analytics wave
+(plans/analytics.py) — pure-Python recomputations from the raw fixture
+rows, independent of the DuckDB oracle (which shares SQL semantics and
+could in principle share a misreading of the statistic).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+    load_table,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_gini_matches_python_closed_form(spark):
+    got = {
+        r.nationkey: r.gini
+        for r in all_queries()["rel_gini_coefficient"].spark(spark, SF_SMOKE).collect()
+    }
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100)).alias("cents"))
+        .collect()
+    )
+    by_nation = defaultdict(list)
+    for r in rows:
+        by_nation[r.c_nationkey].append((int(r.cents), r.c_custkey))
+    for nk, vals in by_nation.items():
+        xs = [v for v, _ in sorted(vals, key=lambda t: (t[0], t[1]))]
+        n, tot = len(xs), sum(xs)
+        gini = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (
+            n + 1.0
+        ) / n
+        assert abs(got[nk] - round(gini, 4)) < 1e-9, (nk, got[nk], gini)
+        assert -1e-9 <= got[nk] <= 1.0
+
+
+def test_roc_auc_matches_tie_aware_python(spark):
+    row = all_queries()["ml_roc_auc"].spark(spark, SF_SMOKE).collect()[0]
+    li = load_table(spark, SF_SMOKE, "lineitem").collect()
+    pairs = []
+    for r in li:
+        y = 1 if r.l_returnflag == "R" else 0
+        s = ((r.l_partkey * 31 + r.l_suppkey * 7 + r.l_linenumber) % 1000) / 1000.0 + (
+            0.4 if y else 0.0
+        )
+        pairs.append((s, y))
+    # average ranks with tie handling
+    pairs.sort(key=lambda t: t[0])
+    ranks: dict[float, float] = {}
+    i = 0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+            j += 1
+        ranks[pairs[i][0]] = (i + 1 + j) / 2.0  # mean of ranks i+1..j
+        i = j
+    n_pos = sum(y for _, y in pairs)
+    n_neg = len(pairs) - n_pos
+    rank_sum = sum(ranks[s] for s, y in pairs if y == 1)
+    auc = (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert abs(row.auc - auc) < 1e-12
+    assert row.auc > 0.5  # the +0.4 signal term must make it informative
+
+
+def test_max_drawdown_matches_python_loop(spark):
+    got = {
+        r.event_type: r
+        for r in all_queries()["ts_max_drawdown"].spark(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    series = defaultdict(list)
+    for r in ev:
+        series[r.event_type].append((r.ts, r.event_id, round(r.value * 100)))
+    for et, rows in series.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        cum = peak = 0
+        best_cum = None
+        dd = 0
+        for _, _, cents in rows:
+            cum += cents
+            peak = max(peak if best_cum is not None else cum, cum)
+            best_cum = cum if best_cum is None else max(best_cum, cum)
+            dd = max(dd, best_cum - cum)
+        assert got[et].max_drawdown_cents == dd, et
+        assert got[et].high_cents == best_cum
+
+
+def test_cumulative_users_final_equals_total_distinct(spark):
+    rows = (
+        all_queries()["events_cumulative_users"]
+        .spark(spark, SF_SMOKE)
+        .orderBy("day")
+        .collect()
+    )
+    e = load_table(spark, SF_SMOKE, "events")
+    total = e.select("user_id").distinct().count()
+    assert rows[-1].cumulative_users == total
+    assert sum(r.new_users for r in rows) == total
+    # running sum is monotone and matches its own prefix sums
+    acc = 0
+    for r in rows:
+        acc += r.new_users
+        assert r.cumulative_users == acc
+
+
+def test_js_divergence_bounds_and_python_value(spark):
+    row = all_queries()["doc_js_divergence"].spark(spark, SF_SMOKE).collect()[0]
+    docs = load_table(spark, SF_SMOKE, "documents").collect()
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for r in docs:
+        (ca if r.source == "src0" else cb).update(r.text.split(" "))
+    vocab = set(ca) | set(cb)
+    na, nb, v = sum(ca.values()), sum(cb.values()), len(vocab)
+    js = 0.0
+    for w in vocab:
+        pa = (ca[w] + 1.0) / (na + v)
+        pb = (cb[w] + 1.0) / (nb + v)
+        m = (pa + pb) / 2
+        js += 0.5 * pa * math.log(pa / m) + 0.5 * pb * math.log(pb / m)
+    js /= math.log(2)
+    assert row.vocab_size == v
+    assert abs(row.js_divergence_bits - round(js, 4)) < 1e-9
+    assert 0.0 <= row.js_divergence_bits <= 1.0  # JS in bits is bounded by 1
+
+
+def test_rfm_quintiles_are_balanced(spark):
+    rows = all_queries()["rel_rfm_segmentation"].spark(spark, SF_SMOKE).collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        sizes = Counter(getattr(r, col) for r in rows)
+        assert sorted(sizes) == [1, 2, 3, 4, 5]
+        # NTILE balance: bucket sizes differ by at most 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        assert sum(sizes.values()) == n
+
+
+def test_abc_classes_partition_by_share(spark):
+    rows = (
+        all_queries()["rel_abc_classification"]
+        .spark(spark, SF_SMOKE)
+        .orderBy("cum_share", "partkey")
+        .collect()
+    )
+    # cumulative share is monotone in [0, 1] and ends at 1
+    shares = [r.cum_share for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-9
+    # classes are a monotone A->B->C partition of the ranking
+    classes = "".join(r.abc_class for r in rows)
+    assert classes == "A" * classes.count("A") + "B" * classes.count(
+        "B"
+    ) + "C" * classes.count("C")
+
+
+def test_bollinger_window_spot_check(spark):
+    rows = (
+        all_queries()["ts_bollinger_bands"]
+        .spark(spark, SF_SMOKE)
+        .filter(F.col("event_type") == "purchase")
+        .orderBy("ts_us")
+        .collect()
+    )
+    ev = [
+        (r["us"], r["event_id"], round(r["value"] * 100))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "to_timestamp('1970-01-01 00:00:00'), ts)"
+            ).alias("us"),
+            "event_id",
+            "value",
+        )
+        .collect()
+    ]
+    ev.sort(key=lambda t: (t[0], t[1]))
+    # recompute the 20th observation's band (first emitted row)
+    window = [c for _, _, c in ev[:20]]
+    n, s = len(window), sum(window)
+    ss = sum(c * c for c in window)
+    ma = s / n / 100.0
+    sd = math.sqrt((ss - s * s / n) / (n - 1)) / 100.0
+    first = rows[0]
+    assert first.ts_us == ev[19][0]
+    assert abs(first.ma20 - round(ma, 4)) < 1e-9
+    assert abs(first.upper_band - round(ma + 2 * sd, 4)) < 1e-9
+    assert abs(first.lower_band - round(ma - 2 * sd, 4)) < 1e-9
