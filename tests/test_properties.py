@@ -401,3 +401,50 @@ def test_quarantine_total_partition_property(spark, tmp_path_factory, lines):
     assert len(g) + b == n_in
     for r in g:
         assert r.temperature is not None and r.vibration is not None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+    ),
+    doomed=st.sets(st.integers(0, 50), max_size=20),
+)
+@settings(max_examples=5, deadline=None)
+def test_copy_on_write_delete_property(spark, rows, doomed):
+    """COW DELETE WHERE == logical anti-filter for ANY predicate,
+    including predicates that empty whole partitions (the r4-advice
+    gap) and predicates that match nothing."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.governance import (
+        copy_on_write_delete,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources import scratch
+
+    df = spark.createDataFrame(
+        [(p, i, v) for i, (p, v) in enumerate(rows)],
+        "part long, id long, v long",
+    )
+    path = scratch.scratch_dir("cow_prop_")
+    df.write.partitionBy("part").mode("overwrite").parquet(path)
+
+    pred = F.col("v").isin(list(doomed)) if doomed else F.lit(False)
+    copy_on_write_delete(spark, path, pred, "part")
+
+    survivors = sorted(
+        (r.part, r.id, r.v)
+        for r in df.filter(~pred).collect()
+    )
+    got = sorted(
+        (r.part, r.id, r.v) for r in spark.read.parquet(path).collect()
+    ) if survivors else []
+    # an entirely-emptied table reads back as an empty/absent dataset
+    if survivors:
+        assert got == survivors
+    else:
+        import glob as _glob
+        import os as _os
+
+        assert not _glob.glob(_os.path.join(path, "part=*", "*.parquet"))
