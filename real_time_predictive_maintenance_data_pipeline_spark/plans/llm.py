@@ -1307,7 +1307,7 @@ WITH d AS (
   FROM embeddings
 )
 SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n,
-       ROUND(AVG(CAST(x AS DOUBLE)), 4) AS mean,
+       ROUND(AVG(CAST(x AS DOUBLE)), 4) + 0.0 AS mean,
        ROUND(STDDEV_POP(CAST(x AS DOUBLE)), 4) AS std
 FROM d GROUP BY dim
 """,
@@ -1317,12 +1317,14 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension mean/std across the embedding corpus — the
     statistics a whitening / normalization step consumes. posexplode
     pivots (vec, dim) pairs; the aggregate shuffles on the dimension
-    index (bounded cardinality = embedding width, perfectly even)."""
+    index (bounded cardinality = embedding width, perfectly even).
+    A near-zero dim mean rounds to ±0 (it did at sf0.1) → ``+ 0.0`` on
+    both sides per the registry signed-zero convention."""
     e = _embs(spark, sf_dir)
     d = e.select(F.posexplode("embedding").alias("dim", "x"))
     return d.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(F.col("x").cast("double")), 4).alias("mean"),
+        (F.round(F.avg(F.col("x").cast("double")), 4) + F.lit(0.0)).alias("mean"),
         F.round(F.stddev_pop(F.col("x").cast("double")), 4).alias("std"),
     )
 
