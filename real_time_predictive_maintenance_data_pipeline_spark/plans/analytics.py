@@ -85,11 +85,15 @@ def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the concatenated RFM cell every campaign tool keys on.
 
     Scale: one groupBy(custkey) shuffle builds the per-customer frame
-    (cardinality = |customer| << |orders|); the three quintile windows
-    order that AGGREGATED frame, and at 100 TB each becomes a range
-    partition + rank over customers, not facts. Recency anchors on the
-    data's own max day so the query is deterministic, and days are
-    integer epoch-day buckets (no double seconds cross the engines)."""
+    (cardinality = |customer| << |orders|). The three NTILE windows are
+    UNPARTITIONED — Spark runs each on a single partition, fine for the
+    aggregated customer frame up to ~10⁸ rows but the honest bottleneck
+    beyond; at that point compute the four quintile BOUNDARIES per axis
+    (approx_percentile, one pass) and bucket by broadcast-joined range
+    compare instead — same cells up to tie placement. This exact-NTILE
+    form is the audit path. Recency anchors on the data's own max day
+    so the query is deterministic, and days are integer epoch-day
+    buckets (no double seconds cross the engines)."""
     from ..functions.timeutil import epoch_us
 
     o = _t(spark, sf_dir, "orders")
@@ -166,11 +170,14 @@ def rel_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail — the Pareto cut purchasing teams drive stocking policy with.
 
     Scale: revenue aggregates per partkey first (one shuffle; output
-    cardinality = |part|), the running sum orders the aggregated frame.
-    Revenue is summed in exact integer ten-thousandths so the running
-    total is order-exact, and the share division happens on identical
-    integers in both engines (the class boundary compare is then safe
-    — no float drift can flip a row across 0.8)."""
+    cardinality = |part|); the running sum then orders the aggregated
+    frame in a single partition — fine to ~10⁸ parts, and beyond that
+    the standard rewrite is a two-level prefix sum (per-range partial
+    totals broadcast back as offsets). Revenue is summed in exact
+    integer ten-thousandths so the running total is order-exact, and
+    the share division happens on identical integers in both engines
+    (the class boundary compare is then safe — no float drift can flip
+    a row across 0.8)."""
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(_rev_tmt()).cast("bigint").alias("rev_tmt")
