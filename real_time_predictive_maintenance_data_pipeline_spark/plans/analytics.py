@@ -2626,3 +2626,397 @@ def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(var.desc(), "dim")).cast("bigint").alias("rk"),
     )
     return r.filter(F.col("rk") <= 5)
+
+
+# ---------------------------------------------------------------------------
+# Experimentation & ops-analytics (round-7 window seed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_cuped_adjustment",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+         CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 < 19723 + 15
+                       THEN ROUND(value * 100) ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= 19723 + 15
+                       THEN ROUND(value * 100) ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+pooled AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM per_user
+),
+theta AS (
+  SELECT (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS th,
+         sx * 1.0 / n AS mean_x
+  FROM pooled
+)
+SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+       SUM(y) * 1.0 / COUNT(*) / 100.0 AS mean_y,
+       SUM(y - t.th * (x - t.mean_x)) / COUNT(*) / 100.0 AS mean_y_cuped,
+       t.th AS theta
+FROM per_user, theta t
+GROUP BY variant, t.th
+""",
+    tags=("analytics", "experiment", "statistics"),
+)
+def rel_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout: per-user pre-period
+    value (first 15 days) as the covariate X, post-period value as the
+    metric Y, pooled θ = cov(X,Y)/var(X) from integer sufficient
+    statistics, adjusted mean Yᵢ − θ(Xᵢ − X̄) per variant — the
+    standard trick that cuts A/B confidence intervals 30-50 % without
+    touching assignment. All sums are exact integer cents (products
+    < 2⁵³); θ and the means divide identical operands and are emitted
+    raw.
+
+    Scale: one groupBy(user_id) pass builds the per-user frame; θ is a
+    1-row broadcast; no second fact scan."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(epoch_us("ts") / 86_400_000_000)
+    cents = F.round(F.col("value") * 100)
+    cut = 19723 + 15  # day 15 of the fixture's single month
+    per_user = e.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("bigint").alias("variant")
+    ).agg(
+        F.sum(F.when(day < cut, cents).otherwise(0)).cast("bigint").alias("x"),
+        F.sum(F.when(day >= cut, cents).otherwise(0)).cast("bigint").alias("y"),
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    theta = pooled.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * 1.0
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("th"),
+        (F.col("sx") * 1.0 / F.col("n")).alias("mean_x"),
+    )
+    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("mean_x"))
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("variant", "th")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (F.sum("y") * 1.0 / F.count(F.lit(1)) / 100.0).alias("mean_y"),
+            (F.sum(adj) / F.count(F.lit(1)) / 100.0).alias("mean_y_cuped"),
+        )
+        .select(
+            "variant", "n_users", "mean_y", "mean_y_cuped", F.col("th").alias("theta")
+        )
+    )
+
+
+@register(
+    "rel_srm_check",
+    oracle="""
+WITH assign AS (
+  SELECT user_id % 2 AS variant, COUNT(DISTINCT user_id) AS users
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(users) AS n FROM assign)
+SELECT CAST(SUM(CASE WHEN variant = 0 THEN users END) AS BIGINT) AS users_a,
+       CAST(SUM(CASE WHEN variant = 1 THEN users END) AS BIGINT) AS users_b,
+       SUM((users - t.n / 2.0) * (users - t.n / 2.0) / (t.n / 2.0))
+         AS chi2_stat
+FROM assign, tot t GROUP BY t.n
+""",
+    tags=("analytics", "experiment", "statistics"),
+)
+def rel_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit for a 50/50 split: distinct users
+    per variant and the 1-df chi-square statistic against the expected
+    half-half assignment — the first thing to check before reading ANY
+    experiment result (SRM means the assignment is broken and every
+    downstream p-value is garbage). n/2 is at worst x.5 (binary-exact),
+    so the statistic derives from exact operands and ships raw; the
+    consumer compares against their own critical value.
+
+    Scale: one distinct-count aggregate; everything else is a 2-row
+    frame."""
+    e = _t(spark, sf_dir, "events")
+    assign = e.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.countDistinct("user_id").alias("users")
+    )
+    tot = assign.agg(F.sum("users").alias("n"))
+    ex = F.col("n") / 2.0
+    return (
+        assign.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, F.col("users")))
+            .cast("bigint")
+            .alias("users_a"),
+            F.sum(F.when(F.col("variant") == 1, F.col("users")))
+            .cast("bigint")
+            .alias("users_b"),
+            F.sum((F.col("users") - ex) * (F.col("users") - ex) / ex).alias(
+                "chi2_stat"
+            ),
+        )
+        .drop("n")
+    )
+
+
+@register(
+    "rel_experiment_mde",
+    oracle="""
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(ROUND(value * 100)) AS BIGINT) AS sc,
+         CAST(SUM(ROUND(value * 100) * ROUND(value * 100)) AS BIGINT) AS scc
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       sc * 1.0 / n / 100.0 AS mean_value,
+       (scc - sc * 1.0 * sc / n) / (n - 1) / 10000.0 AS variance,
+       2.8 * sqrt(2.0 * ((scc - sc * 1.0 * sc / n) / (n - 1) / 10000.0) / n)
+         AS mde_abs,
+       2.8 * sqrt(2.0 * ((scc - sc * 1.0 * sc / n) / (n - 1) / 10000.0) / n)
+         / (sc * 1.0 / n / 100.0) AS mde_rel
+FROM s
+""",
+    tags=("analytics", "experiment", "statistics"),
+)
+def rel_experiment_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for an equal-split experiment on each
+    metric stream at the CURRENT sample size: MDE ≈ (z₀.₉₇₅+z₀.₈)·
+    √(2σ²/n) with the 2.8 rule-of-thumb constant — the power-analysis
+    number that says whether an experiment is even worth running.
+    Variance comes from exact integer-cent sufficient statistics; sqrt
+    is IEEE-correctly-rounded, so every output ships raw.
+
+    Scale: single aggregate pass (sufficient statistics only — no
+    per-user materialization needed for a variance)."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100)
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("bigint").alias("sc"),
+        F.sum(cents * cents).cast("bigint").alias("scc"),
+    )
+    n = F.col("n")
+    var = (F.col("scc") - F.col("sc") * 1.0 * F.col("sc") / n) / (n - 1) / 10000.0
+    mean = F.col("sc") * 1.0 / n / 100.0
+    mde = 2.8 * F.sqrt(2.0 * var / n)
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        mean.alias("mean_value"),
+        var.alias("variance"),
+        mde.alias("mde_abs"),
+        (mde / mean).alias("mde_rel"),
+    )
+
+
+@register(
+    "rel_bootstrap_ci",
+    oracle="""
+WITH reps AS (SELECT UNNEST(generate_series(1, 100)) AS b),
+draws AS (
+  SELECT r.b, ROUND(o.o_totalprice * 100) AS cents
+  FROM orders o, reps r
+  WHERE substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':' ||
+               CAST(r.b AS VARCHAR)), 1, 1) <= '7'
+),
+means AS (
+  SELECT b, SUM(cents) / COUNT(*) / 100.0 AS m FROM draws GROUP BY b
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rk FROM means
+),
+full_mean AS (
+  SELECT SUM(ROUND(o_totalprice * 100)) / COUNT(*) / 100.0 AS mean_full
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       MAX(f.mean_full) AS mean_full,
+       MAX(CASE WHEN rk = 3 THEN m END) AS ci_lo,
+       MAX(CASE WHEN rk = 98 THEN m END) AS ci_hi
+FROM ranked, full_mean f
+""",
+    tags=("analytics", "experiment", "statistics"),
+)
+def rel_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subsampling-bootstrap CI of the mean order value:
+    100 half-sample replicates whose membership is an md5 bit of
+    (orderkey, replicate) — reproducible across runs AND engines, no
+    RNG state anywhere — then the 3rd/98th replicate means as the
+    percentile interval, SELECTED (row_number), never interpolated.
+    This is the m-out-of-n bootstrap with m = n/2: interval widths
+    overstate the full-sample SE by ≈√2, which is the documented,
+    conservative trade for engine-portable determinism. Replicate
+    means divide exact integer-cent sums.
+
+    Scale: the explode is a map-side ×100 row multiplier feeding ONE
+    (replicate) aggregation — the Poisson/half-sample bootstrap shape
+    that replaces resampling-with-replacement at 100 TB (no per-row
+    RNG, no shuffle of the raw table; replicate count bounds state)."""
+    o = _t(spark, sf_dir, "orders")
+    draws = (
+        o.select(
+            F.explode(F.sequence(F.lit(1), F.lit(100))).alias("b"),
+            F.col("o_orderkey"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .filter(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            <= "7"
+        )
+    )
+    means = draws.groupBy("b").agg(
+        (F.sum("cents") / F.count(F.lit(1)) / 100.0).alias("m")
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rk")
+    )
+    full_mean = o.agg(
+        (F.sum(_cents("o_totalprice")) / F.count(F.lit(1)) / 100.0).alias(
+            "mean_full"
+        )
+    )
+    return ranked.crossJoin(F.broadcast(full_mean)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        F.max("mean_full").alias("mean_full"),
+        F.max(F.when(F.col("rk") == 3, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == 98, F.col("m"))).alias("ci_hi"),
+    )
+
+
+@register(
+    "rel_skew_report",
+    oracle="""
+WITH keys AS (
+  SELECT 'l_orderkey' AS col_name, l_orderkey AS key FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', l_partkey FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey FROM lineitem
+),
+per_key AS (
+  SELECT col_name, key, COUNT(*) AS c FROM keys GROUP BY 1, 2
+)
+SELECT col_name,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+       ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_key_share,
+       ROUND(quantile_cont(c, 0.5), 4) AS p50_key_rows,
+       ROUND(quantile_cont(c, 0.99), 4) AS p99_key_rows
+FROM per_key GROUP BY col_name
+""",
+    tags=("analytics", "statistics"),
+)
+def rel_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for every candidate key of the fact table:
+    rows, distinct keys, the heaviest key's row count and share, and
+    the p50/p99 per-key sizes — the diagnostic that decides between a
+    plain shuffle join, AQE skew splitting, and salting BEFORE the job
+    runs (the engine's own salted-join and AQE paths consume exactly
+    this). stack() unpivots the three keys map-side so the whole audit
+    is one grouped count plus a per-column rollup.
+
+    Scale: the per-key count shuffles each key column once; the rollup
+    output is 3 rows. At 100 TB this is the cheap pre-flight scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = li.select(
+        F.expr(
+            "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey, "
+            "'l_suppkey', l_suppkey) AS (col_name, key)"
+        )
+    )
+    per_key = keys.groupBy("col_name", "key").agg(F.count(F.lit(1)).alias("c"))
+    return per_key.groupBy("col_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.round(F.max("c") * 1.0 / F.sum("c"), 4).alias("top_key_share"),
+        F.round(F.expr("percentile(c, 0.5)"), 4).alias("p50_key_rows"),
+        F.round(F.expr("percentile(c, 0.99)"), 4).alias("p99_key_rows"),
+    )
+
+
+@register(
+    "rel_join_explosion_estimate",
+    oracle="""
+WITH co AS (
+  SELECT o_orderkey % 16 AS bucket, o_orderkey AS key, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+cl AS (
+  SELECT l_orderkey % 16 AS bucket, l_orderkey AS key, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+pred AS (
+  SELECT co.bucket, SUM(co.c * cl.c) AS predicted
+  FROM co JOIN cl ON co.key = cl.key GROUP BY 1
+),
+act AS (
+  SELECT o.o_orderkey % 16 AS bucket, COUNT(*) AS actual
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+)
+SELECT CAST(p.bucket AS BIGINT) AS bucket,
+       CAST(p.predicted AS BIGINT) AS predicted_rows,
+       CAST(a.actual AS BIGINT) AS actual_rows
+FROM pred p JOIN act a USING (bucket)
+""",
+    tags=("analytics", "statistics"),
+)
+def rel_join_explosion_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality prediction from per-key histograms: the output
+    size of orders ⋈ lineitem per key bucket is Σ|O_k|·|L_k| over the
+    bucket's keys — computed from the two SMALL per-key count frames,
+    then verified in-query against the actual join count (the two
+    columns must be equal row-for-row). This is the estimator a
+    planner runs on sampled histograms before committing to a join
+    strategy; here it is exact.
+
+    Scale: the histogram join shuffles per-key COUNTS, not rows — at
+    100 TB predicting the explosion costs two aggregates while running
+    the bad join costs the cluster."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    co = o.groupBy(
+        (F.col("o_orderkey") % 16).alias("bucket"),
+        F.col("o_orderkey").alias("key"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cl = li.groupBy(
+        (F.col("l_orderkey") % 16).alias("bucket_l"),
+        F.col("l_orderkey").alias("key"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    pred = (
+        co.join(cl.withColumnRenamed("c", "c_l"), "key")
+        .groupBy("bucket")
+        .agg(F.sum(F.col("c") * F.col("c_l")).alias("predicted"))
+    )
+    act = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy((F.col("o_orderkey") % 16).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    return pred.join(act, "bucket").select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("predicted").cast("bigint").alias("predicted_rows"),
+        F.col("actual").cast("bigint").alias("actual_rows"),
+    )
