@@ -199,3 +199,67 @@ def test_bollinger_window_spot_check(spark):
     assert abs(first.ma20 - round(ma, 4)) < 1e-9
     assert abs(first.upper_band - round(ma + 2 * sd, 4)) < 1e-9
     assert abs(first.lower_band - round(ma - 2 * sd, 4)) < 1e-9
+
+
+def test_cuped_theta_matches_python(spark):
+    rows = all_queries()["rel_cuped_adjustment"].spark(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "events").collect()
+    cut = (19723 + 15) * 86_400_000_000
+    epoch = lambda ts: int(ts.timestamp() * 1_000_000)  # noqa: E731
+    per_user: dict[int, list[int]] = {}
+    for r in e:
+        x, y = per_user.setdefault(r.user_id, [0, 0])
+        us = epoch(r.ts.replace(tzinfo=__import__("datetime").timezone.utc))
+        c = round(r.value * 100)
+        if us < cut:
+            per_user[r.user_id][0] = x + c
+        else:
+            per_user[r.user_id][1] = y + c
+    xs = [v[0] for v in per_user.values()]
+    ys = [v[1] for v in per_user.values()]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    for r in rows:
+        assert abs(r.theta - theta) < 1e-12
+    # CUPED must preserve the overall mean: weighted avg of adjusted
+    # variant means equals the raw overall mean
+    tot_users = sum(r.n_users for r in rows)
+    raw = sum(r.mean_y * r.n_users for r in rows) / tot_users
+    adj = sum(r.mean_y_cuped * r.n_users for r in rows) / tot_users
+    assert abs(raw - adj) < 1e-9
+    assert abs(raw - sy / n / 100.0) < 1e-9
+
+
+def test_bootstrap_ci_brackets_the_mean(spark):
+    row = all_queries()["rel_bootstrap_ci"].spark(spark, SF_SMOKE).collect()[0]
+    assert row.n_replicates == 100
+    assert row.ci_lo < row.mean_full < row.ci_hi
+    # half-sample replicate means cannot stray absurdly far
+    assert (row.ci_hi - row.ci_lo) / row.mean_full < 0.5
+
+
+def test_srm_chi2_matches_python(spark):
+    row = all_queries()["rel_srm_check"].spark(spark, SF_SMOKE).collect()[0]
+    e = load_table(spark, SF_SMOKE, "events")
+    users = {
+        r.variant: r.n
+        for r in e.groupBy((F.col("user_id") % 2).alias("variant"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    n = users[0] + users[1]
+    chi2 = sum((users[v] - n / 2.0) ** 2 / (n / 2.0) for v in (0, 1))
+    assert row.users_a == users[0] and row.users_b == users[1]
+    assert abs(row.chi2_stat - chi2) < 1e-12
+
+
+def test_join_explosion_prediction_is_exact(spark):
+    rows = (
+        all_queries()["rel_join_explosion_estimate"].spark(spark, SF_SMOKE).collect()
+    )
+    assert rows, "buckets must exist"
+    for r in rows:
+        assert r.predicted_rows == r.actual_rows
