@@ -3020,3 +3020,305 @@ def rel_join_explosion_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("predicted").cast("bigint").alias("predicted_rows"),
         F.col("actual").cast("bigint").alias("actual_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface completion + proportion statistics (round-7 window seed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rel_offset_fetch_pagination",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""",
+    tags=("analytics", "sql-surface"),
+)
+def rel_offset_fetch_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-stable LIMIT/OFFSET pagination (page 3 of the price-
+    ranked orders, 20 per page) via ``DataFrame.offset`` — the API
+    page servers actually call; deterministic only because the sort
+    carries a unique tiebreak, which the docstring makes a contract.
+
+    Scale: Catalyst plans sort+offset+limit as a global
+    TakeOrderedAndProject of the first offset+limit rows (60 here) —
+    constant memory per partition; deep pagination should switch to
+    keyset WHERE (key > last_seen) predicates, the documented
+    trade-off."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select(
+            "o_orderkey",
+            _cents("o_totalprice").cast("bigint").alias("cents"),
+        )
+        .offset(40)
+        .limit(20)
+    )
+
+
+@register(
+    "rel_union_by_name_missing",
+    oracle="""
+SELECT * FROM (
+  SELECT 'current' AS src, o_orderkey, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'O'
+) UNION ALL BY NAME (
+  SELECT 'archive' AS src, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderstatus = 'F'
+)
+""",
+    tags=("analytics", "sql-surface"),
+)
+def rel_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: combine a current feed and an archive
+    feed whose column sets differ — ``unionByName(allowMissingColumns
+    =True)`` aligns by NAME and null-fills the archive's missing
+    priority column (positional UNION would silently misalign). The
+    everyday operator for merging snapshots across schema versions.
+
+    Scale: map-only — two scans concatenated, no shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    current = o.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("current").alias("src"),
+        "o_orderkey",
+        "o_orderpriority",
+        _cents("o_totalprice").cast("bigint").alias("cents"),
+    )
+    archive = o.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("archive").alias("src"),
+        "o_orderkey",
+        _cents("o_totalprice").cast("bigint").alias("cents"),
+    )
+    return current.unionByName(archive, allowMissingColumns=True)
+
+
+@register(
+    "rel_null_ordering_rank",
+    oracle="""
+WITH p AS (
+  SELECT event_type, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, event_id, k,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY k DESC NULLS LAST, event_id)
+            AS BIGINT) AS rk
+FROM p
+QUALIFY rk <= 5
+""",
+    tags=("analytics", "sql-surface", "window"),
+)
+def rel_null_ordering_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ordering in ranking: top-5 events by an optional
+    JSON property with ``desc_nulls_last`` — engines DISAGREE on the
+    default (Spark sorts nulls first ascending, DuckDB last), so any
+    ranking over a nullable key that doesn't pin null placement is a
+    portability bug. Pinned here on both sides.
+
+    Scale: per-group window; WindowGroupLimit prunes to 5 rows per
+    group before the shuffle completes."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    p = e.select("event_type", "event_id", k.alias("k"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("k").desc_nulls_last(), F.asc("event_id")
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "rel_proportions_ztest",
+    oracle="""
+WITH conv AS (
+  SELECT user_id % 2 AS variant, user_id,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT variant, COUNT(*) AS n, SUM(converted) AS x FROM conv GROUP BY 1
+),
+w AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n1,
+         MAX(CASE WHEN variant = 0 THEN x END) AS x1,
+         MAX(CASE WHEN variant = 1 THEN n END) AS n2,
+         MAX(CASE WHEN variant = 1 THEN x END) AS x2
+  FROM s
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1,
+       CAST(n2 AS BIGINT) AS n2, CAST(x2 AS BIGINT) AS x2,
+       x1 * 1.0 / n1 AS p1, x2 * 1.0 / n2 AS p2,
+       (x1 * 1.0 / n1 - x2 * 1.0 / n2)
+         / NULLIF(sqrt(((x1 + x2) * 1.0 / (n1 + n2))
+                       * (1 - (x1 + x2) * 1.0 / (n1 + n2))
+                       * (1.0 / n1 + 1.0 / n2)), 0) AS z_stat
+FROM w
+""",
+    tags=("analytics", "experiment", "statistics"),
+)
+def rel_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test on conversion (did the user ever
+    make a high-value purchase?) between the two assignment arms — the
+    binary-metric counterpart of rel_ab_ttest, and with it the
+    complete basic A/B toolkit (CUPED, SRM, MDE, t, z). Counts are
+    exact; p̂, pooling and z are identical arithmetic on them, emitted
+    raw; a degenerate pool (p̂ ∈ {0,1}, possible at tiny samples)
+    yields NULL on both sides instead of a division error.
+
+    Scale: per-user conversion is one groupBy(user_id) pass; the test
+    reads a 2-row frame."""
+    e = _t(spark, sf_dir, "events")
+    conv = e.groupBy(
+        (F.col("user_id") % 2).alias("variant"), "user_id"
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    s = conv.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x")
+    )
+    pick = lambda v, c: F.max(F.when(F.col("variant") == v, F.col(c)))  # noqa: E731
+    w = s.agg(
+        pick(0, "n").alias("n1"),
+        pick(0, "x").alias("x1"),
+        pick(1, "n").alias("n2"),
+        pick(1, "x").alias("x2"),
+    )
+    p1 = F.col("x1") * 1.0 / F.col("n1")
+    p2 = F.col("x2") * 1.0 / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")) * 1.0 / (F.col("n1") + F.col("n2"))
+    return w.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("x1").cast("bigint").alias("x1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("x2").cast("bigint").alias("x2"),
+        p1.alias("p1"),
+        p2.alias("p2"),
+        F.try_divide(
+            p1 - p2,
+            F.nullif(
+                F.sqrt(pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))),
+                F.lit(0.0),
+            ),
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "events_error_rate_wilson",
+    oracle="""
+WITH d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS x
+  FROM events GROUP BY 1
+)
+SELECT day, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS n_errors,
+       x * 1.0 / n AS error_rate,
+       ((x * 1.0 / n) + 1.9208 / n
+        - 1.96 * sqrt((x * 1.0 / n) * (1 - x * 1.0 / n) / n
+                      + 0.9604 / (n * n)))
+         / (1 + 3.8416 / n) AS wilson_lo,
+       ((x * 1.0 / n) + 1.9208 / n
+        + 1.96 * sqrt((x * 1.0 / n) * (1 - x * 1.0 / n) / n
+                      + 0.9604 / (n * n)))
+         / (1 + 3.8416 / n) AS wilson_hi
+FROM d
+""",
+    tags=("analytics", "statistics", "timeseries"),
+)
+def events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error rate with a Wilson-score 95 % interval — the
+    proportion CI that behaves at small n and rates near 0/1 where the
+    naive normal interval fails (error monitoring lives exactly
+    there). z=1.96 constants are pre-folded (z²/2=1.9208, z²=3.8416,
+    z²/4=0.9604); every term is identical arithmetic on exact integer
+    counts, emitted raw.
+
+    Scale: one daily count aggregate; the interval is per-row scalar
+    math."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(
+        F.floor(epoch_us("ts") / 86_400_000_000).cast("bigint").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("x"),
+    )
+    p = F.col("x") * 1.0 / F.col("n")
+    n = F.col("n")
+    half = 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return d.select(
+        "day",
+        n.cast("bigint").alias("n"),
+        F.col("x").cast("bigint").alias("n_errors"),
+        p.alias("error_rate"),
+        ((p + 1.9208 / n - half) / denom).alias("wilson_lo"),
+        ((p + 1.9208 / n + half) / denom).alias("wilson_hi"),
+    )
+
+
+@register(
+    "ts_week_over_week",
+    oracle="""
+WITH w AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 // 7 AS BIGINT) AS week,
+         CAST(SUM(ROUND(value * 100)) AS BIGINT) AS cents,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT week, cents, CAST(n_events AS BIGINT) AS n_events,
+       LAG(cents) OVER (ORDER BY week) AS prev_cents,
+       ROUND((cents - LAG(cents) OVER (ORDER BY week)) * 1.0
+             / LAG(cents) OVER (ORDER BY week), 4) + 0.0 AS wow_growth
+FROM w
+""",
+    tags=("analytics", "timeseries", "window"),
+)
+def ts_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week value growth on integer epoch-week buckets (no
+    ISO-week calendar semantics cross the engines) — the operational
+    twin of rel_yoy_growth at the cadence ops teams actually watch.
+    Flat weeks round to ±0 → ``+ 0.0``.
+
+    Scale: one weekly aggregate; the LAG window orders the tiny weekly
+    frame."""
+    from ..functions.timeutil import epoch_us
+
+    e = _t(spark, sf_dir, "events")
+    w = e.groupBy(
+        F.floor(F.floor(epoch_us("ts") / 86_400_000_000) / 7)
+        .cast("bigint")
+        .alias("week")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100)).cast("bigint").alias("cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    win = Window.orderBy("week")
+    prev = F.lag("cents").over(win)
+    return w.select(
+        "week",
+        "cents",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        prev.alias("prev_cents"),
+        (
+            F.round((F.col("cents") - prev) * 1.0 / prev, 4) + F.lit(0.0)
+        ).alias("wow_growth"),
+    )
