@@ -94,10 +94,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # strong local gates — CV grid repro / epsilon bound) — pack them
     # FIRST in round 6 together with the 48-query round-5 analytics wave
     # (plans/analytics.py, all oracled, locally hash-verified at
-    # sf0.001/sf0.01/sf0.1): 2 + 48 = exactly one 50-slot window. The six
-    # experimentation/ops queries added late in round 5 (rel_cuped_
+    # sf0.001/sf0.01/sf0.1): 2 + 48 = exactly one 50-slot window. The
+    # twelve late-round-5 queries (experimentation/ops: rel_cuped_
     # adjustment, rel_srm_check, rel_experiment_mde, rel_bootstrap_ci,
-    # rel_skew_report, rel_join_explosion_estimate — same three-SF local
+    # rel_skew_report, rel_join_explosion_estimate; SQL-surface/
+    # proportions: rel_offset_fetch_pagination, rel_union_by_name_missing,
+    # rel_null_ordering_rank, rel_proportions_ztest,
+    # events_error_rate_wilson, ts_week_over_week — same three-SF local
     # verification) then open the round-7 window.
     # Normalization / curation / eval wave (plans/governance.py, curation.py)
     "doc_normalize_text",
