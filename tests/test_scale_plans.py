@@ -794,3 +794,33 @@ def test_confusion_matrix_one_pass_no_join(spark):
     plan = _simple_plan(spark, "ml_confusion_threshold")
     assert len([ln for ln in plan.splitlines() if "Scan parquet" in ln]) == 1
     assert "Join" not in plan
+
+
+def test_skew_report_single_scan_stack_unpivot(spark):
+    """The skew audit must unpivot map-side (stack), not scan the fact
+    table once per key column."""
+    plan = _simple_plan(spark, "rel_skew_report")
+    assert len([ln for ln in plan.splitlines() if "Scan parquet" in ln]) == 1
+    assert "Join" not in plan
+
+
+def test_offset_pagination_plans_global_limit(spark):
+    """LIMIT/OFFSET must plan a bounded global limit (offset+limit
+    rows), never materialize the full sort."""
+    plan = _simple_plan(spark, "rel_offset_fetch_pagination")
+    assert "GlobalLimit" in plan or "TakeOrdered" in plan, plan
+
+
+def test_join_explosion_histograms_join_counts_not_rows(spark):
+    """The prediction side must join per-key COUNT frames; only the
+    verification side touches the raw join."""
+    df = all_queries()["rel_join_explosion_estimate"].spark(spark, SF)
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    plan = jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    # both tables scanned exactly twice: once for histograms, once for
+    # the actual-join verification
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 4, plan
