@@ -75,34 +75,106 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 5
+_ROTATED_FOR_ROUND = 6
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # r04's one red row: all 475 rows numerically identical in both
-    # engines, but doc_id 87 rounds to -0.0 in DuckDB vs 0.0 in Spark and
-    # the driver hash distinguishes signed zeros. Both sides now add
-    # ``+ 0.0`` after the round (registry convention above); must
-    # re-verify hash-green this round.
-    "doc_dsir_importance",
+    # round 5 had ZERO failures (CORRECTNESS_r05.json: 40 hash-green + 10
+    # rows-only by contract) — nothing to re-check.
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # round-5 window: 1 recheck above + the 49 names below = 50. Packs all
-    # 39 not-yet-verified ORACLED queries (the late round-4 wave) first,
-    # then 10 of the 12 rows-only ones. Two rows-only names did not fit:
-    # ``ml_cv_model_selection`` and ``rel_approx_quantile`` (both carry
-    # strong local gates — CV grid repro / epsilon bound) — pack them
-    # FIRST in round 6 together with the 48-query round-5 analytics wave
-    # (plans/analytics.py, all oracled, locally hash-verified at
-    # sf0.001/sf0.01/sf0.1): 2 + 48 = exactly one 50-slot window. The
-    # twelve late-round-5 queries (experimentation/ops: rel_cuped_
-    # adjustment, rel_srm_check, rel_experiment_mde, rel_bootstrap_ci,
-    # rel_skew_report, rel_join_explosion_estimate; SQL-surface/
-    # proportions: rel_offset_fetch_pagination, rel_union_by_name_missing,
+    # round-6 window: the 2 rows-only leftovers that did not fit round 5
+    # plus the 48-query round-5 analytics wave (plans/analytics.py, all
+    # oracled, locally hash-verified at sf0.001/sf0.01/sf0.1) = exactly
+    # 50, as pre-planned in the round-5 registry comment.
+    #
+    # ROUND-7 PLAN (recorded per the r5 verdict's task 4): after this
+    # round the never-checked set is 16 queries — the 12 late-round-5
+    # ones (rel_cuped_adjustment [sufficient-stats + data-derived cut,
+    # r6], rel_srm_check, rel_experiment_mde, rel_bootstrap_ci,
+    # rel_skew_report, rel_join_explosion_estimate,
+    # rel_offset_fetch_pagination, rel_union_by_name_missing,
     # rel_null_ordering_rank, rel_proportions_ztest,
-    # events_error_rate_wilson, ts_week_over_week — same three-SF local
-    # verification) then open the round-7 window.
-    # Normalization / curation / eval wave (plans/governance.py, curation.py)
+    # events_error_rate_wilson, ts_week_over_week) plus round 6's four
+    # scale-safe variants (ml_roc_auc_hist, ml_lift_bucketed,
+    # rel_abc_prefix2 oracled; rel_rfm_bucketed rows-only). Pack r7 as:
+    # those 16 first; spend the remaining 34 slots on RE-verification
+    # of the highest-value rows-only queries at driver scale via
+    # _RECHECK_FIRST with an explicit "driver-scale re-run, not a
+    # regression" note (the ML/ANN set: sem_dedup, sim_pq_adc_topk,
+    # sim_ivf_pq_topk, sim_ann_lsh, sim_ivf_topk, ml_als_recommend,
+    # ml_cv_model_selection, ml_kmeans_embeddings, dedup_minhash_lsh,
+    # dedup_simhash, dedup_clusters, doc_bpe_vocab/encode, the mm_*
+    # multimodal rows, emb_pca_whitening, emb_pq_codes, plus the four
+    # byte-strict-oracle upgrades from r6: dedup_embedding_pairs,
+    # sim_topk_bruteforce, sim_knn_batch, sim_hard_negatives — their
+    # oracles now CAST the float32 cosine to DOUBLE, worth fresh green
+    # rows). 16 + 34 = exactly one 50-slot window. Do NOT pad with a
+    # new catalog wave unless it serves a real §2.4 gap.
+    "ml_cv_model_selection",
+    "rel_approx_quantile",
+    # Business analytics
+    "rel_rfm_segmentation",
+    "rel_abc_classification",
+    "rel_yoy_growth",
+    "rel_cohort_ltv",
+    "rel_percent_of_total",
+    "rel_new_vs_returning",
+    # Inequality & distribution statistics
+    "rel_gini_coefficient",
+    "rel_herfindahl_index",
+    "rel_entropy_by_group",
+    "rel_top_decile_ratio",
+    "doc_js_divergence",
+    # Engagement / activity analytics
+    "events_dau_stickiness",
+    "events_interarrival_stats",
+    "events_autocorr_lag1",
+    "events_power_user_share",
+    "events_weekday_profile",
+    "events_cumulative_users",
+    "events_hourly_heatmap",
+    # Control charts & forecast baselines
+    "ts_bollinger_bands",
+    "ts_max_drawdown",
+    "ts_xmr_control",
+    "ts_naive_forecast_error",
+    # Text & corpus profile
+    "doc_ttr",
+    "doc_hapax_ratio",
+    "doc_word_len_profile",
+    "doc_shingle_uniqueness",
+    # ML evaluation metrics
+    "ml_roc_auc",
+    "ml_lift_deciles",
+    "ml_confusion_threshold",
+    "ml_ndcg_at_k",
+    "ml_brier_calibration",
+    "ml_precision_at_k",
+    # SQL/API breadth
+    "rel_pivot_multi_agg",
+    "rel_collect_sorted_string",
+    "rel_word_positions",
+    "rel_reorder_gaps",
+    "rel_date_spine_fill",
+    "rel_weighted_avg_price",
+    "rel_geo_harmonic_means",
+    "rel_self_excluding_avg",
+    "rel_json_props_stats",
+    "rel_order_linecount_dist",
+    "rel_grouping_id",
+    # Graph & embedding analytics
+    "graph_degree_histogram",
+    "graph_jaccard_pairs",
+    "emb_norm_quantiles",
+    "emb_simhash_bits",
+    "emb_dim_variance_topk",
+)
+
+_DRIVER_VERIFIED: tuple[str, ...] = (
+    # round 5 (CORRECTNESS_r05.json): 40 hash-green + 10 rows-only by
+    # contract, 0 failures.
+    "doc_dsir_importance",
     "doc_normalize_text",
     "doc_curriculum_order",
     "doc_token_budget_select",
@@ -114,14 +186,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_incremental_batch",
     "emb_matryoshka_truncate",
     "emb_recall_eval",
-    # Sequence & attribution analytics
     "events_activity_streaks",
     "events_state_spans",
     "events_last_touch_attribution",
     "events_time_to_convert",
     "events_ks_two_sample",
     "events_psi_drift",
-    # Governance & statistics
     "rel_k_anonymity",
     "rel_ab_ttest",
     "rel_chi_square",
@@ -134,20 +204,16 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "rel_fifo_allocation",
     "ml_kaplan_meier",
     "ts_holt_linear",
-    # Spatial & linkage, lake/CDC completion
     "rel_spatial_grid_join",
     "rel_record_linkage",
     "rel_snapshot_diff",
     "rel_delete_where_rewrite",
-    # Spark-4 API breadth
     "rel_sql_pipe",
     "rel_sql_udf",
     "rel_parameterized_sql",
     "rel_transpose",
     "src_bucketed_groupby",
     "mm_bytes_arrow",
-    # rows-only (10): local gates are the correctness signal; driver
-    # records a rows-only row so every catalog query eventually has one.
     "doc_bpe_vocab",
     "doc_bpe_encode",
     "doc_compression_ratio",
@@ -158,9 +224,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ml_quality_classifier",
     "ml_survival_aft",
     "rel_approx_distinct",
-)
-
-_DRIVER_VERIFIED: tuple[str, ...] = (
     # round 4 (CORRECTNESS_r04.json): 43 hash-green + 6 rows-only by
     # contract. doc_dsir_importance (the 50th) is in _RECHECK_FIRST, not
     # here.
