@@ -428,13 +428,23 @@ def copy_on_write_delete(spark: SparkSession, path: str, pred, part_col: str) ->
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
     # Drop emptied partition directories through the Hadoop FS API — works
-    # on any filesystem Spark writes to, not just local disk.
+    # on any filesystem Spark writes to, not just local disk. Partition
+    # values are Hive-escaped exactly the way Spark escaped them when it
+    # wrote the directory (spaces, '/', ':' etc. become %XX), otherwise a
+    # fully-deleted string-keyed partition's files would survive because
+    # the raw f-string path never matches the escaped directory name.
     emptied = [p for p in hit if p not in survived]
     if emptied:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
+        esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for p in emptied:
-            part = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_col}={p}")
+            leaf = (
+                "__HIVE_DEFAULT_PARTITION__"
+                if p is None
+                else esc.escapePathName(str(p))
+            )
+            part = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_col}={leaf}")
             part.getFileSystem(hconf).delete(part, True)
 
 

@@ -187,9 +187,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_pairs",
     oracle="""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.4
+WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.4
 """,
     tags=("dedup", "similarity"),
 )
@@ -209,7 +209,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
-  SELECT e.vec_id, ROUND(list_cosine_similarity(e.embedding, q.qv), 4) AS score
+  SELECT e.vec_id, ROUND(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS score
   FROM embeddings e, q WHERE e.vec_id <> 0
 )
 SELECT vec_id, score,
@@ -234,7 +234,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         ROUND(list_cosine_similarity(e.embedding, q.qv), 4) AS score
+         ROUND(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS score
   FROM embeddings e JOIN q ON e.vec_id <> q.query_id
 )
 SELECT * FROM (
@@ -1007,7 +1007,7 @@ WITH q AS (
 ),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         ROUND(list_cosine_similarity(e.embedding, q.qv), 4) AS score
+         ROUND(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS score
   FROM embeddings e, q
   WHERE e.label <> q.qlabel
 ),

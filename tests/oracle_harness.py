@@ -2,15 +2,17 @@
 drift is caught before the driver runs (row count + column names +
 order-insensitive value comparison).
 
-Values are canonicalized (floats to 6 dp, timestamps/dates to ISO
-strings, arrays to tuples) then compared as sorted multisets — a
-stricter check than a hash because mismatches show diffs.
+Values are canonicalized (floats to their exact IEEE-754 bytes,
+timestamps/dates to ISO strings, arrays to tuples) then compared as
+sorted multisets — a stricter check than a hash because mismatches
+show diffs.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 import math
+import struct
 from typing import Any
 
 import duckdb
@@ -27,14 +29,14 @@ def _canon(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        r = round(v, 6)
-        if r == 0:
-            # The driver hash is byte-sensitive and distinguishes -0.0
-            # from 0.0 (r04 `doc_dsir_importance`); Python's == does not.
-            # Represent zeros sign-sensitively so the mirror is at least
-            # as strict as the driver.
-            return ("0", math.copysign(1.0, r))
-        return r
+        # Compare the exact IEEE-754 bytes, not a 6-dp round: the driver
+        # hash is BYTE-sensitive, so a 2-ulp partial-agg-order divergence
+        # in a raw-emitted double (the r5 `rel_cuped_adjustment` finding)
+        # or a -0.0/0.0 sign flip (the r04 `doc_dsir_importance` fail)
+        # must red-row the mirror too. Rounded-on-both-sides columns stay
+        # green under this: both engines round a bit-identical input to
+        # the bit-identical nearest double off the tie points.
+        return ("f64", struct.pack("<d", v).hex())
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
@@ -119,6 +121,11 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
         c.lower() for c in duck_cols
     ), f"column mismatch: spark={spark_cols} duck={duck_cols}"
 
+    # Dtype-class drift first: with byte-strict float canonicalization an
+    # int64-vs-float64 column would otherwise surface as an opaque value
+    # mismatch; this check names the column and the fix.
+    _check_dtype_kinds(spark_cols, spark_rows, con, sql)
+
     # Reorder both to sorted column order by name.
     s_idx = [spark_cols.index(c) for c in sorted(spark_cols, key=str.lower)]
     d_idx = [duck_cols.index(c) for c in sorted(duck_cols, key=str.lower)]
@@ -135,7 +142,3 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
         (i, a, b) for i, (a, b) in enumerate(zip(s_set, d_set)) if a != b
     ]
     assert not mismatches, f"value mismatch (first 5): {mismatches[:5]}"
-
-    # Values agree — now assert the pandas dtype classes agree too (the
-    # driver's hash distinguishes them even when values are equal).
-    _check_dtype_kinds(spark_cols, spark_rows, con, sql)

@@ -174,6 +174,41 @@ def test_delete_where_rewrite_drops_fully_deleted_partition(spark):
     assert back.count() == 20 - 5 - 2
 
 
+def test_delete_where_rewrite_escaped_string_partition(spark):
+    """String partition values needing Hive path-escaping (spaces, ':',
+    '/') must still have their directories dropped when fully deleted —
+    Spark writes `part=a%3Ab`, so the raw f-string `part=a:b` path never
+    matches (the r5-advice gap)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.governance import (
+        copy_on_write_delete,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources import scratch
+
+    parts = ["plain", "a:b", "with space", "pct%20"]
+    df = spark.createDataFrame(
+        [(p, i) for p in parts for i in range(3)],
+        "part string, id long",
+    )
+    path = scratch.scratch_dir("cow_escaped_delete_")
+    df.write.partitionBy("part").mode("overwrite").parquet(path)
+
+    # every escaping-hazard partition fully matches; 'plain' survives
+    pred = F.col("part") != "plain"
+    copy_on_write_delete(spark, path, pred, "part")
+
+    leftovers = [
+        d
+        for d in glob.glob(os.path.join(path, "part=*"))
+        if glob.glob(os.path.join(d, "*.parquet"))
+    ]
+    assert leftovers == [os.path.join(path, "part=plain")], (
+        f"fully-deleted escaped partitions must be removed, found {leftovers}"
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    assert back.select("part").distinct().collect()[0][0] == "plain"
+
+
 # ---------------------------------------------------------------------------
 # Statistics closed-form checks
 # ---------------------------------------------------------------------------
