@@ -88,10 +88,11 @@ def rel_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cardinality = |customer| << |orders|). The three NTILE windows are
     UNPARTITIONED — Spark runs each on a single partition, fine for the
     aggregated customer frame up to ~10⁸ rows but the honest bottleneck
-    beyond; at that point compute the four quintile BOUNDARIES per axis
-    (approx_percentile, one pass) and bucket by broadcast-joined range
-    compare instead — same cells up to tie placement. This exact-NTILE
-    form is the audit path. Recency anchors on the data's own max day
+    beyond; ``rel_rfm_bucketed`` (same file) is the implemented
+    scale-safe default — quintile BOUNDARIES per axis via one
+    approx_percentile pass + broadcast range compare, same cells up to
+    tie placement. This exact-NTILE form is the audit path. Recency
+    anchors on the data's own max day
     so the query is deterministic, and days are integer epoch-day
     buckets (no double seconds cross the engines)."""
     from ..functions.timeutil import epoch_us
@@ -199,6 +200,184 @@ def rel_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("C")
             .alias("abc_class"),
         )
+    )
+
+
+@register(
+    "rel_abc_prefix2",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         CAST(SUM({_REV_TMT_SQL}) AS BIGINT) AS rev_tmt
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(rev_tmt) AS total FROM rev),
+rng AS (
+  SELECT partkey, rev_tmt,
+         -CAST(FLOOR(LOG2(GREATEST(rev_tmt, 1))) AS BIGINT) AS range_id
+  FROM rev
+),
+inr AS (
+  SELECT partkey, rev_tmt, range_id,
+         SUM(rev_tmt) OVER (PARTITION BY range_id
+                            ORDER BY rev_tmt DESC, partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_in_range
+  FROM rng
+),
+rtot AS (SELECT range_id, SUM(rev_tmt) AS rtotal FROM rng GROUP BY range_id),
+roff AS (
+  SELECT a.range_id, COALESCE(SUM(b.rtotal), 0) AS offset_tmt
+  FROM rtot a LEFT JOIN rtot b ON b.range_id < a.range_id
+  GROUP BY a.range_id
+)
+SELECT i.partkey, i.rev_tmt,
+       ROUND((o.offset_tmt + i.cum_in_range) * 1.0 / t.total, 4) AS cum_share,
+       CASE WHEN (o.offset_tmt + i.cum_in_range) * 1.0 / t.total <= 0.8 THEN 'A'
+            WHEN (o.offset_tmt + i.cum_in_range) * 1.0 / t.total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM inr i JOIN roff o ON i.range_id = o.range_id, tot t
+""",
+    tags=("analytics", "window", "scale-safe"),
+)
+def rel_abc_prefix2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level-prefix ABC classification — the 100 TB-safe EXACT
+    rewrite of ``rel_abc_classification`` (same file), whose running
+    sum orders the whole part frame in ONE window task. The global
+    (rev DESC, partkey) prefix sum decomposes into value ranges:
+    range_id = −⌊log2(revenue)⌋ is monotone in revenue, so the total
+    order 'range ASC, then rev DESC, partkey' IS the global order;
+    each range computes its prefix in a PARTITIONED window, and the
+    cross-range offsets come from per-range totals joined on
+    range_id < range_id (~60 ranges — bounded by the value domain's
+    log, not the data). Same exact integer ten-thousandths, same
+    share division on identical integers, byte-identical output to
+    the single-window form (``test_abc_prefix2_equals_exact``). The
+    ulp behavior of log2 cannot flip results: any boundary drift
+    between engines moves a row between ADJACENT ranges, and the
+    composed order is unchanged because the map stays monotone per
+    engine.
+
+    Scale: one fact shuffle to |part|, one partitioned window keyed
+    by ~60 bounded ranges, two tiny broadcast frames. This is the
+    default path at scale; the single-window form is the audit path."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(_rev_tmt()).cast("bigint").alias("rev_tmt")
+    )
+    tot = rev.agg(F.sum("rev_tmt").alias("total"))
+    rng = rev.withColumn(
+        "range_id",
+        (-F.floor(F.log2(F.greatest(F.col("rev_tmt"), F.lit(1))))).cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("range_id")
+        .orderBy(F.desc("rev_tmt"), F.asc("partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inr = rng.withColumn("cum_in_range", F.sum("rev_tmt").over(w))
+    rtot = rng.groupBy("range_id").agg(F.sum("rev_tmt").alias("rtotal"))
+    a, b = rtot.alias("a"), rtot.alias("b")
+    roff = (
+        a.join(F.broadcast(b), F.col("b.range_id") < F.col("a.range_id"), "left")
+        .groupBy(F.col("a.range_id").alias("range_id"))
+        .agg(F.coalesce(F.sum("b.rtotal"), F.lit(0)).alias("offset_tmt"))
+    )
+    cum = F.col("offset_tmt") + F.col("cum_in_range")
+    share = cum * 1.0 / F.col("total")
+    return (
+        inr.join(F.broadcast(roff), "range_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partkey",
+            "rev_tmt",
+            F.round(share, 4).alias("cum_share"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+@register(
+    "rel_rfm_bucketed",
+    oracle=None,  # approx_percentile boundaries are engine-specific; the
+    # local gate checks bucket balance + cell agreement with exact NTILE
+    tags=("analytics", "approx", "scale-safe"),
+)
+def rel_rfm_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-bucketed RFM segmentation — the 100 TB-safe variant of
+    ``rel_rfm_segmentation`` (same file), whose three NTILE(5) windows
+    sort the whole customer frame in ONE task each. Here each axis
+    computes its four quintile BOUNDARIES in one pass
+    (``approx_percentile``, a mergeable sketch), broadcasts the 1-row
+    boundary frame, and scores every customer by range compare — no
+    window, no total order, same cells up to tie placement at the
+    quintile edges. On tie-heavy discrete axes (frequency) NTILE
+    forcibly splits tie runs by custkey while value-bucketing keeps
+    tied customers together — a semantic difference, not an error.
+    The gate ``test_rfm_bucketed_matches_exact_ntile`` pins ≥90 %
+    agreement on the continuous axes, ≥75 % on frequency, and
+    10–30 % bucket balance.
+
+    Scale: one groupBy(custkey) shuffle + one sketch aggregate + a
+    broadcast map-side compare. This is the default path at scale; the
+    exact-NTILE form is the audit path."""
+    from ..functions.timeutil import epoch_us
+
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.floor(epoch_us("o_orderdate") / 86_400_000_000)).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_cents("o_totalprice")).cast("bigint").alias("monetary_cents"),
+    )
+    anchor = cust.agg(F.max("last_day").alias("max_day"))
+    cust = cust.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_days", F.col("max_day") - F.col("last_day")
+    )
+    probs = [0.2, 0.4, 0.6, 0.8]
+    bounds = cust.agg(
+        F.percentile_approx("recency_days", probs, 10_000).alias("rb"),
+        F.percentile_approx("frequency", probs, 10_000).alias("fb"),
+        F.percentile_approx("monetary_cents", probs, 10_000).alias("mb"),
+    )
+
+    def _asc_score(col: str, bs: str):
+        # 1 + number of boundaries strictly below the value (ascending
+        # axis: small value -> score 1)
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(col) > F.col(bs).getItem(i)).cast("int") for i in range(4)
+            )
+        ).cast("int")
+
+    def _desc_score(col: str, bs: str):
+        # descending axis: large value -> score 1
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(col) < F.col(bs).getItem(3 - i)).cast("int")
+                for i in range(4)
+            )
+        ).cast("int")
+
+    scored = cust.crossJoin(F.broadcast(bounds)).select(
+        "custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+        _asc_score("recency_days", "rb").alias("r_score"),
+        _desc_score("frequency", "fb").alias("f_score"),
+        _desc_score("monetary_cents", "mb").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_cell",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
     )
 
 
@@ -1207,10 +1386,13 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     at call sites. AUC emitted RAW — every term is exact integer
     arithmetic until the one final division.
 
-    Scale: no per-row Python, no collect — RANK() is a global sort at
-    metric time, the one place a total order is inherent to the
-    statistic (at 100 TB: approximate AUC via score-histogram buckets;
-    this exact variant is the audit path)."""
+    Scale: no per-row Python, no collect — but RANK() is a GLOBAL
+    unpartitioned sort: one task ranks the whole fact. This exact
+    variant is the labelled AUDIT PATH for small/medium frames; the
+    default at scale is ``ml_roc_auc_hist`` (same file), which gets
+    the identical tie-corrected statistic from score-histogram
+    sufficient statistics with a single bounded shuffle and no
+    window."""
     s = _scored(spark, sf_dir)
     ranked = s.select(
         "y",
@@ -1265,8 +1447,10 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with. Counts are exact; rates divide exact integers (raw), only
     the rate-of-rates lift is rounded.
 
-    Scale: like AUC, the NTILE total order is inherent to the metric;
-    everything else is one aggregate over 10 groups."""
+    Scale: the NTILE is a GLOBAL unpartitioned window — one task sorts
+    the whole fact. This exact rank-decile form is the labelled AUDIT
+    PATH; the default at scale is ``ml_lift_bucketed`` (same file):
+    fixed-width score bands, one bounded groupBy, no window."""
     s = _scored(spark, sf_dir)
     tiled = s.select(
         "y",
@@ -1286,6 +1470,158 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rate / F.col("base_rate"), 4).alias("lift"),
         )
         .drop("base_rate")
+    )
+
+
+@register(
+    "ml_roc_auc_hist",
+    oracle=f"""
+WITH scored AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         {_SCORE_SQL} AS score
+  FROM lineitem
+),
+hist AS (
+  SELECT CAST(FLOOR(score * 1000 + 0.5) AS BIGINT) AS bin,
+         CAST(SUM(y) AS BIGINT) AS pos_n,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_n
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(pos_n) AS BIGINT) AS n_pos,
+         CAST(SUM(neg_n) AS BIGINT) AS n_neg,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM hist
+),
+above AS (
+  SELECT CAST(COALESCE(SUM(a.pos_n * b.neg_n), 0) AS BIGINT) AS conc
+  FROM hist a JOIN hist b ON a.bin > b.bin
+),
+ties AS (
+  SELECT CAST(SUM(pos_n * neg_n) AS BIGINT) AS tied FROM hist
+)
+SELECT t.n_pos, t.n_neg, t.n_bins,
+       (a.conc + ti.tied / 2.0) / (t.n_pos * 1.0 * t.n_neg) AS auc
+FROM tot t, above a, ties ti
+""",
+    tags=("analytics", "ml-eval"),
+)
+def ml_roc_auc_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-bucketed ROC AUC — the 100 TB-safe variant of
+    ``ml_roc_auc`` (`analytics.py`, the exact Mann-Whitney audit path,
+    which ranks the raw fact in ONE unpartitioned window task). Scores
+    are quantized into fixed-width 1/1000 bins with one
+    ``groupBy(bin)`` pass; AUC then comes entirely from the bounded
+    per-bin sufficient statistics: concordant pairs = Σ pos_a·neg_b
+    over bin_a > bin_b, within-bin ties counted half — the exact
+    tie-corrected Mann-Whitney statistic at bin resolution. Every term
+    is exact integer arithmetic until the one final division (raw
+    emit, both engines divide identical integers).
+
+    Scale: the fact table is touched by ONE partial-aggregating
+    shuffle onto ≤ ~1400 bins; the pair join runs on the bounded bin
+    histogram (≤1400×1400 broadcast nested loop, constant in data
+    size). No window anywhere. Bin resolution bounds the error:
+    |hist − exact| ≤ the probability mass straddling bin edges — on
+    this fixture < 1e-3, pinned by
+    ``test_roc_auc_hist_close_to_exact_rank_auc`` (exact equality is
+    impossible even on the 1/1000-quantized score: float addition puts
+    some y=1 scores 1 ulp off their y=0 twins, which the exact rank
+    separates but a bin cannot)."""
+    s = _scored(spark, sf_dir)
+    hist = s.groupBy(
+        F.floor(F.col("score") * 1000 + 0.5).cast("bigint").alias("bin")
+    ).agg(
+        F.sum("y").cast("bigint").alias("pos_n"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("neg_n"),
+    )
+    tot = hist.agg(
+        F.sum("pos_n").cast("bigint").alias("n_pos"),
+        F.sum("neg_n").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    a, b = hist.alias("a"), hist.alias("b")
+    above = (
+        a.join(F.broadcast(b), F.col("a.bin") > F.col("b.bin"))
+        .agg(
+            F.coalesce(F.sum(F.col("a.pos_n") * F.col("b.neg_n")), F.lit(0))
+            .cast("bigint")
+            .alias("conc")
+        )
+    )
+    ties = hist.agg(
+        F.sum(F.col("pos_n") * F.col("neg_n")).cast("bigint").alias("tied")
+    )
+    return (
+        tot.crossJoin(F.broadcast(above))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n_pos",
+            "n_neg",
+            "n_bins",
+            (
+                (F.col("conc") + F.col("tied") / 2.0)
+                / (F.col("n_pos") * 1.0 * F.col("n_neg"))
+            ).alias("auc"),
+        )
+    )
+
+
+@register(
+    "ml_lift_bucketed",
+    oracle=f"""
+WITH scored AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+         {_SCORE_SQL} AS score
+  FROM lineitem
+),
+hist AS (
+  SELECT CAST(FLOOR(score * 10) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1
+),
+ov AS (SELECT SUM(n_pos) * 1.0 / SUM(n) AS base_rate FROM hist)
+SELECT bucket, n, n_pos,
+       n_pos * 1.0 / n AS response_rate,
+       ROUND(n_pos * 1.0 / n / o.base_rate, 4) AS lift
+FROM hist, ov o
+""",
+    tags=("analytics", "ml-eval"),
+)
+def ml_lift_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-bucketed lift table — the 100 TB-safe variant of
+    ``ml_lift_deciles`` (`analytics.py`, the exact rank-decile audit
+    path, whose NTILE moves the raw fact into ONE window task). Rows
+    bucket by fixed-width score band (0.1-wide; the comparison happens
+    on bit-identical doubles in both engines), so the plan is a single
+    partial-aggregating ``groupBy(bucket)`` — no total order at all.
+    Per-bucket response rate vs the global base rate; counts exact,
+    rates divide exact integers (raw), only the rate-of-rates lift is
+    rounded. Unlike deciles, bucket populations vary — the honest
+    trade when the rank axis is replaced by the score axis.
+
+    Scale: ONE fact pass — groupBy(bucket) partial-aggregates onto
+    ≤15 buckets, then a second tiny aggregate folds those rows into a
+    single collect_list row (bounded) whose explode re-emits them with
+    the base rate attached; no second scan, no join, no window."""
+    s = _scored(spark, sf_dir)
+    hist = s.groupBy(F.floor(F.col("score") * 10).cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    folded = hist.agg(
+        F.collect_list(F.struct("bucket", "n", "n_pos")).alias("bs"),
+        (F.sum("n_pos") * 1.0 / F.sum("n")).alias("base_rate"),
+    )
+    b = folded.select(F.explode("bs").alias("b"), "base_rate")
+    rate = F.col("b.n_pos") * 1.0 / F.col("b.n")
+    return b.select(
+        F.col("b.bucket").alias("bucket"),
+        F.col("b.n").alias("n"),
+        F.col("b.n_pos").alias("n_pos"),
+        rate.alias("response_rate"),
+        F.round(rate / F.col("base_rate"), 4).alias("lift"),
     )
 
 
@@ -1353,10 +1689,10 @@ ranked AS (
   FROM scored
 )
 SELECT event_type,
-       SUM(CASE WHEN pos <= 10 THEN rel / log2(pos + 1.0) ELSE 0 END)
+       ROUND(SUM(CASE WHEN pos <= 10 THEN rel / log2(pos + 1.0) ELSE 0 END), 4)
          AS dcg10,
-       SUM(CASE WHEN ideal_pos <= 10 THEN rel / log2(ideal_pos + 1.0)
-                ELSE 0 END) AS idcg10,
+       ROUND(SUM(CASE WHEN ideal_pos <= 10 THEN rel / log2(ideal_pos + 1.0)
+                ELSE 0 END), 4) AS idcg10,
        ROUND(SUM(CASE WHEN pos <= 10 THEN rel / log2(pos + 1.0) ELSE 0 END)
              / SUM(CASE WHEN ideal_pos <= 10
                         THEN rel / log2(ideal_pos + 1.0) ELSE 0 END), 4)
@@ -1370,9 +1706,12 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded relevance = user_id %% 4, deterministic integer score, DCG
     against the ideal ordering — the ranking-quality metric for search
     and recommendation evals. Discounts are log2 of small integers
-    (identical doubles); at most 10 additions per group in rank order
-    — both engines add the same ≤10 terms in the same order via the
-    CASE-gated sum over rank positions.
+    (identical doubles); the ≤10-term sums are ROUNDED to 4 dp on both
+    sides (registry convention for non-integral float aggregates —
+    relying on matching add order across two window sorts is the same
+    hazard class as the rel_cuped_adjustment divergence r5 ADVICE
+    measured). The .xxxx5 round-tie trap does not apply: the terms are
+    irrational log2 ratios, never exact decimals.
 
     Scale: both rankings partition by the query key — per-query sorts,
     never global."""
@@ -1404,8 +1743,8 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0.0)
     )
     return ranked.groupBy("event_type").agg(
-        dcg.alias("dcg10"),
-        idcg.alias("idcg10"),
+        F.round(dcg, 4).alias("dcg10"),
+        F.round(idcg, 4).alias("idcg10"),
         F.round(dcg / idcg, 4).alias("ndcg10"),
     )
 
@@ -2636,13 +2975,16 @@ def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_cuped_adjustment",
     oracle="""
-WITH per_user AS (
+WITH cutoff AS (
+  SELECT MIN(epoch_us(ts) // 86400000000) + 15 AS cut_day FROM events
+),
+per_user AS (
   SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
-         CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 < 19723 + 15
+         CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 < c.cut_day
                        THEN ROUND(value * 100) ELSE 0 END) AS BIGINT) AS x,
-         CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= 19723 + 15
+         CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= c.cut_day
                        THEN ROUND(value * 100) ELSE 0 END) AS BIGINT) AS y
-  FROM events GROUP BY 1, 2
+  FROM events, cutoff c GROUP BY 1, 2
 ),
 pooled AS (
   SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
@@ -2653,13 +2995,18 @@ theta AS (
   SELECT (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS th,
          sx * 1.0 / n AS mean_x
   FROM pooled
+),
+per_variant AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sxv, CAST(SUM(y) AS BIGINT) AS syv
+  FROM per_user GROUP BY variant
 )
-SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
-       SUM(y) * 1.0 / COUNT(*) / 100.0 AS mean_y,
-       SUM(y - t.th * (x - t.mean_x)) / COUNT(*) / 100.0 AS mean_y_cuped,
+SELECT variant, n_users,
+       syv * 1.0 / n_users / 100.0 AS mean_y,
+       (syv * 1.0 / n_users - t.th * (sxv * 1.0 / n_users - t.mean_x)) / 100.0
+         AS mean_y_cuped,
        t.th AS theta
-FROM per_user, theta t
-GROUP BY variant, t.th
+FROM per_variant, theta t
 """,
     tags=("analytics", "experiment", "statistics"),
 )
@@ -2670,22 +3017,30 @@ def rel_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics, adjusted mean Yᵢ − θ(Xᵢ − X̄) per variant — the
     standard trick that cuts A/B confidence intervals 30-50 % without
     touching assignment. All sums are exact integer cents (products
-    < 2⁵³); θ and the means divide identical operands and are emitted
-    raw.
+    < 2⁵³); θ and the means are identical scalar expressions over those
+    exact integer sufficient statistics on both sides, so even the
+    adjusted mean is bit-stable — no order-dependent double summation
+    anywhere (the naive SUM(y − θ(x − x̄)) diverges across engines by
+    partial-agg order; r5 ADVICE measured a 2-ulp gap at sf0.01). The
+    pre-period cutoff is derived from the data (min event day + 15),
+    not hardcoded, so any fixture date range works.
 
-    Scale: one groupBy(user_id) pass builds the per-user frame; θ is a
-    1-row broadcast; no second fact scan."""
+    Scale: one groupBy(user_id) pass builds the per-user frame; the
+    cutoff and θ are 1-row broadcasts; no second fact scan."""
     from ..functions.timeutil import epoch_us
 
     e = _t(spark, sf_dir, "events")
     day = F.floor(epoch_us("ts") / 86_400_000_000)
     cents = F.round(F.col("value") * 100)
-    cut = 19723 + 15  # day 15 of the fixture's single month
-    per_user = e.groupBy(
-        "user_id", (F.col("user_id") % 2).cast("bigint").alias("variant")
-    ).agg(
-        F.sum(F.when(day < cut, cents).otherwise(0)).cast("bigint").alias("x"),
-        F.sum(F.when(day >= cut, cents).otherwise(0)).cast("bigint").alias("y"),
+    cutoff = e.agg((F.min(day) + F.lit(15)).alias("cut_day"))
+    cut = F.col("cut_day")
+    per_user = (
+        e.crossJoin(F.broadcast(cutoff))
+        .groupBy("user_id", (F.col("user_id") % 2).cast("bigint").alias("variant"))
+        .agg(
+            F.sum(F.when(day < cut, cents).otherwise(0)).cast("bigint").alias("x"),
+            F.sum(F.when(day >= cut, cents).otherwise(0)).cast("bigint").alias("y"),
+        )
     )
     pooled = per_user.agg(
         F.count(F.lit(1)).alias("n"),
@@ -2702,18 +3057,21 @@ def rel_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("th"),
         (F.col("sx") * 1.0 / F.col("n")).alias("mean_x"),
     )
-    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("mean_x"))
-    return (
-        per_user.crossJoin(F.broadcast(theta))
-        .groupBy("variant", "th")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            (F.sum("y") * 1.0 / F.count(F.lit(1)) / 100.0).alias("mean_y"),
-            (F.sum(adj) / F.count(F.lit(1)) / 100.0).alias("mean_y_cuped"),
-        )
-        .select(
-            "variant", "n_users", "mean_y", "mean_y_cuped", F.col("th").alias("theta")
-        )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sxv"),
+        F.sum("y").cast("bigint").alias("syv"),
+    )
+    mean_y = F.col("syv") * 1.0 / F.col("n_users")
+    mean_x_v = F.col("sxv") * 1.0 / F.col("n_users")
+    return per_variant.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        "n_users",
+        (mean_y / 100.0).alias("mean_y"),
+        ((mean_y - F.col("th") * (mean_x_v - F.col("mean_x"))) / 100.0).alias(
+            "mean_y_cuped"
+        ),
+        F.col("th").alias("theta"),
     )
 
 
@@ -2779,10 +3137,13 @@ WITH s AS (
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
        sc * 1.0 / n / 100.0 AS mean_value,
-       (scc - sc * 1.0 * sc / n) / (n - 1) / 10000.0 AS variance,
-       2.8 * sqrt(2.0 * ((scc - sc * 1.0 * sc / n) / (n - 1) / 10000.0) / n)
+       ((scc * 1.0 / n) - (sc * 1.0 / n) * (sc * 1.0 / n)) * n / (n - 1)
+         / 10000.0 AS variance,
+       2.8 * sqrt(2.0 * (((scc * 1.0 / n) - (sc * 1.0 / n) * (sc * 1.0 / n))
+                         * n / (n - 1) / 10000.0) / n)
          AS mde_abs,
-       2.8 * sqrt(2.0 * ((scc - sc * 1.0 * sc / n) / (n - 1) / 10000.0) / n)
+       2.8 * sqrt(2.0 * (((scc * 1.0 / n) - (sc * 1.0 / n) * (sc * 1.0 / n))
+                         * n / (n - 1) / 10000.0) / n)
          / (sc * 1.0 / n / 100.0) AS mde_rel
 FROM s
 """,
@@ -2793,8 +3154,15 @@ def rel_experiment_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric stream at the CURRENT sample size: MDE ≈ (z₀.₉₇₅+z₀.₈)·
     √(2σ²/n) with the 2.8 rule-of-thumb constant — the power-analysis
     number that says whether an experiment is even worth running.
-    Variance comes from exact integer-cent sufficient statistics; sqrt
-    is IEEE-correctly-rounded, so every output ships raw.
+    Variance comes from exact integer-cent sufficient statistics in
+    the MEAN-BASED form (E[x²] − E[x]²)·n/(n−1): every operand stays
+    below 2⁵³ so each step is one correctly-rounded IEEE op on
+    identical inputs. The textbook scc − sc²/n form is NOT cross-
+    engine stable once sc² crosses 2⁵³ (≈ sf0.1 here): DuckDB
+    evaluates `sc * 1.0 * sc / n` through a different op sequence
+    than Spark/Python and the results differ by 2 ulps — caught by
+    the byte-strict sf0.1 sweep in round 6. sqrt is IEEE-correctly-
+    rounded, so every output ships raw.
 
     Scale: single aggregate pass (sufficient statistics only — no
     per-user materialization needed for a variance)."""
@@ -2806,7 +3174,8 @@ def rel_experiment_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents * cents).cast("bigint").alias("scc"),
     )
     n = F.col("n")
-    var = (F.col("scc") - F.col("sc") * 1.0 * F.col("sc") / n) / (n - 1) / 10000.0
+    m_c = F.col("sc") * 1.0 / n
+    var = ((F.col("scc") * 1.0 / n) - m_c * m_c) * n / (n - 1) / 10000.0
     mean = F.col("sc") * 1.0 / n / 100.0
     mde = 2.8 * F.sqrt(2.0 * var / n)
     return s.select(

@@ -74,6 +74,82 @@ def test_roc_auc_matches_tie_aware_python(spark):
     assert row.auc > 0.5  # the +0.4 signal term must make it informative
 
 
+def test_roc_auc_hist_close_to_exact_rank_auc(spark):
+    """The histogram variant must reproduce the exact tie-corrected
+    Mann-Whitney AUC to bin resolution. Exact equality is impossible
+    even on this quantized score: float addition leaves some y=1
+    scores 1 ulp off their y=0 twins — the exact rank separates those,
+    a 1/1000 bin cannot, so the tolerance is the bin-edge mass."""
+    exact = all_queries()["ml_roc_auc"].spark(spark, SF_SMOKE).collect()[0]
+    hist = all_queries()["ml_roc_auc_hist"].spark(spark, SF_SMOKE).collect()[0]
+    assert hist.n_pos == exact.n_pos and hist.n_neg == exact.n_neg
+    assert abs(hist.auc - exact.auc) < 1e-3
+    assert hist.auc > 0.5
+    assert 0 < hist.n_bins <= 1401
+
+
+def test_lift_bucketed_consistent_with_totals(spark):
+    """Score-band lift table: buckets tile the score domain, counts sum
+    to the fact count, and lift·base_rate == response_rate per bucket."""
+    rows = all_queries()["ml_lift_bucketed"].spark(spark, SF_SMOKE).collect()
+    li_n = load_table(spark, SF_SMOKE, "lineitem").count()
+    assert sum(r.n for r in rows) == li_n
+    n_pos = sum(r.n_pos for r in rows)
+    base = n_pos / li_n
+    for r in rows:
+        assert 0 <= r.bucket <= 14
+        assert abs(r.response_rate - r.n_pos / r.n) < 1e-12
+        assert abs(r.lift - round(r.response_rate / base, 4)) < 1e-9
+    # the signal term (+0.4 on positives) must concentrate positives in
+    # high buckets: top band lift > 1 > bottom band lift
+    by_bucket = sorted(rows, key=lambda r: r.bucket)
+    assert by_bucket[-1].lift > 1.0 > by_bucket[0].lift
+
+
+def test_abc_prefix2_equals_exact(spark):
+    """The two-level-prefix rewrite must be BYTE-identical to the
+    single-window ABC classification — same total order, same exact
+    integer prefix sums, same class boundaries."""
+    exact = {
+        r.partkey: (r.rev_tmt, r.cum_share, r.abc_class)
+        for r in all_queries()["rel_abc_classification"]
+        .spark(spark, SF_SMOKE)
+        .collect()
+    }
+    two = {
+        r.partkey: (r.rev_tmt, r.cum_share, r.abc_class)
+        for r in all_queries()["rel_abc_prefix2"].spark(spark, SF_SMOKE).collect()
+    }
+    assert two == exact
+
+
+def test_rfm_bucketed_matches_exact_ntile(spark):
+    """Boundary-bucketed RFM vs exact NTILE: continuous-ish axes
+    (recency, monetary) agree on ≥90 % of customers; the frequency
+    axis is tie-heavy small integers where NTILE *forcibly splits tie
+    runs* by custkey while value-bucketing cannot — ≥75 % there is the
+    honest bound (the disagreements are entirely within tie runs).
+    Every bucket holds 10–30 % of the customers."""
+    exact = {
+        r.custkey: (r.r_score, r.f_score, r.m_score)
+        for r in all_queries()["rel_rfm_segmentation"].spark(spark, SF_SMOKE).collect()
+    }
+    buck = {
+        r.custkey: (r.r_score, r.f_score, r.m_score)
+        for r in all_queries()["rel_rfm_bucketed"].spark(spark, SF_SMOKE).collect()
+    }
+    assert set(buck) == set(exact)
+    n = len(exact)
+    for axis, floor_agree in ((0, 0.90), (1, 0.75), (2, 0.90)):
+        agree = sum(1 for k in exact if exact[k][axis] == buck[k][axis])
+        assert agree / n >= floor_agree, f"axis {axis}: only {agree}/{n} agree"
+        for score in range(1, 6):
+            cnt = sum(1 for k in buck if buck[k][axis] == score)
+            assert 0.10 * n <= cnt <= 0.30 * n, (
+                f"axis {axis} score {score}: {cnt}/{n} outside balance band"
+            )
+
+
 def test_max_drawdown_matches_python_loop(spark):
     got = {
         r.event_type: r

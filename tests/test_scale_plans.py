@@ -811,6 +811,48 @@ def test_offset_pagination_plans_global_limit(spark):
     assert "GlobalLimit" in plan or "TakeOrdered" in plan, plan
 
 
+def test_roc_auc_hist_no_window_bounded_join(spark):
+    """The scale-safe AUC must never plan a window (the exact variant's
+    global rank is the audit path); the only join runs on the bounded
+    bin histogram, broadcast."""
+    plan = _simple_plan(spark, "ml_roc_auc_hist")
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_lift_bucketed_no_window_single_scan(spark):
+    """Score-band lift: one fact scan, one groupBy, no window, no
+    rank/NTILE total order anywhere."""
+    plan = _simple_plan(spark, "ml_lift_bucketed")
+    assert "Window" not in plan, plan
+    assert len([ln for ln in plan.splitlines() if "Scan parquet" in ln]) == 1, plan
+
+
+def test_abc_prefix2_only_partitioned_windows(spark):
+    """The two-level prefix rewrite must run every window PARTITIONED
+    (by the bounded range_id) — an unpartitioned windowspec here would
+    recreate the single-task bottleneck it exists to remove."""
+    df = all_queries()["rel_abc_prefix2"].spark(spark, SF)
+    jdf = df._jdf
+    jvm = df.sparkSession._jvm
+    plan = jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected a window in the plan"
+    for s in specs:
+        assert s.split(",")[0].strip().startswith("range_id"), (
+            f"window not partitioned by range_id: {s}"
+        )
+
+
+def test_rfm_bucketed_no_window(spark):
+    """Boundary-bucketed RFM must plan zero windows — the three
+    NTILE sorts are exactly what this variant removes."""
+    plan = _simple_plan(spark, "rel_rfm_bucketed")
+    assert "Window" not in plan, plan
+
+
 def test_join_explosion_histograms_join_counts_not_rows(spark):
     """The prediction side must join per-key COUNT frames; only the
     verification side touches the raw join."""
