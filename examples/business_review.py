@@ -54,14 +54,18 @@ def main() -> None:
     ).show(5)
 
     print("== Segmentation: top RFM cells by revenue ==")
-    rfm = q["rel_rfm_segmentation"].spark(spark, sf_dir)
+    # rel_rfm_bucketed is the scale-safe default (no NTILE sort);
+    # rel_rfm_segmentation is the exact-quintile audit path.
+    rfm = q["rel_rfm_bucketed"].spark(spark, sf_dir)
     rfm.groupBy("rfm_cell").agg(
         F.count("*").alias("customers"),
         (F.sum("monetary_cents") / 100.0).alias("revenue"),
     ).orderBy(F.desc("revenue")).show(5)
 
     print("== Inventory: ABC class sizes ==")
-    abc = q["rel_abc_classification"].spark(spark, sf_dir)
+    # rel_abc_prefix2 = two-level prefix sum, byte-identical to the
+    # single-window rel_abc_classification audit path.
+    abc = q["rel_abc_prefix2"].spark(spark, sf_dir)
     abc.groupBy("abc_class").agg(
         F.count("*").alias("parts"),
         (F.sum("rev_tmt") / 10000.0).alias("revenue"),

@@ -203,6 +203,47 @@ def rel_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def abc_two_level_prefix(rev: DataFrame) -> DataFrame:
+    """Two-level prefix-sum ABC classification over a ``(partkey,
+    rev_tmt)`` frame — the scale-safe core of ``rel_abc_prefix2``,
+    factored out so the Hypothesis property test can drive it with
+    arbitrary revenue multisets (ties, powers of two, zeros, single
+    rows). See the query docstring for the monotone-range argument."""
+    tot = rev.agg(F.sum("rev_tmt").alias("total"))
+    rng = rev.withColumn(
+        "range_id",
+        (-F.floor(F.log2(F.greatest(F.col("rev_tmt"), F.lit(1))))).cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("range_id")
+        .orderBy(F.desc("rev_tmt"), F.asc("partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    inr = rng.withColumn("cum_in_range", F.sum("rev_tmt").over(w))
+    rtot = rng.groupBy("range_id").agg(F.sum("rev_tmt").alias("rtotal"))
+    a, b = rtot.alias("a"), rtot.alias("b")
+    roff = (
+        a.join(F.broadcast(b), F.col("b.range_id") < F.col("a.range_id"), "left")
+        .groupBy(F.col("a.range_id").alias("range_id"))
+        .agg(F.coalesce(F.sum("b.rtotal"), F.lit(0)).alias("offset_tmt"))
+    )
+    cum = F.col("offset_tmt") + F.col("cum_in_range")
+    share = cum * 1.0 / F.col("total")
+    return (
+        inr.join(F.broadcast(roff), "range_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partkey",
+            "rev_tmt",
+            F.round(share, 4).alias("cum_share"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
 @register(
     "rel_abc_prefix2",
     oracle=f"""
@@ -251,8 +292,9 @@ def rel_abc_prefix2(spark: SparkSession, sf_dir: str) -> DataFrame:
     range_id < range_id (~60 ranges — bounded by the value domain's
     log, not the data). Same exact integer ten-thousandths, same
     share division on identical integers, byte-identical output to
-    the single-window form (``test_abc_prefix2_equals_exact``). The
-    ulp behavior of log2 cannot flip results: any boundary drift
+    the single-window form (``test_abc_prefix2_equals_exact`` + the
+    Hypothesis equivalence property over arbitrary revenue multisets).
+    The ulp behavior of log2 cannot flip results: any boundary drift
     between engines moves a row between ADJACENT ranges, and the
     composed order is unchanged because the map stays monotone per
     engine.
@@ -264,39 +306,7 @@ def rel_abc_prefix2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
         F.sum(_rev_tmt()).cast("bigint").alias("rev_tmt")
     )
-    tot = rev.agg(F.sum("rev_tmt").alias("total"))
-    rng = rev.withColumn(
-        "range_id",
-        (-F.floor(F.log2(F.greatest(F.col("rev_tmt"), F.lit(1))))).cast("bigint"),
-    )
-    w = (
-        Window.partitionBy("range_id")
-        .orderBy(F.desc("rev_tmt"), F.asc("partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    inr = rng.withColumn("cum_in_range", F.sum("rev_tmt").over(w))
-    rtot = rng.groupBy("range_id").agg(F.sum("rev_tmt").alias("rtotal"))
-    a, b = rtot.alias("a"), rtot.alias("b")
-    roff = (
-        a.join(F.broadcast(b), F.col("b.range_id") < F.col("a.range_id"), "left")
-        .groupBy(F.col("a.range_id").alias("range_id"))
-        .agg(F.coalesce(F.sum("b.rtotal"), F.lit(0)).alias("offset_tmt"))
-    )
-    cum = F.col("offset_tmt") + F.col("cum_in_range")
-    share = cum * 1.0 / F.col("total")
-    return (
-        inr.join(F.broadcast(roff), "range_id")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "partkey",
-            "rev_tmt",
-            F.round(share, 4).alias("cum_share"),
-            F.when(share <= 0.8, "A")
-            .when(share <= 0.95, "B")
-            .otherwise("C")
-            .alias("abc_class"),
-        )
-    )
+    return abc_two_level_prefix(rev)
 
 
 @register(

@@ -448,3 +448,63 @@ def test_copy_on_write_delete_property(spark, rows, doomed):
         import os as _os
 
         assert not _glob.glob(_os.path.join(path, "part=*", "*.parquet"))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    revs=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=20),
+            # exact powers of two probe the log2 range boundaries
+            st.sampled_from([1, 2, 4, 1024, 2**20, 2**40]),
+            st.integers(min_value=0, max_value=2**45),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_abc_two_level_prefix_equals_single_window(spark, revs):
+    """The two-level prefix-sum ABC decomposition must equal the plain
+    single-window running sum for ANY revenue multiset with positive
+    total (the query's domain — cumulative SHARE is undefined on zero
+    revenue) — ties, zeros, exact powers of two at the log2 range
+    boundaries, single rows."""
+    from hypothesis import assume
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    assume(sum(revs) > 0)
+
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.analytics import (
+        abc_two_level_prefix,
+    )
+
+    rev = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(revs)], "partkey LONG, rev_tmt LONG"
+    )
+    got = {
+        r.partkey: (r.rev_tmt, r.cum_share, r.abc_class)
+        for r in abc_two_level_prefix(rev).collect()
+    }
+
+    w = Window.orderBy(F.desc("rev_tmt"), F.asc("partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = rev.agg(F.sum("rev_tmt").alias("total"))
+    share = F.col("cum_tmt") * 1.0 / F.col("total")
+    exact = {
+        r.partkey: (r.rev_tmt, r.cum_share, r.abc_class)
+        for r in rev.withColumn("cum_tmt", F.sum("rev_tmt").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "partkey",
+            "rev_tmt",
+            F.round(share, 4).alias("cum_share"),
+            F.when(share <= 0.8, "A")
+            .when(share <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .collect()
+    }
+    assert got == exact
