@@ -31,6 +31,28 @@ def file_payload_source(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.text(path)  # column: value (string)
 
 
+def socket_payload_source(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 9999
+) -> DataFrame:
+    """O23 over a REAL network transport available in this container:
+    Spark's built-in ``socket`` source reads newline-delimited wire
+    payloads from a live TCP connection, normalized to the same string
+    ``value`` column every downstream plan consumes — so the
+    subscribe→parse→quarantine path is exercised over actual network
+    bytes (``test_socket_transport_live``), not just file stand-ins.
+
+    NOT a production transport: the socket source keeps no offsets, so
+    it cannot replay after failure (O12) — Kafka remains the production
+    subscribe path; this is the live-wire smoke the reference gets from
+    its MQTT broker connection (realtime_inference.py:81-89)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )  # column: value (string)
+
+
 def kafka_source_options(
     bootstrap_servers: str,
     topic: str = TELEMETRY_TOPIC,

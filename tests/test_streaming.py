@@ -885,3 +885,88 @@ def test_silence_monitor_event_time_timeout(spark, tmp_path):
     assert [(r.machineId, r.last_seen, r.state) for r in rows] == [
         ("M_DEAD", 104, "SILENT")
     ]
+
+
+def test_socket_transport_live(spark):
+    """O23 over REAL network bytes: a local TCP server streams wire
+    JSON (including malformed lines) to Spark's socket source; the
+    full parse→quarantine path must recover every good record and
+    route every bad one — the live-transport smoke the file stand-in
+    cannot give (no broker exists in this container; the socket source
+    is the transport-shaped path that does)."""
+    import socket
+    import threading
+    import time
+
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.streams import (
+        socket_payload_source,
+    )
+
+    good = [
+        '{"machineId":"m-%02d","temperature":%s,"vibration":%s,"timestamp":%d}'
+        % (i, 60.0 + i, 1.5 + i / 10.0, 1_700_000_000 + i)
+        for i in range(20)
+    ]
+    bad = [ln for ln in BAD_LINES if ln]  # socket drops empty lines itself
+    lines = good + bad
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve_one(conn):
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            stop.wait(120)  # keep the connection open until the test is done
+
+    def serve():
+        # EACH streaming query opens its own socket connection — accept
+        # and replay the payload to every client until the test stops.
+        srv.settimeout(1.0)
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                continue
+            threading.Thread(target=serve_one, args=(conn,), daemon=True).start()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    raw = socket_payload_source(spark, "127.0.0.1", port)
+    assert raw.isStreaming
+    good_df, bad_df = quarantine_split(parse_telemetry(raw))
+    q1 = (
+        good_df.writeStream.format("memory")
+        .queryName("sock_good")
+        .outputMode("append")
+        .start()
+    )
+    q2 = (
+        bad_df.writeStream.format("memory")
+        .queryName("sock_bad")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            n_good = spark.table("sock_good").count()
+            n_bad = spark.table("sock_bad").count()
+            if n_good >= len(good) and n_bad >= len(bad):
+                break
+            time.sleep(1)
+        out = spark.table("sock_good")
+        assert out.count() == len(good)
+        assert spark.table("sock_bad").count() == len(bad)
+        row = out.orderBy("machineId").first()
+        assert row.machineId == "m-00"
+        assert row.temperature == 60.0 and row.timestamp == 1_700_000_000
+    finally:
+        stop.set()
+        q1.stop()
+        q2.stop()
+        srv.close()
