@@ -16,7 +16,10 @@ e.g. 366 days, 10 deciles); no collects, no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import operator
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -352,22 +355,15 @@ def rel_rfm_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("monetary_cents", probs, 10_000).alias("mb"),
     )
 
-    def _asc_score(col: str, bs: str):
-        # 1 + number of boundaries strictly below the value (ascending
-        # axis: small value -> score 1)
+    def _score(col: str, bs: str, better: Callable[[Column, Column], Column]):
+        # 1 + number of quintile boundaries the value is strictly
+        # "better" than. operator.gt = ascending axis (small value ->
+        # score 1, e.g. recency); operator.lt = descending axis (large
+        # value -> score 1, e.g. frequency/monetary).
         return (
             F.lit(1)
             + sum(
-                (F.col(col) > F.col(bs).getItem(i)).cast("int") for i in range(4)
-            )
-        ).cast("int")
-
-    def _desc_score(col: str, bs: str):
-        # descending axis: large value -> score 1
-        return (
-            F.lit(1)
-            + sum(
-                (F.col(col) < F.col(bs).getItem(3 - i)).cast("int")
+                better(F.col(col), F.col(bs).getItem(i)).cast("int")
                 for i in range(4)
             )
         ).cast("int")
@@ -377,9 +373,9 @@ def rel_rfm_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("recency_days").cast("bigint").alias("recency_days"),
         "frequency",
         "monetary_cents",
-        _asc_score("recency_days", "rb").alias("r_score"),
-        _desc_score("frequency", "fb").alias("f_score"),
-        _desc_score("monetary_cents", "mb").alias("m_score"),
+        _score("recency_days", "rb", operator.gt).alias("r_score"),
+        _score("frequency", "fb", operator.lt).alias("f_score"),
+        _score("monetary_cents", "mb", operator.lt).alias("m_score"),
     )
     return scored.withColumn(
         "rfm_cell",

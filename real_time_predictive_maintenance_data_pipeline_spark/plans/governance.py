@@ -403,23 +403,42 @@ def copy_on_write_delete(spark: SparkSession, path: str, pred, part_col: str) ->
     partition whose every row matched — dynamic overwrite only replaces
     partitions PRESENT in the written frame, so a fully-deleted
     partition's files would otherwise silently survive."""
-    hit = [
-        r[part_col]
-        for r in spark.read.parquet(path)
-        .filter(pred)
-        .select(part_col)
+    # Hit partitions, collected BOTH as the typed value (for a
+    # partition-prunable isin filter) and as Spark's own Cast-to-string
+    # rendering (for path reconstruction below: str(p) on the Python
+    # value diverges from Spark's rendering for timestamps with
+    # fractional seconds, large doubles in scientific notation,
+    # booleans, ...). DELETE semantics: only rows where pred is TRUE are
+    # deleted — rows where pred evaluates to NULL survive.
+    matched = F.coalesce(pred, F.lit(False))
+    hit_rows = (
+        spark.read.parquet(path)
+        .filter(matched)
+        .select(
+            F.col(part_col).alias("v"),
+            F.col(part_col).cast("string").alias("k"),
+        )
         .distinct()
         .collect()
-    ]
-    survivors = spark.read.parquet(path).filter(
-        F.col(part_col).isin(hit) & ~pred
     )
+    hit_typed = [r["v"] for r in hit_rows if r["v"] is not None]
+    hit_keys = [r["k"] for r in hit_rows]
+    member = F.col(part_col).isin(hit_typed)
+    if any(k is None for k in hit_keys):
+        # isin never matches NULL; without this a hit null-keyed
+        # partition's surviving rows would be excluded from the rewrite
+        # and then deleted with the directory.
+        member = member | F.col(part_col).isNull()
+    survivors = spark.read.parquet(path).filter(member & ~matched)
     # Which hit partitions keep at least one row — computed BEFORE the
     # overwrite (the lazy plan reads the original files, which the write
     # below replaces). Both driver-side lists are bounded by the number of
     # affected partitions.
     survived = {
-        r[part_col] for r in survivors.select(part_col).distinct().collect()
+        r["k"]
+        for r in survivors.select(F.col(part_col).cast("string").alias("k"))
+        .distinct()
+        .collect()
     }
     with_dyn = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -428,21 +447,24 @@ def copy_on_write_delete(spark: SparkSession, path: str, pred, part_col: str) ->
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dyn)
     # Drop emptied partition directories through the Hadoop FS API — works
-    # on any filesystem Spark writes to, not just local disk. Partition
-    # values are Hive-escaped exactly the way Spark escaped them when it
-    # wrote the directory (spaces, '/', ':' etc. become %XX), otherwise a
-    # fully-deleted string-keyed partition's files would survive because
-    # the raw f-string path never matches the escaped directory name.
-    emptied = [p for p in hit if p not in survived]
+    # on any filesystem Spark writes to, not just local disk. The leaf is
+    # rebuilt from Spark's OWN Cast-to-string rendering of the value
+    # (collected above — NOT Python str(), which pads timestamp
+    # microseconds, renders 5.0E10 as 50000000000.0, and title-cases
+    # booleans) and then Hive-escaped exactly the way Spark escaped it
+    # when writing (spaces, '/', ':' etc. become %XX). NULL and empty
+    # string both land in __HIVE_DEFAULT_PARTITION__, matching
+    # ExternalCatalogUtils.getPartitionValueString.
+    emptied = [k for k in hit_keys if k not in survived]
     if emptied:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        for p in emptied:
+        for k in emptied:
             leaf = (
                 "__HIVE_DEFAULT_PARTITION__"
-                if p is None
-                else esc.escapePathName(str(p))
+                if k is None or k == ""
+                else esc.escapePathName(k)
             )
             part = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_col}={leaf}")
             part.getFileSystem(hconf).delete(part, True)

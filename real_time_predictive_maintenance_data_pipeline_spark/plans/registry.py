@@ -225,8 +225,9 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "ml_survival_aft",
     "rel_approx_distinct",
     # round 4 (CORRECTNESS_r04.json): 43 hash-green + 6 rows-only by
-    # contract. doc_dsir_importance (the 50th) is in _RECHECK_FIRST, not
-    # here.
+    # contract. doc_dsir_importance (the 50th) was re-checked via
+    # _RECHECK_FIRST in round 5, came back hash-green
+    # (CORRECTNESS_r05.json), and now lives in the round-5 block above.
     "rel_agg_bool_bit",
     "doc_chunk_dedup",
     "doc_span_dedup",

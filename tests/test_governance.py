@@ -7,6 +7,7 @@ the 100 TB designs the docstrings claim.
 
 from __future__ import annotations
 
+import datetime
 import glob
 import math
 import os
@@ -207,6 +208,97 @@ def test_delete_where_rewrite_escaped_string_partition(spark):
     back = spark.read.parquet(path)
     assert back.count() == 3
     assert back.select("part").distinct().collect()[0][0] == "plain"
+
+
+def test_delete_where_rewrite_nonstring_partition_rendering(spark):
+    """Partition values whose Spark path rendering differs from Python
+    str() — timestamps with fractional seconds (`.123` vs `.123000`),
+    large doubles (`5.0E10` vs `50000000000.0`), booleans (`true` vs
+    `True`) — must still have their directories dropped when fully
+    deleted (the r6-review gap: escaping fixed only the character-level
+    half; value rendering diverged)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.governance import (
+        copy_on_write_delete,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources import scratch
+
+    cases = [
+        (
+            "ts",
+            "part timestamp, id long",
+            [
+                (datetime.datetime(2024, 1, 2, 3, 4, 5, 123000), i)
+                for i in range(3)
+            ]
+            + [(datetime.datetime(2024, 6, 1), i) for i in range(3)],
+            F.col("part") == datetime.datetime(2024, 1, 2, 3, 4, 5, 123000),
+        ),
+        (
+            "dbl",
+            "part double, id long",
+            [(5.0e10, i) for i in range(3)] + [(1.5, i) for i in range(3)],
+            F.col("part") == 5.0e10,
+        ),
+        (
+            "bool",
+            "part boolean, id long",
+            [(True, i) for i in range(3)] + [(False, i) for i in range(3)],
+            F.col("part") == True,  # noqa: E712
+        ),
+    ]
+    for tag, schema, rows, pred in cases:
+        df = spark.createDataFrame(rows, schema)
+        path = scratch.scratch_dir(f"cow_render_{tag}_")
+        df.write.partitionBy("part").mode("overwrite").parquet(path)
+        copy_on_write_delete(spark, path, pred, "part")
+        leftovers = [
+            d
+            for d in glob.glob(os.path.join(path, "part=*"))
+            if glob.glob(os.path.join(d, "*.parquet"))
+        ]
+        assert len(leftovers) == 1, (
+            f"{tag}: fully-deleted partition dir must be removed, "
+            f"found {leftovers}"
+        )
+        back = spark.read.parquet(path)
+        assert back.count() == 3, tag
+        assert back.filter(pred).count() == 0, tag
+
+
+def test_delete_where_rewrite_null_partition_and_null_pred(spark):
+    """DELETE-WHERE null semantics: rows in a NULL-keyed partition that
+    do NOT match the predicate must survive (isin never matches NULL, so
+    a naive membership filter would drop then delete them), and rows
+    where the predicate evaluates to NULL must survive (SQL DELETE only
+    removes pred IS TRUE)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.governance import (
+        copy_on_write_delete,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.sources import scratch
+
+    df = spark.createDataFrame(
+        [(None, 0, 10), (None, 1, None), (None, 2, 99), ("a", 3, 10), ("a", 4, 20)],
+        "part string, id long, v long",
+    )
+    path = scratch.scratch_dir("cow_null_sem_")
+    df.write.partitionBy("part").mode("overwrite").parquet(path)
+
+    # v = 10 deletes id 0 (null partition) and id 3; v IS NULL on id 1
+    # makes the predicate NULL there — id 1 must survive.
+    copy_on_write_delete(spark, path, F.col("v") == 10, "part")
+
+    back = spark.read.parquet(path)
+    got = sorted((r.id, r.v) for r in back.collect())
+    assert got == [(1, None), (2, 99), (4, 20)]
+    # the NULL-keyed partition still exists with its two survivors
+    assert back.filter(F.col("part").isNull()).count() == 2
+
+    # now fully empty the NULL-keyed partition: its directory must go
+    copy_on_write_delete(spark, path, F.col("part").isNull(), "part")
+    assert not glob.glob(
+        os.path.join(path, "part=__HIVE_DEFAULT_PARTITION__", "*.parquet")
+    )
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [4]
 
 
 # ---------------------------------------------------------------------------

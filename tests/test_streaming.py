@@ -795,7 +795,11 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     accumulates across micro-batches (two files -> two batches; the
     second batch's totals include the first's). The state-server
     protocol needs google.protobuf, which this container doesn't ship —
-    skip there, run anywhere protobuf exists."""
+    skip there, run anywhere protobuf exists. (Not shimmable either:
+    pyspark's StateMessage_pb2 gencode pins protobuf runtime >= 6.33
+    via runtime_version.ValidateProtobufRuntimeVersion; the only
+    protobuf copy anywhere on this image is 4.23.2, which predates the
+    runtime_version module itself.)"""
     pytest.importorskip("google.protobuf.descriptor")
     from real_time_predictive_maintenance_data_pipeline_spark.streaming.stateful import (
         running_totals_tws,
