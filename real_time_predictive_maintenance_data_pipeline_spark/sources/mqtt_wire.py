@@ -1,0 +1,525 @@
+"""MQTT 3.1.1 wire transport — the reference's ACTUAL protocol, moved
+over real sockets (SURVEY §2.1 O7/O23).
+
+The reference publishes telemetry with paho/Eclipse-Paho-Java QoS 1 to
+``factory/telemetry`` (IoTSimulator.java:158-162, topic :31, QoS :55)
+and consumes it with a blocking paho subscribe loop
+(realtime_inference.py:81-89). This container has no MQTT library and
+no broker, so this module implements the small, fully-public subset of
+the OASIS MQTT 3.1.1 spec those two sides exchange — CONNECT/CONNACK,
+SUBSCRIBE/SUBACK, PUBLISH/PUBACK (QoS 0/1), PINGREQ/PINGRESP,
+DISCONNECT — as pure byte codecs plus a socket client, so the engine's
+publish sink and subscribe source are exercised over genuine MQTT
+frames on a live TCP connection, not a file stand-in.
+
+Scale/production notes:
+
+- The distributed publish path is ``publish_partitions`` — one
+  connection PER PARTITION via ``foreachPartition`` (the same
+  shape as a Kafka producer per task): 1000 executors publish in
+  parallel, each holding one socket, nothing is collected to the
+  driver.
+- QoS 1 == at-least-once: the publisher waits for PUBACK and re-sends
+  with DUP=1 on timeout; the subscriber side deduplicates downstream
+  with ``dropDuplicatesWithinWatermark`` (streaming/pipeline.py), the
+  same idempotence contract the Kafka path documents.
+- ``MiniBroker`` is a TEST transport (exact-topic routing, in-memory
+  state) — production deployments point the same client at a real
+  broker; semantics are unchanged because both speak the same frames.
+- ``SubscriberBridge`` spools received payloads to a line-per-record
+  file consumed by ``file_payload_source`` — the spool IS the
+  replayable retention buffer (O12) the raw MQTT transport lacks.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import threading
+from dataclasses import dataclass, field
+
+# MQTT 3.1.1 control-packet types (spec §2.2.1)
+CONNECT, CONNACK = 1, 2
+PUBLISH, PUBACK = 3, 4
+SUBSCRIBE, SUBACK = 8, 9
+PINGREQ, PINGRESP = 12, 13
+DISCONNECT = 14
+
+MAX_REMAINING_LENGTH = 268_435_455  # spec §2.2.3: 4 varint bytes
+
+
+# ---------------------------------------------------------------------------
+# Codec primitives
+# ---------------------------------------------------------------------------
+
+
+def encode_remaining_length(n: int) -> bytes:
+    """Variable-length remaining-length field (spec §2.2.3): 7 bits per
+    byte, continuation bit 0x80, little-endian groups, 1-4 bytes."""
+    if not 0 <= n <= MAX_REMAINING_LENGTH:
+        raise ValueError(f"remaining length out of range: {n}")
+    out = bytearray()
+    while True:
+        n, digit = divmod(n, 128)
+        out.append(digit | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def decode_remaining_length(buf: bytes, i: int = 0) -> tuple[int, int]:
+    """Decode at ``buf[i:]``; returns (value, bytes consumed)."""
+    value, mult = 0, 1
+    for k in range(4):
+        b = buf[i + k]
+        value += (b & 0x7F) * mult
+        if not b & 0x80:
+            return value, k + 1
+        mult *= 128
+    raise ValueError("malformed remaining length (>4 bytes)")
+
+
+def _utf8(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    if len(raw) > 0xFFFF:
+        raise ValueError("MQTT string exceeds 65535 bytes")
+    return len(raw).to_bytes(2, "big") + raw
+
+
+def _read_utf8(buf: bytes, i: int) -> tuple[str, int]:
+    n = int.from_bytes(buf[i : i + 2], "big")
+    return buf[i + 2 : i + 2 + n].decode("utf-8"), i + 2 + n
+
+
+def _frame(packet_type: int, flags: int, body: bytes) -> bytes:
+    return bytes([(packet_type << 4) | flags]) + encode_remaining_length(
+        len(body)
+    ) + body
+
+
+# ---------------------------------------------------------------------------
+# Packet encoders (client->server and server->client)
+# ---------------------------------------------------------------------------
+
+
+def encode_connect(client_id: str, keep_alive: int = 60, clean_session: bool = True) -> bytes:
+    """CONNECT (spec §3.1): protocol name 'MQTT', level 4 (=3.1.1)."""
+    flags = 0x02 if clean_session else 0x00
+    body = (
+        _utf8("MQTT")
+        + bytes([4, flags])
+        + keep_alive.to_bytes(2, "big")
+        + _utf8(client_id)
+    )
+    return _frame(CONNECT, 0, body)
+
+
+def encode_connack(session_present: bool = False, return_code: int = 0) -> bytes:
+    return _frame(CONNACK, 0, bytes([int(session_present), return_code]))
+
+
+def encode_publish(
+    topic: str,
+    payload: bytes,
+    qos: int = 1,
+    packet_id: int | None = None,
+    dup: bool = False,
+    retain: bool = False,
+) -> bytes:
+    """PUBLISH (spec §3.3). QoS 1 requires a packet id; the reference
+    publishes QoS 1 non-retained (IoTSimulator.java:55,158-162)."""
+    if qos not in (0, 1):
+        raise ValueError("only QoS 0/1 (at-most/at-least-once) supported")
+    if qos == 1 and packet_id is None:
+        raise ValueError("QoS 1 PUBLISH requires a packet id")
+    flags = (0x08 if dup else 0) | (qos << 1) | (0x01 if retain else 0)
+    body = _utf8(topic)
+    if qos == 1:
+        body += packet_id.to_bytes(2, "big")
+    return _frame(PUBLISH, flags, body + payload)
+
+
+def encode_puback(packet_id: int) -> bytes:
+    return _frame(PUBACK, 0, packet_id.to_bytes(2, "big"))
+
+
+def encode_subscribe(packet_id: int, topic: str, qos: int = 1) -> bytes:
+    """SUBSCRIBE (spec §3.8) — fixed-header flags MUST be 0b0010."""
+    return _frame(
+        SUBSCRIBE, 0x02, packet_id.to_bytes(2, "big") + _utf8(topic) + bytes([qos])
+    )
+
+
+def encode_suback(packet_id: int, granted_qos: int = 1) -> bytes:
+    return _frame(SUBACK, 0, packet_id.to_bytes(2, "big") + bytes([granted_qos]))
+
+
+def encode_pingreq() -> bytes:
+    return _frame(PINGREQ, 0, b"")
+
+
+def encode_pingresp() -> bytes:
+    return _frame(PINGRESP, 0, b"")
+
+
+def encode_disconnect() -> bytes:
+    return _frame(DISCONNECT, 0, b"")
+
+
+# ---------------------------------------------------------------------------
+# Packet decoding
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Packet:
+    type: int
+    flags: int
+    body: bytes
+
+    # PUBLISH fields, populated by parse()
+    topic: str | None = None
+    packet_id: int | None = None
+    payload: bytes = b""
+    qos: int = 0
+    dup: bool = False
+    retain: bool = False
+
+
+def parse_packet(raw: bytes) -> tuple[Packet, int]:
+    """Parse one packet from ``raw``; returns (packet, bytes consumed).
+    Raises IndexError when the buffer holds an incomplete frame (the
+    caller reads more and retries) and ValueError on malformed frames."""
+    first = raw[0]
+    rem, nlen = decode_remaining_length(raw, 1)
+    end = 1 + nlen + rem
+    if len(raw) < end:
+        raise IndexError("incomplete frame")
+    p = Packet(type=first >> 4, flags=first & 0x0F, body=raw[1 + nlen : end])
+    if p.type == PUBLISH:
+        p.dup = bool(p.flags & 0x08)
+        p.qos = (p.flags >> 1) & 0x03
+        p.retain = bool(p.flags & 0x01)
+        p.topic, i = _read_utf8(p.body, 0)
+        if p.qos:
+            p.packet_id = int.from_bytes(p.body[i : i + 2], "big")
+            i += 2
+        p.payload = p.body[i:]
+    elif p.type in (PUBACK, SUBACK, SUBSCRIBE):
+        p.packet_id = int.from_bytes(p.body[0:2], "big")
+    return p, end
+
+
+class PacketStream:
+    """Incremental framer over a socket: buffers bytes, yields complete
+    packets. One instance per connection (not thread-safe)."""
+
+    def __init__(self, sock: socket.socket) -> None:
+        self._sock = sock
+        self._buf = b""
+
+    def read_packet(self, timeout: float | None = None) -> Packet | None:
+        """Next complete packet, or None on EOF/timeout."""
+        self._sock.settimeout(timeout)
+        while True:
+            try:
+                pkt, used = parse_packet(self._buf)
+                self._buf = self._buf[used:]
+                return pkt
+            except IndexError:
+                pass
+            try:
+                chunk = self._sock.recv(65536)
+            except (TimeoutError, socket.timeout):
+                return None
+            except OSError:
+                return None
+            if not chunk:
+                return None
+            self._buf += chunk
+
+
+# ---------------------------------------------------------------------------
+# Publisher client (O7: QoS-1 at-least-once publish)
+# ---------------------------------------------------------------------------
+
+
+class MqttPublisher:
+    """Blocking QoS-1 publisher: CONNECT → [PUBLISH, await PUBACK]* →
+    DISCONNECT. On PUBACK timeout the frame is re-sent with DUP=1 —
+    at-least-once, byte-for-byte the contract of the reference's
+    ``client.publish(topic, payload, qos=1)`` (IoTSimulator.java:158-162)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str = "rtpmdp-pub",
+        ack_timeout: float = 5.0,
+        max_retries: int = 3,
+    ) -> None:
+        self._sock = socket.create_connection((host, port), timeout=10.0)
+        self._stream = PacketStream(self._sock)
+        self._ack_timeout = ack_timeout
+        self._max_retries = max_retries
+        self._next_id = 1
+        self._sock.sendall(encode_connect(client_id))
+        ack = self._stream.read_packet(timeout=10.0)
+        if ack is None or ack.type != CONNACK or ack.body[1] != 0:
+            raise ConnectionError("MQTT CONNECT refused")
+
+    def publish(self, topic: str, payload: bytes, qos: int = 1) -> int:
+        """Publish one message; returns the number of transmissions
+        (>1 means DUP re-sends happened — at-least-once in action)."""
+        if qos == 0:
+            self._sock.sendall(encode_publish(topic, payload, qos=0))
+            return 1
+        pid = self._next_id
+        self._next_id = self._next_id % 0xFFFF + 1
+        sends = 0
+        for attempt in range(self._max_retries + 1):
+            self._sock.sendall(
+                encode_publish(topic, payload, qos=1, packet_id=pid, dup=attempt > 0)
+            )
+            sends += 1
+            ack = self._stream.read_packet(timeout=self._ack_timeout)
+            if ack is not None and ack.type == PUBACK and ack.packet_id == pid:
+                return sends
+        raise TimeoutError(f"no PUBACK for packet {pid} after {sends} sends")
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(encode_disconnect())
+        except OSError:
+            pass
+        self._sock.close()
+
+
+def publish_partitions(df, host: str, port: int, topic: str) -> None:
+    """O7 as a distributed Spark sink: every partition opens ITS OWN
+    QoS-1 connection and publishes its rows' ``value`` column — the
+    per-task-producer shape of the Kafka sink, so a 1000-executor
+    cluster publishes in parallel and nothing funnels through the
+    driver. Use inside ``foreachBatch`` for streaming at-least-once
+    (re-run batches re-publish; consumers dedupe within watermark)."""
+
+    def _send(rows) -> None:
+        pub = None
+        try:
+            for row in rows:
+                if pub is None:  # connect lazily: empty partitions stay silent
+                    pub = MqttPublisher(
+                        host, port, client_id=f"rtpmdp-part-{os.getpid()}"
+                    )
+                pub.publish(topic, row["value"].encode("utf-8"), qos=1)
+        finally:
+            if pub is not None:
+                pub.close()
+
+    df.select("value").foreachPartition(_send)
+
+
+# ---------------------------------------------------------------------------
+# Subscriber bridge (O23: subscribe -> replayable spool -> readStream)
+# ---------------------------------------------------------------------------
+
+
+class SubscriberBridge:
+    """O23: CONNECT → SUBSCRIBE QoS 1 → for each PUBLISH, append the
+    payload as one line to a spool file, then PUBACK. The spool is the
+    replayable retention buffer (O12) the raw transport lacks: Spark
+    tails it with ``file_payload_source`` and checkpointed offsets, so
+    a restarted query replays from the file, not the broker.
+
+    PUBACK is sent only AFTER the line is flushed — a crash between
+    write and ack re-delivers (at-least-once), never loses."""
+
+    def __init__(
+        self, host: str, port: int, topic: str, spool_dir: str,
+        client_id: str = "rtpmdp-sub",
+    ) -> None:
+        os.makedirs(spool_dir, exist_ok=True)
+        self._path = os.path.join(spool_dir, "mqtt_spool.jsonl")
+        self._sock = socket.create_connection((host, port), timeout=10.0)
+        self._stream = PacketStream(self._sock)
+        self._sock.sendall(encode_connect(client_id))
+        ack = self._stream.read_packet(timeout=10.0)
+        if ack is None or ack.type != CONNACK or ack.body[1] != 0:
+            raise ConnectionError("MQTT CONNECT refused")
+        self._sock.sendall(encode_subscribe(1, topic, qos=1))
+        sub = self._stream.read_packet(timeout=10.0)
+        if sub is None or sub.type != SUBACK:
+            raise ConnectionError("MQTT SUBSCRIBE not acknowledged")
+        self._stop = threading.Event()
+        self._seen: set[int] = set()  # in-flight dedup by packet id
+        self.received = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self) -> None:
+        with open(self._path, "a", encoding="utf-8") as spool:
+            while not self._stop.is_set():
+                pkt = self._stream.read_packet(timeout=0.25)
+                if pkt is None:
+                    continue
+                if pkt.type == PUBLISH:
+                    # duplicate delivery (DUP resend raced our PUBACK):
+                    # ack again, spool once. ``_seen`` is session-long,
+                    # so a broker reusing a packet id after the 65535
+                    # wrap would be wrongly deduped — acceptable for
+                    # this test bridge; the production contract is the
+                    # downstream dropDuplicatesWithinWatermark.
+                    if pkt.packet_id not in self._seen:
+                        spool.write(pkt.payload.decode("utf-8") + "\n")
+                        spool.flush()
+                        os.fsync(spool.fileno())
+                        self.received += 1
+                        if pkt.packet_id is not None:
+                            self._seen.add(pkt.packet_id)
+                    if pkt.qos == 1 and pkt.packet_id is not None:
+                        self._sock.sendall(encode_puback(pkt.packet_id))
+                elif pkt.type == PINGREQ:
+                    self._sock.sendall(encode_pingresp())
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        try:
+            self._sock.sendall(encode_disconnect())
+        except OSError:
+            pass
+        self._sock.close()
+
+
+# ---------------------------------------------------------------------------
+# Minimal in-process broker (test transport)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Session:
+    sock: socket.socket
+    subs: set = field(default_factory=set)
+    # messages forwarded but not yet PUBACKed: pid -> (topic, payload)
+    inflight: dict = field(default_factory=dict)
+    next_pid: int = 1
+    lock: threading.Lock = field(default_factory=threading.Lock)
+
+
+class MiniBroker:
+    """Deterministic in-process MQTT 3.1.1 broker for tests: exact-topic
+    routing, QoS-1 inbound (PUBACK to publisher AFTER forwarding) and
+    outbound (per-subscriber packet ids + in-flight set). Redelivery is
+    explicit — ``redeliver()`` re-sends every un-acked forward with
+    DUP=1 — so at-least-once tests are deterministic instead of
+    timer-based. Not a production broker; the clients above speak the
+    same frames to a real one."""
+
+    def __init__(self, host: str = "127.0.0.1") -> None:
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((host, 0))
+        self._srv.listen(16)
+        self.host, self.port = self._srv.getsockname()
+        self._sessions: list[_Session] = []
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self.delivered = 0  # total PUBLISH frames forwarded (incl. DUPs)
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+
+    def _accept_loop(self) -> None:
+        self._srv.settimeout(0.25)
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except (TimeoutError, socket.timeout, OSError):
+                continue
+            sess = _Session(sock=conn)
+            with self._lock:
+                self._sessions.append(sess)
+            threading.Thread(
+                target=self._serve, args=(sess,), daemon=True
+            ).start()
+
+    def _serve(self, sess: _Session) -> None:
+        stream = PacketStream(sess.sock)
+        while not self._stop.is_set():
+            pkt = stream.read_packet(timeout=0.25)
+            if pkt is None:
+                if self._stop.is_set():
+                    return
+                continue
+            if pkt.type == CONNECT:
+                sess.sock.sendall(encode_connack())
+            elif pkt.type == SUBSCRIBE:
+                topic, _ = _read_utf8(pkt.body, 2)
+                sess.subs.add(topic)
+                sess.sock.sendall(encode_suback(pkt.packet_id, 1))
+            elif pkt.type == PUBLISH:
+                self._route(pkt)
+                if pkt.qos == 1 and pkt.packet_id is not None:
+                    sess.sock.sendall(encode_puback(pkt.packet_id))
+            elif pkt.type == PUBACK:
+                with sess.lock:
+                    sess.inflight.pop(pkt.packet_id, None)
+            elif pkt.type == PINGREQ:
+                sess.sock.sendall(encode_pingresp())
+            elif pkt.type == DISCONNECT:
+                with self._lock:
+                    if sess in self._sessions:
+                        self._sessions.remove(sess)
+                sess.sock.close()
+                return
+
+    def _route(self, pkt: Packet) -> None:
+        with self._lock:
+            targets = [s for s in self._sessions if pkt.topic in s.subs]
+        for s in targets:
+            with s.lock:
+                pid = s.next_pid
+                s.next_pid = s.next_pid % 0xFFFF + 1
+                s.inflight[pid] = (pkt.topic, pkt.payload)
+                frame = encode_publish(
+                    pkt.topic, pkt.payload, qos=1, packet_id=pid
+                )
+            try:
+                s.sock.sendall(frame)
+                self.delivered += 1
+            except OSError:
+                pass
+
+    def redeliver(self) -> int:
+        """Re-send every un-PUBACKed forward with DUP=1 (deterministic
+        at-least-once trigger for tests); returns frames re-sent."""
+        n = 0
+        with self._lock:
+            sessions = list(self._sessions)
+        for s in sessions:
+            with s.lock:
+                pending = list(s.inflight.items())
+            for pid, (topic, payload) in pending:
+                try:
+                    s.sock.sendall(
+                        encode_publish(topic, payload, qos=1, packet_id=pid, dup=True)
+                    )
+                    self.delivered += 1
+                    n += 1
+                except OSError:
+                    pass
+        return n
+
+    def inflight_count(self) -> int:
+        with self._lock:
+            return sum(len(s.inflight) for s in self._sessions)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        with self._lock:
+            for s in self._sessions:
+                try:
+                    s.sock.close()
+                except OSError:
+                    pass
+            self._sessions.clear()
+        self._srv.close()
