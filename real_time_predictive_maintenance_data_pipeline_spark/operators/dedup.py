@@ -85,13 +85,44 @@ def ngram_jaccard_pairs(
     # Spread BEFORE tokenizing so the hash pass (both the probe side
     # and the broadcast build) parallelizes even when the file scan
     # yields 1-2 partitions (no-op if the input is already spread).
-    d = spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.col(block_col).alias("__blk"),
-        F.array_distinct(
-            F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
-        ).alias("__words"),
-    ).withColumn("__n", F.size("__words"))
+    # The isNotNull filter makes the blocked-join semantics explicit
+    # (NULL blocks never pair): the equi-join already dropped them, and
+    # the within-set fast path below must not resurrect them.
+    d = (
+        spread(df)
+        .filter(F.col(block_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(block_col).alias("__blk"),
+            # Sorted so identical token SETS are identical ARRAYS (the
+            # collapse key); array_intersect is order-independent, so
+            # jaccard values are unchanged.
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)
+                    )
+                )
+            ).alias("__words"),
+        )
+    )
+    # EXACT-DUP COLLAPSE (same argument as minhash_lsh_pairs): an
+    # m-copy token set inside a block otherwise puts m·(m-1)/2 pairs
+    # through the quadratic intersect loop. Group to one representative
+    # per (block, set), pair representatives, expand members after:
+    # within-set pairs are J=1.0 by construction, cross-set pairs
+    # inherit the representatives' exact jaccard. Persist because the
+    # grouped frame feeds both join sides and the within-set branch.
+    d = (
+        d.groupBy("__blk", "__words")
+        .agg(
+            F.min("__id").alias("__id"),
+            F.collect_list("__id").alias("__mem"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+        .withColumn("__n", F.size("__words"))
+        .persist()
+    )
     if 0.0 < threshold < 1.0:
         width = math.log(1.0 / threshold)
         bucket = F.floor(
@@ -114,7 +145,7 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("a.__words"), F.col("b.__words")))
     union = (F.col("a.__n") + F.col("b.__n") - inter).cast("double")
     jac = F.round(inter.cast("double") / union, 4)
-    return (
+    cross = (
         a.join(
             b,
             (F.col("a.__blk") == F.col("b.__blk"))
@@ -123,12 +154,28 @@ def ngram_jaccard_pairs(
             & size_prune,
         )
         .select(
-            F.col("a.__id").alias("doc_a"),
-            F.col("b.__id").alias("doc_b"),
+            F.col("a.__mem").alias("__ma"),
+            F.col("b.__mem").alias("__mb"),
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select(F.explode("__ma").alias("__da"), "__mb", "jaccard")
+        .select("__da", F.explode("__mb").alias("__db"), "jaccard")
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+            "jaccard",
+        )
     )
+    within = (
+        d.filter(F.col("__m") >= 2)
+        .select(F.explode("__mem").alias("doc_a"), "__mem")
+        .select("doc_a", F.explode("__mem").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    return cross.unionByName(within)
 
 
 def minhash_lsh_pairs(
@@ -174,17 +221,47 @@ def minhash_lsh_pairs(
         .select(
             F.col(id_col).alias("__id"),
             # single distinct AFTER hashing — distinct-then-hash-then-
-            # distinct would pay the dedup pass twice (strings + longs)
-            F.array_distinct(
-                F.transform(F.split(F.col(text_col), " "), lambda w: F.xxhash64(w))
+            # distinct would pay the dedup pass twice (strings + longs).
+            # Sorted so identical token SETS are identical ARRAYS (the
+            # collapse key below); minhash folds and array_intersect
+            # are order-independent, so results are unchanged.
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.split(F.col(text_col), " "), lambda w: F.xxhash64(w)
+                    )
+                )
             ).alias("__h"),
         )
         .filter(F.size("__h") > 0)
-        .withColumn("__n", F.size("__h"))
     )
-    # The tokenized frame feeds three plan branches (signatures + both
-    # sides of the verify join); persist so tokenize+hash runs once.
-    d = d.persist()
+    # EXACT-DUP COLLAPSE: real corpora are dense in byte-identical /
+    # token-identical documents (this fixture: 5000 docs -> 3935
+    # distinct sets, one 248-copy group). Identical sets collide in
+    # every band, so without the collapse an m-copy group alone puts
+    # m·(m-1)/2 pairs through the bucket join AND the exact-jaccard
+    # verify. Group to one representative per distinct token set, run
+    # LSH + verify on representatives only, then expand members back:
+    # within-group pairs are J=1.0 by construction (no intersection
+    # computed), cross-group pairs inherit the representatives' exact
+    # jaccard (identical sets => identical similarity). Output is
+    # bit-identical to the uncollapsed pipeline; recall only improves
+    # (identical sets always collide). The member list is one array
+    # row per distinct set — fine to ~1e6 copies of a document; beyond
+    # that run exact_dedup first (same shuffle key, streaming agg).
+    # The grouped frame feeds three plan branches (signatures + both
+    # sides of the verify join); persist so tokenize+hash+group run
+    # once.
+    d = (
+        d.groupBy("__h")
+        .agg(
+            F.min("__id").alias("__id"),
+            F.collect_list("__id").alias("__mem"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+        .withColumn("__n", F.size("__h"))
+        .persist()
+    )
 
     # All k minhashes in ONE fold over the token array: the accumulator
     # is the k-wide running-minimum vector, each token contributes its
@@ -231,8 +308,10 @@ def minhash_lsh_pairs(
     # the dedup shuffle is cheap at any density, while every duplicate
     # that survives into verification pays two array-joins plus an
     # O(|A|+|B|) intersection. Measured on the sf0.1 corpus (dense
-    # near-dup clusters): 4.9M candidate rows → 3.0M distinct — a
-    # 1.64× cut of the dominant verify stage for a ~3 s shuffle.
+    # near-dup clusters, AFTER the exact-dup collapse): 1.28M
+    # representative candidate rows → 0.99M distinct; pre-collapse the
+    # same corpus produced 4.9M → 3.0M, i.e. the collapse removed ~2/3
+    # of the verify work and the band dedup another quarter.
     candidates = (
         a.join(
             b_,
@@ -246,14 +325,21 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Verify joins carry (id, hashes) only; no broadcast hint — at sf0.01
-    # AQE promotes them to broadcast, at 100 TB the corpus side cannot be
-    # broadcast and these become shuffle joins on well-spread doc ids.
+    # Verify joins carry (id, hashes, members) only; no broadcast hint —
+    # at sf0.01 AQE promotes them to broadcast, at 100 TB the corpus
+    # side cannot be broadcast and these become shuffle joins on
+    # well-spread doc ids.
     wa = d.select(
-        F.col("__id").alias("doc_a"), F.col("__h").alias("__ha"), F.col("__n").alias("__na")
+        F.col("__id").alias("doc_a"),
+        F.col("__h").alias("__ha"),
+        F.col("__n").alias("__na"),
+        F.col("__mem").alias("__ma"),
     )
     wb = d.select(
-        F.col("__id").alias("doc_b"), F.col("__h").alias("__hb"), F.col("__n").alias("__nb")
+        F.col("__id").alias("doc_b"),
+        F.col("__h").alias("__hb"),
+        F.col("__n").alias("__nb"),
+        F.col("__mem").alias("__mb"),
     )
     # Size-ratio prune: J ≥ t ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ t — a cheap
     # int predicate that skips the O(|A|+|B|) intersection for most
@@ -268,9 +354,35 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("__ha", "__hb"))
     union = (F.col("__na") + F.col("__nb") - inter).cast("double")
     jac = F.round(inter.cast("double") / union, 4)
-    return verified.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= jaccard_threshold
+    # Cross-set pairs: verify once per representative pair, then expand
+    # to every member combination (same exact jaccard by set identity).
+    # Member ids interleave across sets, so re-orient with
+    # least/greatest to keep the doc_a < doc_b contract.
+    cross = (
+        verified.select("__ma", "__mb", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(F.explode("__ma").alias("__da"), "__mb", "jaccard")
+        .select("__da", F.explode("__mb").alias("__db"), "jaccard")
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+            "jaccard",
+        )
     )
+    # Within-set pairs: identical token sets are J=1.0 by construction —
+    # no bucket join, no intersection; the guard keeps semantics exact
+    # for a (degenerate) threshold > 1.
+    within = (
+        d.filter(F.col("__m") >= 2)
+        .select(F.explode("__mem").alias("doc_a"), "__mem")
+        .select("doc_a", F.explode("__mem").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.lit(1.0).alias("jaccard")
+        )
+        .filter(F.lit(1.0) >= F.lit(jaccard_threshold))
+    )
+    return cross.unionByName(within)
 
 
 def simhash_signatures(

@@ -508,3 +508,117 @@ def test_abc_two_level_prefix_equals_single_window(spark, revs):
         .collect()
     }
     assert got == exact
+
+
+# ---------------------------------------------------------------------------
+# Dedup exact-dup collapse: operator == brute force on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+
+def _spark_round4(x: float):
+    """Spark's round(): HALF_UP over the double's shortest decimal
+    string (see plans/registry.py conventions)."""
+    import decimal
+
+    return decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+    )
+
+
+def _brute_jaccard_pairs(rows, threshold):
+    """All same-block doc pairs with round4(jaccard) >= threshold,
+    straight from Python sets — the oracle for the blocked operator."""
+    out = {}
+    for i, (id_a, lang_a, text_a) in enumerate(rows):
+        for id_b, lang_b, text_b in rows[i + 1 :]:
+            if lang_a != lang_b:
+                continue
+            sa, sb = set(text_a.split(" ")), set(text_b.split(" "))
+            j = len(sa & sb) / len(sa | sb)
+            jr = _spark_round4(j)
+            if jr >= decimal_threshold(threshold):
+                lo, hi = sorted((id_a, id_b))
+                out[(lo, hi)] = jr
+    return out
+
+
+def decimal_threshold(t):
+    import decimal
+
+    return decimal.Decimal(repr(t))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # duplicate-heavy ids -> dropped below
+            st.sampled_from(["en", "de"]),
+            st.lists(
+                st.sampled_from(_WORDS), min_size=1, max_size=6
+            ).map(lambda ws: " ".join(ws)),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.9, 1.0]),
+)
+def test_ngram_jaccard_collapse_equals_bruteforce(spark, rows, threshold):
+    """The exact-dup-collapsed blocked Jaccard operator must emit
+    EXACTLY the brute-force pair set with identical rounded values, on
+    corpora dense in identical token sets (the collapse's hot path) —
+    within-set pairs (J=1), cross-set expansion, block isolation, and
+    threshold boundaries all at once."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators import dedup as D
+
+    # unique ids (hypothesis may repeat); duplicate TEXTS stay — they
+    # are the point
+    uniq = {i: (lang, text) for i, lang, text in rows}
+    data = [(i, lang, text) for i, (lang, text) in uniq.items()]
+    df = spark.createDataFrame(data, "doc_id long, lang string, text string")
+    got = {
+        (r.doc_a, r.doc_b): _spark_round4(r.jaccard)
+        for r in D.ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    want = _brute_jaccard_pairs(data, threshold)
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.lists(
+                st.sampled_from(_WORDS), min_size=1, max_size=6
+            ).map(lambda ws: " ".join(ws)),
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+)
+def test_minhash_collapse_precision_and_identical_recall(spark, rows):
+    """MinHash LSH after the collapse: every emitted pair's jaccard
+    must equal the brute-force value and clear the threshold
+    (precision stays 1.0 by construction), and every IDENTICAL-set
+    pair must be present (identical sets collide in every band, so
+    their recall is deterministic)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators import dedup as D
+
+    uniq = {i: text for i, text in rows}
+    data = [(i, "en", text) for i, text in uniq.items()]
+    df = spark.createDataFrame(data, "doc_id long, lang string, text string")
+    got = {
+        (r.doc_a, r.doc_b): _spark_round4(r.jaccard)
+        for r in D.minhash_lsh_pairs(df, jaccard_threshold=0.9).collect()
+    }
+    brute = _brute_jaccard_pairs(data, 0.0)  # all pairs with values
+    for pair, j in got.items():
+        assert pair in brute and brute[pair] == j
+        assert j >= decimal_threshold(0.9)
+    identical = {
+        p for p, j in brute.items() if j == decimal_threshold(1.0)
+    }
+    assert identical <= set(got)
