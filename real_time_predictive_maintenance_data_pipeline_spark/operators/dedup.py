@@ -475,10 +475,27 @@ def banded_hamming_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     ``max_hamming ≤ 3``, probabilistic above. Shared by text SimHash and
     multimodal perceptual-hash dedup; scale properties as documented on
     ``simhash_banded_pairs``. Returns (doc_a, doc_b, hamming)."""
+    # IDENTICAL-SIGNATURE COLLAPSE (same argument as the exact-dup
+    # collapse in minhash_lsh_pairs): exact duplicates share a
+    # signature, collide in every chunk, and would push m·(m-1)/2 pairs
+    # through the band join each. Group to one representative per
+    # signature, band-join representatives, expand members afterwards:
+    # within-signature pairs are Hamming 0 by construction, cross pairs
+    # inherit the representatives' XOR popcount.
+    g = (
+        sigs.groupBy("__sig")
+        .agg(
+            F.min("__id").alias("__id"),
+            F.collect_list("__id").alias("__mem"),
+            F.count(F.lit(1)).alias("__m"),
+        )
+        .persist()
+    )
     shr = lambda h, i: F.call_function("shiftright", h, i)  # noqa: E731
-    chunks = sigs.select(
+    chunks = g.select(
         "__id",
         "__sig",
+        "__mem",
         F.posexplode(
             F.array(
                 *[
@@ -491,7 +508,7 @@ def banded_hamming_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     a = chunks.alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))
-    return (
+    cross = (
         a.join(
             b,
             (F.col("a.__chunk") == F.col("b.__chunk"))
@@ -499,15 +516,35 @@ def banded_hamming_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
-            F.col("a.__id").alias("doc_a"),
-            F.col("b.__id").alias("doc_b"),
+            F.col("a.__id").alias("__ra"),
+            F.col("b.__id").alias("__rb"),
+            F.col("a.__mem").alias("__ma"),
+            F.col("b.__mem").alias("__mb"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         # a pair within distance d agrees on >= 4-d chunks → appears up
-        # to 4 times; the verified set is the smallest place to dedup
-        .dropDuplicates(["doc_a", "doc_b"])
+        # to 4 times; dedup on the representative pair BEFORE expansion
+        # (the smallest place)
+        .dropDuplicates(["__ra", "__rb"])
+        .select(F.explode("__ma").alias("__da"), "__mb", "hamming")
+        .select("__da", F.explode("__mb").alias("__db"), "hamming")
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+            "hamming",
+        )
     )
+    within = (
+        g.filter(F.col("__m") >= 2)
+        .select(F.explode("__mem").alias("doc_a"), "__mem")
+        .select("doc_a", F.explode("__mem").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).alias("hamming"))
+        # keeps semantics exact for a (degenerate) negative max_hamming
+        .filter(F.lit(0) <= F.lit(max_hamming))
+    )
+    return cross.unionByName(within)
 
 
 def simhash_pairs(

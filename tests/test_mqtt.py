@@ -188,6 +188,26 @@ def test_qos1_redelivery_is_at_least_once(broker):
     sock.close()
 
 
+def test_broker_survives_malformed_frames(broker, tmp_path):
+    """A client sending spec-violating bytes (remaining-length field
+    longer than 4 bytes) must cost only ITS connection — the broker
+    keeps serving every other session."""
+    rogue = socket.create_connection((broker.host, broker.port), timeout=5)
+    rogue.sendall(b"\xff" * 8)  # malformed remaining length
+    time.sleep(0.2)
+
+    sub = SubscriberBridge(broker.host, broker.port, TOPIC, str(tmp_path / "sp"))
+    pub = MqttPublisher(broker.host, broker.port)
+    pub.publish(TOPIC, b"still-alive", qos=1)
+    deadline = time.time() + 5
+    while sub.received < 1 and time.time() < deadline:
+        time.sleep(0.05)
+    assert sub.received == 1
+    pub.close()
+    sub.close()
+    rogue.close()
+
+
 # ---------------------------------------------------------------------------
 # Spark end-to-end: distributed publish -> broker -> bridge -> parse
 # ---------------------------------------------------------------------------
