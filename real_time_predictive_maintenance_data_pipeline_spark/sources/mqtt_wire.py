@@ -444,7 +444,16 @@ class MiniBroker:
     def _serve(self, sess: _Session) -> None:
         stream = PacketStream(sess.sock)
         while not self._stop.is_set():
-            pkt = stream.read_packet(timeout=0.25)
+            try:
+                pkt = stream.read_packet(timeout=0.25)
+            except ValueError:
+                # malformed frame (spec violation): drop THIS connection,
+                # keep serving every other session
+                with self._lock:
+                    if sess in self._sessions:
+                        self._sessions.remove(sess)
+                sess.sock.close()
+                return
             if pkt is None:
                 if self._stop.is_set():
                     return
