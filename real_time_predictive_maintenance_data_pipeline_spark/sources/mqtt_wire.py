@@ -458,21 +458,29 @@ class MiniBroker:
                 if self._stop.is_set():
                     return
                 continue
+            # Every write to a session socket holds that session's lock:
+            # concurrent publishers route into the SAME subscriber
+            # session from their own serve threads, and two unserialized
+            # sendall() calls can interleave partial frames on the wire.
             if pkt.type == CONNECT:
-                sess.sock.sendall(encode_connack())
+                with sess.lock:
+                    sess.sock.sendall(encode_connack())
             elif pkt.type == SUBSCRIBE:
                 topic, _ = _read_utf8(pkt.body, 2)
                 sess.subs.add(topic)
-                sess.sock.sendall(encode_suback(pkt.packet_id, 1))
+                with sess.lock:
+                    sess.sock.sendall(encode_suback(pkt.packet_id, 1))
             elif pkt.type == PUBLISH:
                 self._route(pkt)
                 if pkt.qos == 1 and pkt.packet_id is not None:
-                    sess.sock.sendall(encode_puback(pkt.packet_id))
+                    with sess.lock:
+                        sess.sock.sendall(encode_puback(pkt.packet_id))
             elif pkt.type == PUBACK:
                 with sess.lock:
                     sess.inflight.pop(pkt.packet_id, None)
             elif pkt.type == PINGREQ:
-                sess.sock.sendall(encode_pingresp())
+                with sess.lock:
+                    sess.sock.sendall(encode_pingresp())
             elif pkt.type == DISCONNECT:
                 with self._lock:
                     if sess in self._sessions:
@@ -484,6 +492,8 @@ class MiniBroker:
         with self._lock:
             targets = [s for s in self._sessions if pkt.topic in s.subs]
         for s in targets:
+            # send INSIDE the session lock — see _serve: unserialized
+            # writers interleave partial frames
             with s.lock:
                 pid = s.next_pid
                 s.next_pid = s.next_pid % 0xFFFF + 1
@@ -491,11 +501,11 @@ class MiniBroker:
                 frame = encode_publish(
                     pkt.topic, pkt.payload, qos=1, packet_id=pid
                 )
-            try:
-                s.sock.sendall(frame)
-                self.delivered += 1
-            except OSError:
-                pass
+                try:
+                    s.sock.sendall(frame)
+                    self.delivered += 1
+                except OSError:
+                    pass
 
     def redeliver(self) -> int:
         """Re-send every un-PUBACKed forward with DUP=1 (deterministic
