@@ -36,6 +36,8 @@ from __future__ import annotations
 import os
 import socket
 import threading
+import time
+import uuid
 from dataclasses import dataclass, field
 
 # MQTT 3.1.1 control-packet types (spec §2.2.1)
@@ -281,9 +283,23 @@ class MqttPublisher:
                 encode_publish(topic, payload, qos=1, packet_id=pid, dup=attempt > 0)
             )
             sends += 1
-            ack = self._stream.read_packet(timeout=self._ack_timeout)
-            if ack is not None and ack.type == PUBACK and ack.packet_id == pid:
-                return sends
+            # Drain packets until THE matching PUBACK or the per-attempt
+            # deadline: a stale PUBACK from a prior DUP re-send or a
+            # broker PINGRESP must not consume the attempt's only read
+            # and trigger a spurious re-send (or worse, a TimeoutError
+            # with the real ack sitting in the buffer).
+            deadline = time.monotonic() + self._ack_timeout
+            while True:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                ack = self._stream.read_packet(timeout=remaining)
+                if ack is None:
+                    break
+                if ack.type == PUBACK and ack.packet_id == pid:
+                    return sends
+                # non-PUBACK (PINGRESP, ...) or PUBACK for an older id:
+                # ignore and keep draining within the deadline
         raise TimeoutError(f"no PUBACK for packet {pid} after {sends} sends")
 
     def close(self) -> None:
@@ -292,6 +308,15 @@ class MqttPublisher:
         except OSError:
             pass
         self._sock.close()
+
+
+def unique_client_id(prefix: str = "rtpmdp") -> str:
+    """Globally unique ClientId. MQTT 3.1.1 [MQTT-3.1.3-2]: a broker
+    MUST disconnect the existing session when a second client connects
+    with the same id — so pid-only ids (which collide across executor
+    hosts and recycle) would let concurrent partition publishers steal
+    each other's sessions mid-batch on a real broker."""
+    return f"{prefix}-{socket.gethostname()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
 
 
 def publish_partitions(df, host: str, port: int, topic: str) -> None:
@@ -308,7 +333,7 @@ def publish_partitions(df, host: str, port: int, topic: str) -> None:
             for row in rows:
                 if pub is None:  # connect lazily: empty partitions stay silent
                     pub = MqttPublisher(
-                        host, port, client_id=f"rtpmdp-part-{os.getpid()}"
+                        host, port, client_id=unique_client_id("rtpmdp-part")
                     )
                 pub.publish(topic, row["value"].encode("utf-8"), qos=1)
         finally:
@@ -352,33 +377,55 @@ class SubscriberBridge:
         self._stop = threading.Event()
         self._seen: set[int] = set()  # in-flight dedup by packet id
         self.received = 0
+        self.rejected = 0  # non-UTF-8 / newline-bearing payloads (quarantined)
+        self._error: BaseException | None = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def _loop(self) -> None:
-        with open(self._path, "a", encoding="utf-8") as spool:
-            while not self._stop.is_set():
-                pkt = self._stream.read_packet(timeout=0.25)
-                if pkt is None:
-                    continue
-                if pkt.type == PUBLISH:
-                    # duplicate delivery (DUP resend raced our PUBACK):
-                    # ack again, spool once. ``_seen`` is session-long,
-                    # so a broker reusing a packet id after the 65535
-                    # wrap would be wrongly deduped — acceptable for
-                    # this test bridge; the production contract is the
-                    # downstream dropDuplicatesWithinWatermark.
-                    if pkt.packet_id not in self._seen:
-                        spool.write(pkt.payload.decode("utf-8") + "\n")
-                        spool.flush()
-                        os.fsync(spool.fileno())
-                        self.received += 1
-                        if pkt.packet_id is not None:
-                            self._seen.add(pkt.packet_id)
-                    if pkt.qos == 1 and pkt.packet_id is not None:
-                        self._sock.sendall(encode_puback(pkt.packet_id))
-                elif pkt.type == PINGREQ:
-                    self._sock.sendall(encode_pingresp())
+        try:
+            with open(self._path, "a", encoding="utf-8") as spool:
+                while not self._stop.is_set():
+                    pkt = self._stream.read_packet(timeout=0.25)
+                    if pkt is None:
+                        continue
+                    if pkt.type == PUBLISH:
+                        # duplicate delivery (DUP resend raced our PUBACK):
+                        # ack again, spool once. ``_seen`` is session-long,
+                        # so a broker reusing a packet id after the 65535
+                        # wrap would be wrongly deduped — acceptable for
+                        # this test bridge; the production contract is the
+                        # downstream dropDuplicatesWithinWatermark.
+                        if pkt.packet_id not in self._seen:
+                            # the spool is line-per-record: a payload that
+                            # is not valid UTF-8 or embeds a newline would
+                            # corrupt framing (one message splitting into
+                            # several records), so quarantine it — count,
+                            # ack, never spool (same PERMISSIVE+quarantine
+                            # contract as the lake sink, O15/O24).
+                            try:
+                                text = pkt.payload.decode("utf-8")
+                            except UnicodeDecodeError:
+                                text = None
+                            if text is None or "\n" in text or "\r" in text:
+                                self.rejected += 1
+                            else:
+                                spool.write(text + "\n")
+                                spool.flush()
+                                os.fsync(spool.fileno())
+                                self.received += 1
+                            if pkt.packet_id is not None:
+                                self._seen.add(pkt.packet_id)
+                        if pkt.qos == 1 and pkt.packet_id is not None:
+                            self._sock.sendall(encode_puback(pkt.packet_id))
+                    elif pkt.type == PINGREQ:
+                        self._sock.sendall(encode_pingresp())
+        except BaseException as exc:  # noqa: BLE001 — surfaced via close()
+            # A malformed frame (ValueError from parse_packet) or socket
+            # error must not silently kill the spool thread: store the
+            # error so close() re-raises it to the caller instead of the
+            # caller watching ``received`` stall with no explanation.
+            self._error = exc
 
     def close(self) -> None:
         self._stop.set()
@@ -388,6 +435,8 @@ class SubscriberBridge:
         except OSError:
             pass
         self._sock.close()
+        if self._error is not None:
+            raise RuntimeError("MQTT subscriber thread died") from self._error
 
 
 # ---------------------------------------------------------------------------
@@ -514,17 +563,22 @@ class MiniBroker:
         with self._lock:
             sessions = list(self._sessions)
         for s in sessions:
+            # snapshot AND send inside the same session lock — the module
+            # invariant is that every write to a session socket holds that
+            # session's lock, else a concurrent _route/_serve write can
+            # interleave partial frames and corrupt the stream
             with s.lock:
-                pending = list(s.inflight.items())
-            for pid, (topic, payload) in pending:
-                try:
-                    s.sock.sendall(
-                        encode_publish(topic, payload, qos=1, packet_id=pid, dup=True)
-                    )
-                    self.delivered += 1
-                    n += 1
-                except OSError:
-                    pass
+                for pid, (topic, payload) in list(s.inflight.items()):
+                    try:
+                        s.sock.sendall(
+                            encode_publish(
+                                topic, payload, qos=1, packet_id=pid, dup=True
+                            )
+                        )
+                        self.delivered += 1
+                        n += 1
+                    except OSError:
+                        pass
         return n
 
     def inflight_count(self) -> int:

@@ -268,3 +268,130 @@ def test_spark_mqtt_roundtrip_end_to_end(spark, broker, tmp_path):
         for i in range(n)
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-7 hardening (ADVICE r6): drain stale packets, quarantine bad
+# payloads, surface loop errors, globally-unique client ids
+# ---------------------------------------------------------------------------
+
+
+def test_publish_drains_stale_packets_before_matching_puback():
+    """A PINGRESP or a stale PUBACK sitting in the buffer ahead of the
+    matching PUBACK must not consume the attempt's read: publish keeps
+    draining within the ack deadline and returns after ONE send."""
+    import threading
+
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_wire import (
+        encode_connack,
+        encode_pingresp,
+        encode_puback,
+    )
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    host, port = srv.getsockname()
+
+    def fake_broker():
+        conn, _ = srv.accept()
+        stream = PacketStream(conn)
+        assert stream.read_packet(timeout=5).type != PUBLISH  # CONNECT
+        conn.sendall(encode_connack())
+        pkt = stream.read_packet(timeout=5)
+        assert pkt.type == PUBLISH
+        # noise FIRST: a ping response and a PUBACK for a different id,
+        # THEN the real ack — all in one burst
+        conn.sendall(
+            encode_pingresp()
+            + encode_puback((pkt.packet_id % 0xFFFF) + 1)
+            + encode_puback(pkt.packet_id)
+        )
+        stream.read_packet(timeout=5)  # DISCONNECT (or EOF)
+        conn.close()
+
+    t = threading.Thread(target=fake_broker, daemon=True)
+    t.start()
+    pub = MqttPublisher(host, port, ack_timeout=5.0)
+    sends = pub.publish(TOPIC, b"payload", qos=1)
+    assert sends == 1  # no spurious DUP re-send, no TimeoutError
+    pub.close()
+    t.join(timeout=5)
+    srv.close()
+
+
+def test_subscriber_quarantines_newline_and_binary_payloads(broker, tmp_path):
+    """The spool is line-per-record: payloads that are not valid UTF-8
+    or embed newlines are counted in ``rejected`` and PUBACKed but never
+    written — one message can never split into several spool records."""
+    sub = SubscriberBridge(broker.host, broker.port, TOPIC, str(tmp_path / "sp"))
+    pub = MqttPublisher(broker.host, broker.port)
+    pub.publish(TOPIC, b"good-1", qos=1)
+    pub.publish(TOPIC, b"evil\nsplit", qos=1)   # embedded newline
+    pub.publish(TOPIC, b"\xff\xfe\x00bad", qos=1)  # not UTF-8
+    pub.publish(TOPIC, b"good-2", qos=1)
+    deadline = time.time() + 10
+    while sub.received + sub.rejected < 4 and time.time() < deadline:
+        time.sleep(0.05)
+    pub.close()
+    sub.close()
+    assert (sub.received, sub.rejected) == (2, 2)
+    got = (tmp_path / "sp" / "mqtt_spool.jsonl").read_text().splitlines()
+    assert got == ["good-1", "good-2"]
+    assert broker.inflight_count() == 0  # quarantined frames still acked
+
+
+def test_subscriber_surfaces_loop_error_on_close():
+    """A malformed frame kills the spool thread — close() must re-raise
+    the stored error instead of the caller watching ``received`` stall."""
+    import threading
+
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_wire import (
+        encode_connack,
+        encode_suback,
+    )
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    host, port = srv.getsockname()
+
+    def evil_broker():
+        conn, _ = srv.accept()
+        stream = PacketStream(conn)
+        stream.read_packet(timeout=5)  # CONNECT
+        conn.sendall(encode_connack())
+        stream.read_packet(timeout=5)  # SUBSCRIBE
+        conn.sendall(encode_suback(1, 1))
+        time.sleep(0.1)
+        conn.sendall(b"\xff" * 8)  # malformed remaining length
+        time.sleep(1.0)
+        conn.close()
+
+    t = threading.Thread(target=evil_broker, daemon=True)
+    t.start()
+    sub = SubscriberBridge(host, port, TOPIC, str(__import__("tempfile").mkdtemp()))
+    deadline = time.time() + 5
+    while sub._error is None and time.time() < deadline:
+        time.sleep(0.05)
+    with pytest.raises(RuntimeError, match="subscriber thread died"):
+        sub.close()
+    t.join(timeout=5)
+    srv.close()
+
+
+def test_unique_client_id_is_globally_unique():
+    """[MQTT-3.1.3-2]: duplicate ClientIds make a broker disconnect the
+    existing session — partition publishers must never collide even on
+    the same host+pid (uuid suffix) and must differ across hosts
+    (hostname component)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_wire import (
+        unique_client_id,
+    )
+
+    ids = {unique_client_id("rtpmdp-part") for _ in range(100)}
+    assert len(ids) == 100
+    one = ids.pop()
+    assert socket.gethostname() in one and one.startswith("rtpmdp-part-")
