@@ -482,8 +482,13 @@ def banded_hamming_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     # signature, band-join representatives, expand members afterwards:
     # within-signature pairs are Hamming 0 by construction, cross pairs
     # inherit the representatives' XOR popcount.
+    # NULL signatures (e.g. null text -> null simhash) never paired
+    # before the collapse (null chunk keys don't equi-join); filter them
+    # so they don't collapse into one group and emit bogus hamming-0
+    # pairs among themselves.
     g = (
-        sigs.groupBy("__sig")
+        sigs.filter(F.col("__sig").isNotNull())
+        .groupBy("__sig")
         .agg(
             F.min("__id").alias("__id"),
             F.collect_list("__id").alias("__mem"),

@@ -333,3 +333,17 @@ def test_exact_stratified_sample_sizes_and_stability(spark, docs):
     ids3 = {r.doc_id for r in grown.filter(F.col("lang") != "en").select("doc_id").collect()}
     assert ids3 == {i for i in ids1 if i not in
                     {r.doc_id for r in docs.filter(F.col("lang") == "en").select("doc_id").collect()}}
+
+
+def test_banded_hamming_null_signatures_never_pair(spark):
+    """Null signatures (null text -> null simhash) must produce NO pairs
+    — pre-collapse they never equi-joined (null chunk keys); the round-6
+    representative collapse must not group them into a bogus hamming-0
+    clique (r6 ADVICE)."""
+    sigs = spark.createDataFrame(
+        [("a", 7), ("b", 7), ("c", None), ("d", None), ("e", None)],
+        "__id string, __sig long",
+    )
+    pairs = D.banded_hamming_pairs(sigs, max_hamming=3).collect()
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in pairs}
+    assert got == {("a", "b", 0)}  # identical non-null sigs pair; nulls never
