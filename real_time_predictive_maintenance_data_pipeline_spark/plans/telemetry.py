@@ -61,6 +61,64 @@ def telemetry_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "telemetry_mqtt_roundtrip",
+    oracle=None,
+    tags=("telemetry", "streaming", "eager-io"),
+)
+def telemetry_mqtt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7+O23 over the ACTUAL wire protocol as a driver-checkable query:
+    a seeded telemetry batch is struct-packed → JSON-serialized (O5/O6)
+    → published by per-partition QoS-1 MQTT 3.1.1 publishers over live
+    TCP (O7, IoTSimulator.java:158-162) → routed by an in-process broker
+    → spooled by the subscribe bridge which PUBACKs after flush (O23,
+    realtime_inference.py:81-89) → read back and pushed through the
+    PERMISSIVE parse + quarantine path (O24). Returns one row of
+    delivery + sensor stats; every byte crossed a real socket as MQTT
+    frames. Engine-generated + wire-dependent, so rows-only;
+    tests/test_mqtt.py pins the transport semantics frame by frame."""
+    import os
+    import time
+
+    from ..sources.mqtt_wire import MiniBroker, SubscriberBridge, publish_partitions
+    from ..sources.scratch import scratch_dir
+    from ..sources.streams import TELEMETRY_TOPIC
+    from ..streaming.pipeline import parse_telemetry, quarantine_split
+
+    n = 400
+    broker = MiniBroker()
+    spool = scratch_dir(prefix="rtpmdp_mqtt_")
+    sub = SubscriberBridge(broker.host, broker.port, TELEMETRY_TOPIC, spool)
+    try:
+        wire = (
+            stream_telemetry_batch(spark, n=n)
+            .repartition(4)
+            .select(
+                to_payload_json(
+                    F.col("machineId"),
+                    F.col("temperature"),
+                    F.col("vibration"),
+                    F.col("timestamp"),
+                ).alias("value")
+            )
+        )
+        publish_partitions(wire, broker.host, broker.port, TELEMETRY_TOPIC)
+        deadline = time.time() + 60
+        while sub.received < n and time.time() < deadline:
+            time.sleep(0.05)
+    finally:
+        sub.close()
+        broker.close()
+    back = spark.read.text(os.path.join(spool, "mqtt_spool.jsonl"))
+    good, bad = quarantine_split(parse_telemetry(back))
+    return good.agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.countDistinct("machineId").alias("n_machines"),
+        F.round(F.avg("temperature"), 2).alias("avg_temp"),
+        F.round(F.avg("vibration"), 2).alias("avg_vib"),
+    ).withColumn("n_quarantined", F.lit(bad.count()).cast("bigint"))
+
+
 @register("telemetry_score_500k", oracle=None, bench=True, tags=("telemetry", "ml"))
 def telemetry_score_500k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scoring-path throughput headline: vectorized RF scoring of 500 k

@@ -395,3 +395,16 @@ def test_unique_client_id_is_globally_unique():
     assert len(ids) == 100
     one = ids.pop()
     assert socket.gethostname() in one and one.startswith("rtpmdp-part-")
+
+
+def test_mqtt_roundtrip_catalog_query_delivers_all(spark):
+    """The driver-facing ``telemetry_mqtt_roundtrip`` query must deliver
+    every payload over the wire (QoS 1, healthy in-process link) with
+    nothing quarantined — the rows-only driver row then rests on a
+    locally-pinned exact contract, not just 'returned rows'."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    row = all_queries()["telemetry_mqtt_roundtrip"].spark(spark, "").first()
+    assert row.n_delivered == 400
+    assert row.n_quarantined == 0
+    assert row.n_machines >= 1

@@ -974,3 +974,50 @@ def test_socket_transport_live(spark):
         q1.stop()
         q2.stop()
         srv.close()
+
+
+def test_backpressure_max_files_per_trigger(spark, tmp_path):
+    """Backpressure proof (SURVEY §2.3): the reference has NO
+    backpressure at all — its loop blocks at 1 msg/s
+    (IoTSimulator.java:165). The engine's bound is per-trigger intake
+    caps: ``maxFilesPerTrigger`` on the file transport (the exercisable
+    twin of the Kafka path's ``maxOffsetsPerTrigger``, which is pinned
+    as config in ``kafka_source_options``). Six payload files with an
+    intake cap of 2 must drain in >= 3 micro-batches, every batch's
+    numInputRows bounded by cap x rows-per-file — bounded memory per
+    trigger no matter how deep the backlog."""
+    from real_time_predictive_maintenance_data_pipeline_spark.functions.telemetry import (
+        to_payload_json,
+    )
+
+    d = tmp_path / "backlog"
+    d.mkdir()
+    rows_per_file, n_files = 50, 6
+    rows = (
+        stream_telemetry_batch(spark, n=rows_per_file * n_files)
+        .select(
+            to_payload_json(
+                F.col("machineId"),
+                F.col("temperature"),
+                F.col("vibration"),
+                F.col("timestamp"),
+            ).alias("v")
+        )
+        .collect()
+    )
+    for i in range(n_files):
+        chunk = rows[i * rows_per_file : (i + 1) * rows_per_file]
+        (d / f"part-{i}.json").write_text("\n".join(r.v for r in chunk))
+
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", "2").text(str(d))
+    )
+    good, _ = quarantine_split(parse_telemetry(raw))
+    q = _drain_to_memory(good, "t_backpressure")
+    assert spark.table("t_backpressure").count() == rows_per_file * n_files
+
+    progress = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(progress) >= 3  # 6 files / cap 2 -> at least 3 batches
+    assert all(
+        p["numInputRows"] <= 2 * rows_per_file for p in progress
+    )  # no trigger ever ingests more than the cap allows
