@@ -75,58 +75,131 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 6
+_ROTATED_FOR_ROUND = 7
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # round 5 had ZERO failures (CORRECTNESS_r05.json: 40 hash-green + 10
-    # rows-only by contract) — nothing to re-check.
+    # DRIVER-SCALE RE-RUN, NOT A REGRESSION. Round 6 had ZERO failures
+    # (CORRECTNESS_r06.json: 48 hash-green + 2 rows-only by contract).
+    # These 34 slots re-verify already-green queries at driver scale per
+    # the round-6 verdict's task 1: the ML/ANN/dedup/multimodal set whose
+    # prior driver rows were rows-only-by-contract (their correctness
+    # lives in local recall/precision/equality gates; a fresh driver-scale
+    # run keeps the rows-only evidence current after the round-6
+    # exact-dup-collapse rewrite of the pair-generation operators), plus
+    # the four queries whose DuckDB oracles were upgraded in round 6 to
+    # CAST the float32 cosine to DOUBLE before ROUND (dedup_embedding_pairs,
+    # sim_topk_bruteforce, sim_knn_batch, sim_hard_negatives — hash-green
+    # r01/r03 under the OLD oracle text; fresh hash-green rows under the
+    # byte-strict oracle are worth having).
+    #
+    # ANN / similarity search (rows-only by contract + local recall gates)
+    "sem_dedup",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_pq_adc_topk",
+    "sim_ivf_pq_topk",
+    # float32→DOUBLE oracle upgrades from round 6 (hash oracles changed)
+    "sim_topk_bruteforce",
+    "sim_knn_batch",
+    "sim_hard_negatives",
+    "dedup_embedding_pairs",
+    # dedup surface (round-6 exact-dup-collapse touched these paths)
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_banded",
+    "dedup_clusters",
+    # ML ops (rows-only by contract + local quantitative gates)
+    "ml_als_recommend",
+    "ml_cv_model_selection",
+    "ml_kmeans_embeddings",
+    "ml_isotonic_calibration",
+    "ml_quality_classifier",
+    "ml_survival_aft",
+    # BPE + corpus ops
+    "doc_bpe_vocab",
+    "doc_bpe_encode",
+    "doc_compression_ratio",
+    "doc_dup_pagerank",
+    "doc_stratified_sample",
+    # multimodal rows
+    "mm_feature_extract",
+    "mm_resize",
+    "mm_phash_neardup",
+    # embedding analytics
+    "emb_pca_whitening",
+    "emb_pq_codes",
+    # approx/sketch built-ins (epsilon-gated rows-only)
+    "rel_approx_distinct",
+    "rel_approx_quantile",
+    "rel_hll_partial_merge",
+    # streaming pipeline row (rows-only smoke at driver scale);
+    # telemetry_score_500k stays rotated out — it re-earns evidence in
+    # every round's BENCH_r{N}.json as a headline query.
+    "telemetry_stream_roundtrip",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # round-6 window: the 2 rows-only leftovers that did not fit round 5
-    # plus the 48-query round-5 analytics wave (plans/analytics.py, all
-    # oracled, locally hash-verified at sf0.001/sf0.01/sf0.1) = exactly
-    # 50, as pre-planned in the round-5 registry comment.
+    # round-7 window: the 16 never-driver-checked names — the 12
+    # late-round-5 experimentation/SQL-surface queries plus round 6's
+    # four scale-safe metric rewrites — exactly as pre-planned in the
+    # round-5/round-6 registry comments and the round-6 verdict. All 16
+    # were independently judge-swept hash-green (rel_rfm_bucketed
+    # rows-only by declared contract) at sf0.01 in round 6.
+    # 34 rechecks + 16 = exactly one 50-slot window. After this round the
+    # ENTIRE catalog has driver rows.
     #
-    # ROUND-7 PLAN (recorded per the r5 verdict's task 4): after this
-    # round the never-checked set is 16 queries — the 12 late-round-5
-    # ones (rel_cuped_adjustment [sufficient-stats + data-derived cut,
-    # r6], rel_srm_check, rel_experiment_mde, rel_bootstrap_ci,
-    # rel_skew_report, rel_join_explosion_estimate,
-    # rel_offset_fetch_pagination, rel_union_by_name_missing,
-    # rel_null_ordering_rank, rel_proportions_ztest,
-    # events_error_rate_wilson, ts_week_over_week) plus round 6's four
-    # scale-safe variants (ml_roc_auc_hist, ml_lift_bucketed,
-    # rel_abc_prefix2 oracled; rel_rfm_bucketed rows-only). Pack r7 as:
-    # those 16 first; spend the remaining 34 slots on RE-verification
-    # of the highest-value rows-only queries at driver scale via
-    # _RECHECK_FIRST with an explicit "driver-scale re-run, not a
-    # regression" note (the ML/ANN set: sem_dedup, sim_pq_adc_topk,
-    # sim_ivf_pq_topk, sim_ann_lsh, sim_ivf_topk, ml_als_recommend,
-    # ml_cv_model_selection, ml_kmeans_embeddings, dedup_minhash_lsh,
-    # dedup_simhash, dedup_clusters, doc_bpe_vocab/encode, the mm_*
-    # multimodal rows, emb_pca_whitening, emb_pq_codes, plus the four
-    # byte-strict-oracle upgrades from r6: dedup_embedding_pairs,
-    # sim_topk_bruteforce, sim_knn_batch, sim_hard_negatives — their
-    # oracles now CAST the float32 cosine to DOUBLE, worth fresh green
-    # rows). 16 + 34 = exactly one 50-slot window. Do NOT pad with a
-    # new catalog wave unless it serves a real §2.4 gap.
-    "ml_cv_model_selection",
-    "rel_approx_quantile",
-    # Business analytics
+    # ROUND-8+ STEADY-STATE POLICY (recorded per the r6 verdict's task 6):
+    # once every catalog name has a driver row, the window stops chasing
+    # coverage and becomes a ROTATING RECHECK: pack _RECHECK_FIRST with
+    # (a) any query whose Spark plan or oracle text changed this round
+    # (mandatory), then (b) the least-recently-driver-checked 50-name
+    # slice of the catalog in age order (ties by registration order), so
+    # the whole catalog re-earns driver evidence roughly every 6-7
+    # rounds. New queries enter only to serve a real SURVEY §2.4 gap and
+    # go to the front of the next window. sf0.1 sweeps via
+    # tools/sweep_catalog.py remain the pre-commit gate for any
+    # float-sensitive change.
+    # Scale-safe metric rewrites (round 6)
+    "ml_roc_auc_hist",
+    "ml_lift_bucketed",
+    "rel_abc_prefix2",
+    "rel_rfm_bucketed",
+    # Experimentation & ops meta-analytics (late round 5)
+    "rel_cuped_adjustment",
+    "rel_srm_check",
+    "rel_experiment_mde",
+    "rel_bootstrap_ci",
+    "rel_proportions_ztest",
+    "events_error_rate_wilson",
+    "rel_skew_report",
+    "rel_join_explosion_estimate",
+    # SQL-surface completion (late round 5)
+    "rel_offset_fetch_pagination",
+    "rel_union_by_name_missing",
+    "rel_null_ordering_rank",
+    "ts_week_over_week",
+    # round-7 addition (serves the r6 verdict's §2.3 gap list): the MQTT
+    # 3.1.1 wire transport end-to-end as a driver query — publish via
+    # per-partition QoS-1 connections, broker-route, spool, parse.
+    "telemetry_mqtt_roundtrip",
+)
+
+_DRIVER_VERIFIED: tuple[str, ...] = (
+    # round 6 (CORRECTNESS_r06.json): 48 hash-green + 2 rows-only by
+    # contract (ml_cv_model_selection, rel_approx_quantile — both in the
+    # declared oracle=None set), 0 failures. The two rows-only names sit
+    # in the round-7 _RECHECK_FIRST block above, not here.
     "rel_rfm_segmentation",
     "rel_abc_classification",
     "rel_yoy_growth",
     "rel_cohort_ltv",
     "rel_percent_of_total",
     "rel_new_vs_returning",
-    # Inequality & distribution statistics
     "rel_gini_coefficient",
     "rel_herfindahl_index",
     "rel_entropy_by_group",
     "rel_top_decile_ratio",
     "doc_js_divergence",
-    # Engagement / activity analytics
     "events_dau_stickiness",
     "events_interarrival_stats",
     "events_autocorr_lag1",
@@ -134,24 +207,20 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "events_weekday_profile",
     "events_cumulative_users",
     "events_hourly_heatmap",
-    # Control charts & forecast baselines
     "ts_bollinger_bands",
     "ts_max_drawdown",
     "ts_xmr_control",
     "ts_naive_forecast_error",
-    # Text & corpus profile
     "doc_ttr",
     "doc_hapax_ratio",
     "doc_word_len_profile",
     "doc_shingle_uniqueness",
-    # ML evaluation metrics
     "ml_roc_auc",
     "ml_lift_deciles",
     "ml_confusion_threshold",
     "ml_ndcg_at_k",
     "ml_brier_calibration",
     "ml_precision_at_k",
-    # SQL/API breadth
     "rel_pivot_multi_agg",
     "rel_collect_sorted_string",
     "rel_word_positions",
@@ -163,15 +232,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "rel_json_props_stats",
     "rel_order_linecount_dist",
     "rel_grouping_id",
-    # Graph & embedding analytics
     "graph_degree_histogram",
     "graph_jaccard_pairs",
     "emb_norm_quantiles",
     "emb_simhash_bits",
     "emb_dim_variance_topk",
-)
-
-_DRIVER_VERIFIED: tuple[str, ...] = (
     # round 5 (CORRECTNESS_r05.json): 40 hash-green + 10 rows-only by
     # contract, 0 failures.
     "doc_dsir_importance",
@@ -214,16 +279,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_transpose",
     "src_bucketed_groupby",
     "mm_bytes_arrow",
-    "doc_bpe_vocab",
-    "doc_bpe_encode",
-    "doc_compression_ratio",
-    "doc_dup_pagerank",
-    "emb_pca_whitening",
-    "emb_pq_codes",
-    "ml_isotonic_calibration",
-    "ml_quality_classifier",
-    "ml_survival_aft",
-    "rel_approx_distinct",
     # round 4 (CORRECTNESS_r04.json): 43 hash-green + 6 rows-only by
     # contract. doc_dsir_importance (the 50th) was re-checked via
     # _RECHECK_FIRST in round 5, came back hash-green
@@ -271,12 +326,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_observe_metrics",
     "rel_heavy_hitters",
     "graph_triangle_count",
-    "dedup_simhash_banded",
-    "mm_phash_neardup",
-    "sim_pq_adc_topk",
-    "sim_ivf_pq_topk",
-    "sem_dedup",
-    "ml_als_recommend",
     # round 3 (CORRECTNESS_r03.json): 48 hash-green + 1 rows-only by
     # contract (telemetry_artifact_score). rel_agg_bool_bit (the 50th) is
     # in _RECHECK_FIRST, not here.
@@ -320,7 +369,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_merge_upsert",
     "rel_scd2_history",
     "emb_normalize",
-    "sim_hard_negatives",
     "doc_keep_decision",
     "doc_length_buckets",
     "doc_pack_sequences",
@@ -329,12 +377,11 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "emb_dim_stats",
     "emb_centroid_outliers",
     "telemetry_artifact_score",
+    "telemetry_score_500k",
     # round 2 (CORRECTNESS_r02.json): 43 hash-green + 7 rows-only by contract
     "emb_quantize_int8",
     "doc_winnow",
     "telemetry_historical_stats",
-    "telemetry_stream_roundtrip",
-    "telemetry_score_500k",
     "telemetry_scored_alerts",
     "telemetry_train_metrics",
     "telemetry_pysource_stats",
@@ -378,7 +425,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_join_right",
     "rel_salted_join",
     "rel_recursive_cte",
-    "rel_hll_partial_merge",
     "rel_sql_api",
     # round 1 (CORRECTNESS_r01.json): hash-green or rows-only by contract
     "doc_token_stats",
@@ -387,23 +433,11 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "doc_fingerprint",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_pairs",
-    "sim_topk_bruteforce",
-    "sim_knn_batch",
-    "sim_ann_lsh",
     "mm_binary_stats",
-    "mm_feature_extract",
-    "sim_ivf_topk",
-    "mm_resize",
     "mm_frame_sample",
     "doc_token_regex",
     "doc_punct_ratio",
-    "dedup_clusters",
     "doc_top_terms",
-    "ml_kmeans_embeddings",
-    "doc_stratified_sample",
     "doc_bigrams",
     "doc_decontaminate",
     "doc_chunk",

@@ -1,0 +1,95 @@
+"""Propose the next round's driver window under the round-8+
+steady-state policy (recorded in plans/registry.py): once every catalog
+query has a driver row, the 50-slot window becomes a ROTATING RECHECK —
+(a) queries whose Spark plan or oracle text changed this round go first
+(that part is a human judgment; this tool can't see semantic diffs),
+then (b) the least-recently-driver-checked names in age order (ties by
+registration order) fill the remaining slots, so the whole catalog
+re-earns driver evidence roughly every ceil(catalog/50) rounds.
+
+The tool reads every committed CORRECTNESS_r*.json, computes each
+query's most recent driver round, and prints:
+
+- any never-checked names (these MUST lead the window);
+- the least-recently-checked 50-slice as a ready-to-paste Python tuple
+  for ``_RECHECK_FIRST`` (annotated with each name's last round);
+- the per-round age histogram, so drift is visible at a glance.
+
+Usage: python tools/plan_next_window.py [window_size]
+Purely advisory — it writes nothing; paste the output into
+plans/registry.py, bump ``_ROTATED_FOR_ROUND``, then run
+``python tools/check_window.py`` to validate the arithmetic.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+
+def last_checked_rounds(repo: str) -> dict[str, int]:
+    """query name -> most recent driver round with a CORRECTNESS row."""
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def main() -> int:
+    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    qs = all_queries()
+    last = last_checked_rounds(repo)
+    # registration order is the tiebreak; all_queries() applies the
+    # rotation lists, so recover raw registration order from the
+    # registry module's insertion order instead
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.registry import (
+        _REGISTRY,
+    )
+
+    reg_order = {n: i for i, n in enumerate(_REGISTRY)}
+
+    never = [n for n in qs if n not in last]
+    aged = sorted(
+        (n for n in qs if n in last),
+        key=lambda n: (last[n], reg_order[n]),
+    )
+
+    hist = Counter(last[n] for n in qs if n in last)
+    print(f"catalog: {len(qs)} queries; driver-checked: {len(last) - len(set(last) - set(qs))}")
+    print("age histogram (last-checked round -> queries):")
+    for rnd in sorted(hist):
+        print(f"  r{rnd:02d}: {hist[rnd]}")
+
+    if never:
+        print(f"\nNEVER CHECKED ({len(never)}) — these must lead the window:")
+        for n in never:
+            print(f'    "{n}",')
+
+    take = aged[: max(0, window - len(never))]
+    print(
+        f"\nproposed _RECHECK_FIRST slice ({len(take)} names, oldest first;"
+        " prepend any plan/oracle-changed names manually):"
+    )
+    print("(")
+    print("    # DRIVER-SCALE RE-RUN, NOT A REGRESSION: least-recently-")
+    print("    # checked rotation per the r8+ steady-state policy.")
+    for n in take:
+        print(f'    "{n}",  # last r{last[n]:02d}')
+    print(")")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
