@@ -113,8 +113,14 @@ def ngram_jaccard_pairs(
     # within-set pairs are J=1.0 by construction, cross-set pairs
     # inherit the representatives' exact jaccard. Persist because the
     # grouped frame feeds both join sides and the within-set branch.
+    # NULL token sets (null text -> split() returns null) never paired
+    # pre-collapse (jaccard over null arrays is null -> threshold
+    # filter drops it); filter them so they don't collapse into one
+    # group per block and emit bogus J=1.0 pairs (same hazard as the
+    # null-signature case in banded_hamming_pairs).
     d = (
-        d.groupBy("__blk", "__words")
+        d.filter(F.col("__words").isNotNull())
+        .groupBy("__blk", "__words")
         .agg(
             F.min("__id").alias("__id"),
             F.collect_list("__id").alias("__mem"),

@@ -347,3 +347,23 @@ def test_banded_hamming_null_signatures_never_pair(spark):
     pairs = D.banded_hamming_pairs(sigs, max_hamming=3).collect()
     got = {(r.doc_a, r.doc_b, r.hamming) for r in pairs}
     assert got == {("a", "b", 0)}  # identical non-null sigs pair; nulls never
+
+
+def test_ngram_jaccard_null_text_never_pairs(spark):
+    """Null text (null token set) must produce NO pairs — pre-collapse
+    jaccard over null arrays is null and the threshold filter drops it;
+    the representative collapse must not group null sets into a bogus
+    J=1.0 clique (same hazard class as the banded-Hamming null fix)."""
+    df = spark.createDataFrame(
+        [
+            ("a", "en", "the quick brown fox"),
+            ("b", "en", "the quick brown fox"),
+            ("c", "en", None),
+            ("d", "en", None),
+            ("e", "fr", None),
+        ],
+        "doc_id string, lang string, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(df, block_col="lang", threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in pairs}
+    assert got == {("a", "b", 1.0)}  # identical real docs pair; nulls never
