@@ -535,6 +535,11 @@ def _brute_jaccard_pairs(rows, threshold):
         for id_b, lang_b, text_b in rows[i + 1 :]:
             if lang_a != lang_b:
                 continue
+            if text_a is None or text_b is None:
+                # null text never pairs: jaccard over null token arrays
+                # is null and the threshold filter drops it (pinned by
+                # the r7 null-set collapse fix)
+                continue
             sa, sb = set(text_a.split(" ")), set(text_b.split(" "))
             j = len(sa & sb) / len(sa | sb)
             jr = _spark_round4(j)
@@ -556,9 +561,12 @@ def decimal_threshold(t):
         st.tuples(
             st.integers(min_value=0, max_value=30),  # duplicate-heavy ids -> dropped below
             st.sampled_from(["en", "de"]),
-            st.lists(
-                st.sampled_from(_WORDS), min_size=1, max_size=6
-            ).map(lambda ws: " ".join(ws)),
+            st.one_of(
+                st.none(),  # null text must never pair (r7 collapse fix)
+                st.lists(
+                    st.sampled_from(_WORDS), min_size=1, max_size=6
+                ).map(lambda ws: " ".join(ws)),
+            ),
         ),
         min_size=2,
         max_size=25,
@@ -591,9 +599,12 @@ def test_ngram_jaccard_collapse_equals_bruteforce(spark, rows, threshold):
     rows=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=30),
-            st.lists(
-                st.sampled_from(_WORDS), min_size=1, max_size=6
-            ).map(lambda ws: " ".join(ws)),
+            st.one_of(
+                st.none(),  # null text must never pair (size(__h) filter)
+                st.lists(
+                    st.sampled_from(_WORDS), min_size=1, max_size=6
+                ).map(lambda ws: " ".join(ws)),
+            ),
         ),
         min_size=2,
         max_size=25,
