@@ -85,12 +85,19 @@ def ngram_jaccard_pairs(
     # Spread BEFORE tokenizing so the hash pass (both the probe side
     # and the broadcast build) parallelizes even when the file scan
     # yields 1-2 partitions (no-op if the input is already spread).
-    # The isNotNull filter makes the blocked-join semantics explicit
-    # (NULL blocks never pair): the equi-join already dropped them, and
-    # the within-set fast path below must not resurrect them.
+    # The isNotNull filters make the blocked-join semantics explicit
+    # (NULL blocks never pair, and NULL text — whose token set is null —
+    # never pairs either: pre-collapse, jaccard over null arrays is null
+    # and the threshold filter drops it): the equi-join already dropped
+    # both, and the within-set collapse fast path below must not
+    # resurrect them as bogus J=1.0 cliques. Filter the RAW columns, not
+    # the derived token array — a derived-column filter gets pushed into
+    # a pre-projection Filter that re-evaluates the whole tokenize+hash
+    # expression tree a second time; these two null checks reach the
+    # parquet scan as PushedFilters instead.
     d = (
         spread(df)
-        .filter(F.col(block_col).isNotNull())
+        .filter(F.col(block_col).isNotNull() & F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("__id"),
             F.col(block_col).alias("__blk"),
@@ -113,14 +120,8 @@ def ngram_jaccard_pairs(
     # within-set pairs are J=1.0 by construction, cross-set pairs
     # inherit the representatives' exact jaccard. Persist because the
     # grouped frame feeds both join sides and the within-set branch.
-    # NULL token sets (null text -> split() returns null) never paired
-    # pre-collapse (jaccard over null arrays is null -> threshold
-    # filter drops it); filter them so they don't collapse into one
-    # group per block and emit bogus J=1.0 pairs (same hazard as the
-    # null-signature case in banded_hamming_pairs).
     d = (
-        d.filter(F.col("__words").isNotNull())
-        .groupBy("__blk", "__words")
+        d.groupBy("__blk", "__words")
         .agg(
             F.min("__id").alias("__id"),
             F.collect_list("__id").alias("__mem"),
