@@ -23,9 +23,10 @@ Scale/production notes:
   with DUP=1 on timeout; the subscriber side deduplicates downstream
   with ``dropDuplicatesWithinWatermark`` (streaming/pipeline.py), the
   same idempotence contract the Kafka path documents.
-- ``MiniBroker`` is a TEST transport (exact-topic routing, in-memory
-  state) — production deployments point the same client at a real
-  broker; semantics are unchanged because both speak the same frames.
+- ``MiniBroker`` is a TEST transport (in-memory state, spec §4.7
+  wildcard topic routing incl. ``+``/``#`` and ``$``-topic exclusion)
+  — production deployments point the same client at a real broker;
+  semantics are unchanged because both speak the same frames.
 - ``SubscriberBridge`` spools received payloads to a line-per-record
   file consumed by ``file_payload_source`` — the spool IS the
   replayable retention buffer (O12) the raw MQTT transport lacks.
@@ -153,6 +154,51 @@ def encode_subscribe(packet_id: int, topic: str, qos: int = 1) -> bytes:
 
 def encode_suback(packet_id: int, granted_qos: int = 1) -> bytes:
     return _frame(SUBACK, 0, packet_id.to_bytes(2, "big") + bytes([granted_qos]))
+
+
+def topic_matches(topic_filter: str, topic_name: str) -> bool:
+    """OASIS MQTT 3.1.1 §4.7 topic-filter matching.
+
+    - levels split on ``/``; ``+`` matches exactly one level;
+    - ``#`` matches the remaining levels INCLUDING the parent itself
+      (``sport/#`` matches ``sport``) and must be the last level;
+    - wildcard filters must not match ``$``-prefixed system topics
+      ([MQTT-4.7.2-1]: ``#`` does not match ``$SYS/...``);
+    - matching is byte-exact otherwise — no case folding, empty levels
+      significant (``a//b`` has three levels).
+    """
+    if topic_filter == topic_name:
+        return True  # exact match, $-topics included
+    f_levels = topic_filter.split("/")
+    t_levels = topic_name.split("/")
+    if t_levels[0].startswith("$") and f_levels[0] in ("+", "#"):
+        return False
+    for i, f in enumerate(f_levels):
+        if f == "#":
+            return i == len(f_levels) - 1
+        if i >= len(t_levels):
+            return False
+        if f != "+" and f != t_levels[i]:
+            return False
+    # all filter levels consumed: match iff no topic levels remain, or
+    # exactly a trailing "/#" parent match handled above; also accept
+    # the "sport/#" == "sport" parent case where the filter has one
+    # extra "#" level — that returned above, so here lengths must agree
+    return len(f_levels) == len(t_levels)
+
+
+def valid_topic_filter(topic_filter: str) -> bool:
+    """Spec §4.7.1: ``#`` only as the last level; ``+``/``#`` only as
+    whole levels; filters are at least one character."""
+    if not topic_filter:
+        return False
+    levels = topic_filter.split("/")
+    for i, lvl in enumerate(levels):
+        if "#" in lvl and (lvl != "#" or i != len(levels) - 1):
+            return False
+        if "+" in lvl and lvl != "+":
+            return False
+    return True
 
 
 def encode_pingreq() -> bytes:
@@ -455,8 +501,10 @@ class _Session:
 
 
 class MiniBroker:
-    """Deterministic in-process MQTT 3.1.1 broker for tests: exact-topic
-    routing, QoS-1 inbound (PUBACK to publisher AFTER forwarding) and
+    """Deterministic in-process MQTT 3.1.1 broker for tests: spec §4.7
+    topic routing (``+``/``#`` wildcards, ``$``-topic exclusion, invalid
+    filters rejected with SUBACK 0x80),
+    QoS-1 inbound (PUBACK to publisher AFTER forwarding) and
     outbound (per-subscriber packet ids + in-flight set). Redelivery is
     explicit — ``redeliver()`` re-sends every un-acked forward with
     DUP=1 — so at-least-once tests are deterministic instead of
@@ -516,9 +564,13 @@ class MiniBroker:
                     sess.sock.sendall(encode_connack())
             elif pkt.type == SUBSCRIBE:
                 topic, _ = _read_utf8(pkt.body, 2)
-                sess.subs.add(topic)
+                if valid_topic_filter(topic):
+                    sess.subs.add(topic)
+                    granted = 1
+                else:
+                    granted = 0x80  # spec §3.9.3: failure return code
                 with sess.lock:
-                    sess.sock.sendall(encode_suback(pkt.packet_id, 1))
+                    sess.sock.sendall(encode_suback(pkt.packet_id, granted))
             elif pkt.type == PUBLISH:
                 self._route(pkt)
                 if pkt.qos == 1 and pkt.packet_id is not None:
@@ -539,7 +591,11 @@ class MiniBroker:
 
     def _route(self, pkt: Packet) -> None:
         with self._lock:
-            targets = [s for s in self._sessions if pkt.topic in s.subs]
+            targets = [
+                s
+                for s in self._sessions
+                if any(topic_matches(f, pkt.topic) for f in s.subs)
+            ]
         for s in targets:
             # send INSIDE the session lock — see _serve: unserialized
             # writers interleave partial frames
