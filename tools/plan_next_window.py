@@ -35,22 +35,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
 
 
-def last_checked_rounds(repo: str) -> dict[str, int]:
-    """query name -> most recent driver round with a CORRECTNESS row."""
+def _row_failed(row: dict) -> bool:
+    """True when a CORRECTNESS row records a driver FAILURE (as opposed
+    to hash-green or rows-only-by-contract). no_oracle rows pass the
+    weaker rows-only check, so only a real error or an explicit False
+    match flag counts."""
+    if row.get("err") not in (None, "no_oracle"):
+        return True
+    return any(
+        row.get(k) is False for k in ("hash_match", "rows_match", "schema_match")
+    )
+
+
+def last_checked_rounds(repo: str) -> tuple[dict[str, int], set[str]]:
+    """(query name -> most recent driver round with a CORRECTNESS row,
+    names whose MOST RECENT row failed). A failure does not count as
+    'recently checked' for rotation purposes — the steady-state policy
+    requires failed names to lead _RECHECK_FIRST, so they are returned
+    separately and printed as a mandatory section."""
     last: dict[str, int] = {}
+    outcome: dict[str, bool] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
         with open(path) as f:
-            for name in json.load(f):
-                last[name] = max(last.get(name, 0), rnd)
-    return last
+            for name, row in json.load(f).items():
+                if rnd >= last.get(name, 0):
+                    last[name] = rnd
+                    outcome[name] = _row_failed(row)
+    failed = {n for n, bad in outcome.items() if bad}
+    return last, failed
 
 
 def main() -> int:
     window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     qs = all_queries()
-    last = last_checked_rounds(repo)
+    last, failed = last_checked_rounds(repo)
     # registration order is the tiebreak; all_queries() applies the
     # rotation lists, so recover raw registration order from the
     # registry module's insertion order instead
@@ -61,8 +81,11 @@ def main() -> int:
     reg_order = {n: i for i, n in enumerate(_REGISTRY)}
 
     never = [n for n in qs if n not in last]
+    # a name whose latest driver row FAILED is a mandatory recheck — it
+    # must not be excluded as "recently checked"
+    must = [n for n in qs if n in failed]
     aged = sorted(
-        (n for n in qs if n in last),
+        (n for n in qs if n in last and n not in failed),
         key=lambda n: (last[n], reg_order[n]),
     )
 
@@ -77,7 +100,15 @@ def main() -> int:
         for n in never:
             print(f'    "{n}",')
 
-    take = aged[: max(0, window - len(never))]
+    if must:
+        print(
+            f"\nFAILED IN LATEST ROUND ({len(must)}) — mandatory rechecks,"
+            " place these at the very front:"
+        )
+        for n in must:
+            print(f'    "{n}",  # FAILED r{last[n]:02d}')
+
+    take = aged[: max(0, window - len(never) - len(must))]
     print(
         f"\nproposed _RECHECK_FIRST slice ({len(take)} names, oldest first;"
         " prepend any plan/oracle-changed names manually):"
