@@ -6,8 +6,12 @@ frames on live TCP — end-to-end in one process:
 Phase map (reference → here):
   1. telemetry simulator publishing QoS 1     → ``publish_partitions``:
      to factory/telemetry (IoTSimulator)        one MQTT connection PER
-                                                PARTITION, PUBACK-awaited
-  2. broker (AWS IoT Core)                    → in-process ``MiniBroker``
+                                                PARTITION, PUBACK-awaited,
+                                                each row to ITS machine's
+                                                topic factory/<id>/telemetry
+  2. broker (AWS IoT Core) + topic rule       → in-process ``MiniBroker``
+     fanning in device topics by filter         routing the §4.7 wildcard
+     (phase2-iot-kinesis.yaml:61)               filter factory/+/telemetry
   3. subscriber loop (realtime_inference.py)  → ``SubscriberBridge`` →
                                                 replayable spool file
   4. RF training (sklearn notebook)           → MLlib pipeline, seeded
@@ -68,10 +72,12 @@ def main(n_records: int = 200) -> None:
     model, res = train_and_eval(historical_telemetry(spark))
     print(f"  held-out precision={res.precision:.2f} recall={res.recall:.2f}")
 
-    print("phases 2-3: broker + QoS-1 subscriber bridge -> spool ...")
+    print("phases 2-3: broker + QoS-1 wildcard subscriber bridge -> spool ...")
     broker = MiniBroker()
+    # the AWS IoT rule shape: ONE wildcard filter fans in every
+    # per-machine topic (phase2-iot-kinesis.yaml:61)
     bridge = SubscriberBridge(
-        broker.host, broker.port, TELEMETRY_TOPIC, f"{work}/spool"
+        broker.host, broker.port, "factory/+/telemetry", f"{work}/spool"
     )
 
     print(f"phase 1: publishing {n_records} telemetry records over MQTT "
@@ -88,9 +94,14 @@ def main(n_records: int = 200) -> None:
             F.col("temperature"),
             F.col("vibration"),
             F.col("timestamp"),
-        ).alias("value")
+        ).alias("value"),
+        F.concat(
+            F.lit("factory/"), F.col("machineId"), F.lit("/telemetry")
+        ).alias("topic"),
     )
-    publish_partitions(wire, broker.host, broker.port, TELEMETRY_TOPIC)
+    publish_partitions(
+        wire, broker.host, broker.port, TELEMETRY_TOPIC, topic_col="topic"
+    )
 
     deadline = time.time() + 30
     while (

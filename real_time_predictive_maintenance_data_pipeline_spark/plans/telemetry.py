@@ -105,10 +105,17 @@ def telemetry_mqtt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         publish_partitions(wire, broker.host, broker.port, TELEMETRY_TOPIC)
         deadline = time.time() + 60
         while sub.received < n and time.time() < deadline:
+            if sub._error is not None:
+                break  # subscriber thread died — close() re-raises below
             time.sleep(0.05)
     finally:
-        sub.close()
-        broker.close()
+        # sub.close() re-raises a stored subscriber-thread error;
+        # broker.close() must still run or the accept thread and server
+        # socket leak in the driver process
+        try:
+            sub.close()
+        finally:
+            broker.close()
     back = spark.read.text(os.path.join(spool, "mqtt_spool.jsonl"))
     good, bad = quarantine_split(parse_telemetry(back))
     return good.agg(
@@ -116,6 +123,88 @@ def telemetry_mqtt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("machineId").alias("n_machines"),
         F.round(F.avg("temperature"), 2).alias("avg_temp"),
         F.round(F.avg("vibration"), 2).alias("avg_vib"),
+    ).withColumn("n_quarantined", F.lit(bad.count()).cast("bigint"))
+
+
+@register(
+    "telemetry_mqtt_wildcard",
+    oracle=None,
+    tags=("telemetry", "streaming", "eager-io"),
+)
+def telemetry_mqtt_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-topic MQTT relay matched by a §4.7 wildcard filter — the
+    AWS IoT rule shape (one rule's topic filter fanning in per-device
+    topics, phase2-iot-kinesis.yaml:61): each telemetry row publishes to
+    its OWN per-machine topic ``factory/<machineId>/telemetry``; one
+    subscriber holding the single wildcard filter ``factory/+/telemetry``
+    must receive exactly the machine rows — decoy publishes to
+    non-matching sibling topics (``factory/telemetry``, a deeper
+    ``.../audit`` level, and a ``$SYS`` system topic) must NOT route
+    [MQTT-4.7.2-1]. Wire-dependent, so rows-only; tests/test_mqtt.py
+    pins the matcher table and live routing frame by frame."""
+    import os
+    import time
+
+    from ..sources.mqtt_wire import MiniBroker, MqttPublisher, SubscriberBridge, publish_partitions
+    from ..sources.scratch import scratch_dir
+    from ..streaming.pipeline import parse_telemetry, quarantine_split
+
+    n = 300
+    broker = MiniBroker()
+    spool = scratch_dir(prefix="rtpmdp_mqtt_wild_")
+    sub = SubscriberBridge(
+        broker.host, broker.port, "factory/+/telemetry", spool,
+        client_id="rtpmdp-wild-sub",
+    )
+    try:
+        wire = (
+            stream_telemetry_batch(spark, n=n)
+            .repartition(4)
+            .select(
+                to_payload_json(
+                    F.col("machineId"),
+                    F.col("temperature"),
+                    F.col("vibration"),
+                    F.col("timestamp"),
+                ).alias("value"),
+                F.concat(
+                    F.lit("factory/"), F.col("machineId"), F.lit("/telemetry")
+                ).alias("topic"),
+            )
+        )
+        publish_partitions(
+            wire, broker.host, broker.port, "factory/unknown/telemetry",
+            topic_col="topic",
+        )
+        # decoys: delivered over the same wire, must never match the filter
+        decoy = MqttPublisher(
+            broker.host, broker.port, client_id="rtpmdp-wild-decoy"
+        )
+        for t in (
+            "factory/telemetry",  # 2 levels: '+' needs exactly one more
+            "factory/m/telemetry/audit",  # deeper than the filter
+            "$SYS/factory/telemetry",  # wildcard never matches $-topics
+        ):
+            decoy.publish(t, b'{"machineId":"decoy"}', qos=1)
+        decoy.close()
+        deadline = time.time() + 60
+        while sub.received < n and time.time() < deadline:
+            if sub._error is not None:
+                break  # subscriber thread died — close() re-raises below
+            time.sleep(0.05)
+        time.sleep(0.2)  # window for any mis-routed decoy to arrive
+    finally:
+        try:
+            sub.close()
+        finally:
+            broker.close()
+    back = spark.read.text(os.path.join(spool, "mqtt_spool.jsonl"))
+    good, bad = quarantine_split(parse_telemetry(back))
+    return good.agg(
+        F.count(F.lit(1)).alias("n_delivered"),
+        F.countDistinct("machineId").alias("n_machines"),
+        F.sum((F.col("machineId") == "decoy").cast("bigint")).alias("n_decoys"),
+        F.round(F.avg("temperature"), 2).alias("avg_temp"),
     ).withColumn("n_quarantined", F.lit(bad.count()).cast("bigint"))
 
 

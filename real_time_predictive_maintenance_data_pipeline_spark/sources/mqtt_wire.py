@@ -365,13 +365,22 @@ def unique_client_id(prefix: str = "rtpmdp") -> str:
     return f"{prefix}-{socket.gethostname()}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
 
 
-def publish_partitions(df, host: str, port: int, topic: str) -> None:
+def publish_partitions(
+    df, host: str, port: int, topic: str, topic_col: str | None = None
+) -> None:
     """O7 as a distributed Spark sink: every partition opens ITS OWN
     QoS-1 connection and publishes its rows' ``value`` column — the
     per-task-producer shape of the Kafka sink, so a 1000-executor
     cluster publishes in parallel and nothing funnels through the
     driver. Use inside ``foreachBatch`` for streaming at-least-once
-    (re-run batches re-publish; consumers dedupe within watermark)."""
+    (re-run batches re-publish; consumers dedupe within watermark).
+
+    ``topic_col`` names a per-row topic column for multi-topic relays
+    (the AWS IoT rule shape — per-device topics matched by a wildcard
+    filter, phase2-iot-kinesis.yaml:61); ``topic`` is the fallback for
+    rows where that column is null."""
+
+    cols = ["value"] if topic_col is None else ["value", topic_col]
 
     def _send(rows) -> None:
         pub = None
@@ -381,12 +390,13 @@ def publish_partitions(df, host: str, port: int, topic: str) -> None:
                     pub = MqttPublisher(
                         host, port, client_id=unique_client_id("rtpmdp-part")
                     )
-                pub.publish(topic, row["value"].encode("utf-8"), qos=1)
+                t = topic if topic_col is None else (row[topic_col] or topic)
+                pub.publish(t, row["value"].encode("utf-8"), qos=1)
         finally:
             if pub is not None:
                 pub.close()
 
-    df.select("value").foreachPartition(_send)
+    df.select(*cols).foreachPartition(_send)
 
 
 # ---------------------------------------------------------------------------
@@ -564,8 +574,13 @@ class MiniBroker:
                     sess.sock.sendall(encode_connack())
             elif pkt.type == SUBSCRIBE:
                 topic, _ = _read_utf8(pkt.body, 2)
+                # subs is read by concurrent _route calls from other
+                # serve threads: mutate it under the same session lock
+                # _route snapshots it under, or the router's iteration
+                # can see the set change size mid-flight
                 if valid_topic_filter(topic):
-                    sess.subs.add(topic)
+                    with sess.lock:
+                        sess.subs.add(topic)
                     granted = 1
                 else:
                     granted = 0x80  # spec §3.9.3: failure return code
@@ -591,11 +606,15 @@ class MiniBroker:
 
     def _route(self, pkt: Packet) -> None:
         with self._lock:
-            targets = [
-                s
-                for s in self._sessions
-                if any(topic_matches(f, pkt.topic) for f in s.subs)
-            ]
+            sessions = list(self._sessions)
+        targets = []
+        for s in sessions:
+            # snapshot subs under the session lock: the SUBSCRIBE handler
+            # mutates it concurrently from the subscriber's serve thread
+            with s.lock:
+                subs = tuple(s.subs)
+            if any(topic_matches(f, pkt.topic) for f in subs):
+                targets.append(s)
         for s in targets:
             # send INSIDE the session lock — see _serve: unserialized
             # writers interleave partial frames
