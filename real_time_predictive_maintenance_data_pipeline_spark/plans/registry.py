@@ -75,120 +75,91 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 7
+_ROTATED_FOR_ROUND = 8
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # DRIVER-SCALE RE-RUN, NOT A REGRESSION. Round 6 had ZERO failures
-    # (CORRECTNESS_r06.json: 48 hash-green + 2 rows-only by contract).
-    # These 34 slots re-verify already-green queries at driver scale per
-    # the round-6 verdict's task 1: the ML/ANN/dedup/multimodal set whose
-    # prior driver rows were rows-only-by-contract (their correctness
-    # lives in local recall/precision/equality gates; a fresh driver-scale
-    # run keeps the rows-only evidence current after the round-6
-    # exact-dup-collapse rewrite of the pair-generation operators), plus
-    # the four queries whose DuckDB oracles were upgraded in round 6 to
-    # CAST the float32 cosine to DOUBLE before ROUND (dedup_embedding_pairs,
-    # sim_topk_bruteforce, sim_knn_batch, sim_hard_negatives — hash-green
-    # r01/r03 under the OLD oracle text; fresh hash-green rows under the
-    # byte-strict oracle are worth having).
+    # ROUND-8 STEADY-STATE WINDOW (first rotation under the r8+ policy
+    # below): plan/oracle-changed names first (mandatory), then the 48
+    # least-recently-driver-checked names, oldest first (ties by
+    # registration order) — tools/plan_next_window.py proposal.
     #
-    # ANN / similarity search (rows-only by contract + local recall gates)
-    "sem_dedup",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_pq_adc_topk",
-    "sim_ivf_pq_topk",
-    # float32→DOUBLE oracle upgrades from round 6 (hash oracles changed)
-    "sim_topk_bruteforce",
-    "sim_knn_batch",
-    "sim_hard_negatives",
-    "dedup_embedding_pairs",
-    # dedup surface (round-6 exact-dup-collapse touched these paths)
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_banded",
-    "dedup_clusters",
-    # ML ops (rows-only by contract + local quantitative gates)
-    "ml_als_recommend",
-    "ml_cv_model_selection",
-    "ml_kmeans_embeddings",
-    "ml_isotonic_calibration",
-    "ml_quality_classifier",
-    "ml_survival_aft",
-    # BPE + corpus ops
-    "doc_bpe_vocab",
-    "doc_bpe_encode",
-    "doc_compression_ratio",
-    "doc_dup_pagerank",
-    "doc_stratified_sample",
-    # multimodal rows
-    "mm_feature_extract",
-    "mm_resize",
-    "mm_phash_neardup",
-    # embedding analytics
-    "emb_pca_whitening",
-    "emb_pq_codes",
-    # approx/sketch built-ins (epsilon-gated rows-only)
-    "rel_approx_distinct",
-    "rel_approx_quantile",
-    "rel_hll_partial_merge",
-    # streaming pipeline row (rows-only smoke at driver scale);
-    # telemetry_score_500k stays rotated out — it re-earns evidence in
-    # every round's BENCH_r{N}.json as a headline query.
-    "telemetry_stream_roundtrip",
+    # Mandatory: new this round / transport+close path changed this round
+    "telemetry_mqtt_wildcard",
+    "telemetry_mqtt_roundtrip",
+    # DRIVER-SCALE RE-RUN, NOT A REGRESSION: least-recently-checked
+    # rotation; all were green in their last driver round.
+    "doc_token_stats",  # last r01
+    "doc_quality",  # last r01
+    "doc_langid",  # last r01
+    "doc_fingerprint",  # last r01
+    "dedup_exact",  # last r01
+    "dedup_ngram_jaccard",  # last r01
+    "mm_binary_stats",  # last r01
+    "mm_frame_sample",  # last r01
+    "doc_token_regex",  # last r01
+    "doc_punct_ratio",  # last r01
+    "doc_top_terms",  # last r01
+    "doc_bigrams",  # last r01
+    "doc_decontaminate",  # last r01
+    "doc_chunk",  # last r01
+    "doc_pii_redact",  # last r01
+    "doc_repetition",  # last r01
+    "emb_label_centroids",  # last r01
+    "mm_audio_rms",  # last r01
+    "q1_pricing_summary",  # last r01
+    "rel_agg_stats",  # last r01
+    "rel_agg_distinct",  # last r01
+    "rel_having",  # last r01
+    "rel_rollup",  # last r01
+    "rel_cube",  # last r01
+    "rel_grouping_sets",  # last r01
+    "rel_pivot_status",  # last r01
+    "q3_shipping_priority",  # last r01
+    "q5_local_supplier",  # last r01
+    "rel_join_inner",  # last r01
+    "rel_join_left",  # last r01
+    "rel_join_full",  # last r01
+    "rel_join_semi",  # last r01
+    "rel_join_anti",  # last r01
+    "rel_join_cross",  # last r01
+    "rel_range_join",  # last r01
+    "rel_scalar_subquery",  # last r01
+    "emb_quantize_int8",  # last r02
+    "doc_winnow",  # last r02
+    "rel_window_rank",  # last r02
+    "rel_window_running",  # last r02
+    "rel_window_moving_avg",  # last r02
+    "rel_topk_global",  # last r02
+    "rel_topk_per_group",  # last r02
+    "rel_union",  # last r02
+    "rel_intersect",  # last r02
+    "rel_except",  # last r02
+    "rel_asof_join",  # last r02
+    "q6_forecast_revenue",  # last r02
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # round-7 window: the 16 never-driver-checked names — the 12
-    # late-round-5 experimentation/SQL-surface queries plus round 6's
-    # four scale-safe metric rewrites — exactly as pre-planned in the
-    # round-5/round-6 registry comments and the round-6 verdict. All 16
-    # were independently judge-swept hash-green (rel_rfm_bucketed
-    # rows-only by declared contract) at sf0.01 in round 6.
-    # 34 rechecks + 16 = exactly one 50-slot window. After this round the
-    # ENTIRE catalog has driver rows.
-    #
-    # ROUND-8+ STEADY-STATE POLICY (recorded per the r6 verdict's task 6):
-    # once every catalog name has a driver row, the window stops chasing
-    # coverage and becomes a ROTATING RECHECK: pack _RECHECK_FIRST with
-    # (a) any query whose Spark plan or oracle text changed this round
-    # (mandatory), then (b) the least-recently-driver-checked 50-name
-    # slice of the catalog in age order (ties by registration order), so
-    # the whole catalog re-earns driver evidence roughly every 6-7
-    # rounds. New queries enter only to serve a real SURVEY §2.4 gap and
-    # go to the front of the next window. sf0.1 sweeps via
-    # tools/sweep_catalog.py remain the pre-commit gate for any
-    # float-sensitive change.
-    # Scale-safe metric rewrites (round 6)
-    "ml_roc_auc_hist",
-    "ml_lift_bucketed",
-    "rel_abc_prefix2",
-    "rel_rfm_bucketed",
-    # Experimentation & ops meta-analytics (late round 5)
-    "rel_cuped_adjustment",
-    "rel_srm_check",
-    "rel_experiment_mde",
-    "rel_bootstrap_ci",
-    "rel_proportions_ztest",
-    "events_error_rate_wilson",
-    "rel_skew_report",
-    "rel_join_explosion_estimate",
-    # SQL-surface completion (late round 5)
-    "rel_offset_fetch_pagination",
-    "rel_union_by_name_missing",
-    "rel_null_ordering_rank",
-    "ts_week_over_week",
-    # round-7 addition (serves the r6 verdict's §2.3 gap list): the MQTT
-    # 3.1.1 wire transport end-to-end as a driver query — publish via
-    # per-partition QoS-1 connections, broker-route, spool, parse.
-    "telemetry_mqtt_roundtrip",
+    # Empty under the ROUND-8+ STEADY-STATE POLICY (recorded per the r6
+    # verdict's task 6): every catalog name has a driver row since r7,
+    # so the window stops chasing coverage and becomes a ROTATING
+    # RECHECK: pack _RECHECK_FIRST with (a) any query whose Spark plan
+    # or oracle text changed this round (mandatory), then (b) the
+    # least-recently-driver-checked 50-name slice of the catalog in age
+    # order (ties by registration order), so the whole catalog re-earns
+    # driver evidence roughly every 6-7 rounds. New queries enter only
+    # to serve a real SURVEY gap and go to the front of the next
+    # window. sf0.1 sweeps via tools/sweep_catalog.py remain the
+    # pre-commit gate for any float-sensitive change.
+    # tools/plan_next_window.py prints the ready-to-paste proposal and
+    # lists latest-round FAILURES as mandatory rechecks.
 )
 
 _DRIVER_VERIFIED: tuple[str, ...] = (
-    # round 6 (CORRECTNESS_r06.json): 48 hash-green + 2 rows-only by
-    # contract (ml_cv_model_selection, rel_approx_quantile — both in the
-    # declared oracle=None set), 0 failures. The two rows-only names sit
-    # in the round-7 _RECHECK_FIRST block above, not here.
+    # Cumulative r01-r07 green names (CORRECTNESS_r01..r07: hash-green
+    # or rows-only by declared contract; zero failures across all seven
+    # rounds), MINUS the 48 names rotated into the r8 recheck window
+    # above. After r7 the whole catalog has driver rows; this list now
+    # tracks "not in the current recheck window".
     "rel_rfm_segmentation",
     "rel_abc_classification",
     "rel_yoy_growth",
@@ -237,8 +208,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "emb_norm_quantiles",
     "emb_simhash_bits",
     "emb_dim_variance_topk",
-    # round 5 (CORRECTNESS_r05.json): 40 hash-green + 10 rows-only by
-    # contract, 0 failures.
     "doc_dsir_importance",
     "doc_normalize_text",
     "doc_curriculum_order",
@@ -279,10 +248,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_transpose",
     "src_bucketed_groupby",
     "mm_bytes_arrow",
-    # round 4 (CORRECTNESS_r04.json): 43 hash-green + 6 rows-only by
-    # contract. doc_dsir_importance (the 50th) was re-checked via
-    # _RECHECK_FIRST in round 5, came back hash-green
-    # (CORRECTNESS_r05.json), and now lives in the round-5 block above.
     "rel_agg_bool_bit",
     "doc_chunk_dedup",
     "doc_span_dedup",
@@ -326,9 +291,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_observe_metrics",
     "rel_heavy_hitters",
     "graph_triangle_count",
-    # round 3 (CORRECTNESS_r03.json): 48 hash-green + 1 rows-only by
-    # contract (telemetry_artifact_score). rel_agg_bool_bit (the 50th) is
-    # in _RECHECK_FIRST, not here.
     "rel_string_funcs",
     "rel_date_funcs",
     "rel_case_when",
@@ -378,23 +340,12 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "emb_centroid_outliers",
     "telemetry_artifact_score",
     "telemetry_score_500k",
-    # round 2 (CORRECTNESS_r02.json): 43 hash-green + 7 rows-only by contract
-    "emb_quantize_int8",
-    "doc_winnow",
     "telemetry_historical_stats",
     "telemetry_scored_alerts",
     "telemetry_train_metrics",
     "telemetry_pysource_stats",
-    "rel_window_rank",
-    "rel_window_running",
-    "rel_window_moving_avg",
     "rel_window_distribution",
     "rel_window_range_frame",
-    "rel_topk_global",
-    "rel_topk_per_group",
-    "rel_union",
-    "rel_intersect",
-    "rel_except",
     "rel_except_all",
     "rel_intersect_all",
     "src_csv_roundtrip",
@@ -404,7 +355,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "src_text_roundtrip",
     "q2_best_supplier",
     "q4_order_priority",
-    "q6_forecast_revenue",
     "q7_nation_volume",
     "q8_market_share",
     "q9_nation_profit",
@@ -421,48 +371,59 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "q20_heavy_suppliers",
     "q21_sole_returner",
     "q22_global_sales_opportunity",
-    "rel_asof_join",
     "rel_join_right",
     "rel_salted_join",
     "rel_recursive_cte",
     "rel_sql_api",
-    # round 1 (CORRECTNESS_r01.json): hash-green or rows-only by contract
-    "doc_token_stats",
-    "doc_quality",
-    "doc_langid",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "mm_binary_stats",
-    "mm_frame_sample",
-    "doc_token_regex",
-    "doc_punct_ratio",
-    "doc_top_terms",
-    "doc_bigrams",
-    "doc_decontaminate",
-    "doc_chunk",
-    "doc_pii_redact",
-    "doc_repetition",
-    "emb_label_centroids",
-    "mm_audio_rms",
-    "q1_pricing_summary",
-    "rel_agg_stats",
-    "rel_agg_distinct",
-    "rel_having",
-    "rel_rollup",
-    "rel_cube",
-    "rel_grouping_sets",
-    "rel_pivot_status",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "rel_join_inner",
-    "rel_join_left",
-    "rel_join_full",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_cross",
-    "rel_range_join",
-    "rel_scalar_subquery",
+    "sem_dedup",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_pq_adc_topk",
+    "sim_ivf_pq_topk",
+    "sim_topk_bruteforce",
+    "sim_knn_batch",
+    "sim_hard_negatives",
+    "dedup_embedding_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_banded",
+    "dedup_clusters",
+    "ml_als_recommend",
+    "ml_cv_model_selection",
+    "ml_kmeans_embeddings",
+    "ml_isotonic_calibration",
+    "ml_quality_classifier",
+    "ml_survival_aft",
+    "doc_bpe_vocab",
+    "doc_bpe_encode",
+    "doc_compression_ratio",
+    "doc_dup_pagerank",
+    "doc_stratified_sample",
+    "mm_feature_extract",
+    "mm_resize",
+    "mm_phash_neardup",
+    "emb_pca_whitening",
+    "emb_pq_codes",
+    "rel_approx_distinct",
+    "rel_approx_quantile",
+    "rel_hll_partial_merge",
+    "telemetry_stream_roundtrip",
+    "ml_roc_auc_hist",
+    "ml_lift_bucketed",
+    "rel_abc_prefix2",
+    "rel_rfm_bucketed",
+    "rel_cuped_adjustment",
+    "rel_srm_check",
+    "rel_experiment_mde",
+    "rel_bootstrap_ci",
+    "rel_proportions_ztest",
+    "events_error_rate_wilson",
+    "rel_skew_report",
+    "rel_join_explosion_estimate",
+    "rel_offset_fetch_pagination",
+    "rel_union_by_name_missing",
+    "rel_null_ordering_rank",
+    "ts_week_over_week",
 )
 
 
