@@ -7,8 +7,9 @@ and consumes it with a blocking paho subscribe loop
 (realtime_inference.py:81-89). This container has no MQTT library and
 no broker, so this module implements the small, fully-public subset of
 the OASIS MQTT 3.1.1 spec those two sides exchange — CONNECT/CONNACK,
-SUBSCRIBE/SUBACK, PUBLISH/PUBACK (QoS 0/1), PINGREQ/PINGRESP,
-DISCONNECT — as pure byte codecs plus a socket client, so the engine's
+SUBSCRIBE/SUBACK, UNSUBSCRIBE/UNSUBACK, PUBLISH/PUBACK (QoS 0/1),
+PINGREQ/PINGRESP, DISCONNECT — as pure byte codecs plus a socket
+client, so the engine's
 publish sink and subscribe source are exercised over genuine MQTT
 frames on a live TCP connection, not a file stand-in.
 
@@ -45,6 +46,7 @@ from dataclasses import dataclass, field
 CONNECT, CONNACK = 1, 2
 PUBLISH, PUBACK = 3, 4
 SUBSCRIBE, SUBACK = 8, 9
+UNSUBSCRIBE, UNSUBACK = 10, 11
 PINGREQ, PINGRESP = 12, 13
 DISCONNECT = 14
 
@@ -156,6 +158,19 @@ def encode_suback(packet_id: int, granted_qos: int = 1) -> bytes:
     return _frame(SUBACK, 0, packet_id.to_bytes(2, "big") + bytes([granted_qos]))
 
 
+def encode_unsubscribe(packet_id: int, *topic_filters: str) -> bytes:
+    """Spec §3.10: fixed-header flags MUST be 0x02; payload is one or
+    more UTF-8 topic filters, matched against subscriptions by exact
+    byte comparison (a wildcard filter unsubscribes only the identical
+    filter string, never the topics it matched)."""
+    body = packet_id.to_bytes(2, "big") + b"".join(_utf8(f) for f in topic_filters)
+    return _frame(UNSUBSCRIBE, 0x02, body)
+
+
+def encode_unsuback(packet_id: int) -> bytes:
+    return _frame(UNSUBACK, 0, packet_id.to_bytes(2, "big"))
+
+
 def topic_matches(topic_filter: str, topic_name: str) -> bool:
     """OASIS MQTT 3.1.1 §4.7 topic-filter matching.
 
@@ -252,7 +267,7 @@ def parse_packet(raw: bytes) -> tuple[Packet, int]:
             p.packet_id = int.from_bytes(p.body[i : i + 2], "big")
             i += 2
         p.payload = p.body[i:]
-    elif p.type in (PUBACK, SUBACK, SUBSCRIBE):
+    elif p.type in (PUBACK, SUBACK, SUBSCRIBE, UNSUBSCRIBE, UNSUBACK):
         p.packet_id = int.from_bytes(p.body[0:2], "big")
     return p, end
 
@@ -586,6 +601,18 @@ class MiniBroker:
                     granted = 0x80  # spec §3.9.3: failure return code
                 with sess.lock:
                     sess.sock.sendall(encode_suback(pkt.packet_id, granted))
+            elif pkt.type == UNSUBSCRIBE:
+                # §3.10.4: remove filters by EXACT byte comparison (a
+                # wildcard filter removes only the identical string),
+                # then send UNSUBACK even when nothing matched; mutate
+                # under the session lock _route snapshots subs under
+                i = 2
+                while i < len(pkt.body):
+                    f, i = _read_utf8(pkt.body, i)
+                    with sess.lock:
+                        sess.subs.discard(f)
+                with sess.lock:
+                    sess.sock.sendall(encode_unsuback(pkt.packet_id))
             elif pkt.type == PUBLISH:
                 self._route(pkt)
                 if pkt.qos == 1 and pkt.packet_id is not None:

@@ -568,3 +568,176 @@ def test_mqtt_wildcard_catalog_query_routes_exactly(spark):
     assert row.n_quarantined == 0  # a mis-routed decoy would land here
     assert row.n_decoys == 0
     assert row.n_machines >= 1
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    topic=st.lists(
+        st.text(alphabet="ab$", min_size=0, max_size=2), min_size=1, max_size=4
+    ).map("/".join),
+    topic_filter=st.lists(
+        st.sampled_from(["a", "b", "ab", "", "+", "#", "$"]),
+        min_size=1,
+        max_size=4,
+    ).map("/".join),
+)
+def test_topic_matches_against_reference_model(topic, topic_filter):
+    """Property check: the production matcher agrees with an
+    independently-written recursive model of §4.7 on random
+    topic/filter pairs (only syntactically valid filters — '#' last
+    level and whole-level wildcards — are compared; the broker rejects
+    the rest with SUBACK 0x80 before matching ever runs)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_wire import (
+        topic_matches,
+        valid_topic_filter,
+    )
+
+    if not valid_topic_filter(topic_filter):
+        return
+
+    def model(f_parts, t_parts, first):
+        # recursive reference: consume one level at a time
+        if not f_parts:
+            return not t_parts
+        head, rest = f_parts[0], f_parts[1:]
+        if head == "#":
+            # matches any remainder INCLUDING the parent (zero levels),
+            # but a wildcard never matches a $-leading topic
+            return not (first and t_parts and t_parts[0].startswith("$"))
+        if not t_parts:
+            return False
+        if head == "+":
+            if first and t_parts[0].startswith("$"):
+                return False
+            return model(rest, t_parts[1:], False)
+        return head == t_parts[0] and model(rest, t_parts[1:], False)
+
+    expected = model(topic_filter.split("/"), topic.split("/"), True)
+    assert topic_matches(topic_filter, topic) is expected
+
+
+def test_route_survives_concurrent_subscribes(broker):
+    """The r7 advisory race: SUBSCRIBE mutating a session's filter set
+    while a publisher's serve thread routes into it could kill that
+    serve thread mid-iteration. Hammer both sides concurrently: every
+    message published during the subscribe storm must still be routed
+    and spooled by the always-subscribed bridge."""
+    import threading as _t
+
+    n_msgs = 150
+    done = _t.Event()
+
+    def subscribe_storm():
+        sock = socket.create_connection((broker.host, broker.port), timeout=5)
+        stream = PacketStream(sock)
+        sock.sendall(encode_connect("storm-sub"))
+        assert stream.read_packet(timeout=5).type == CONNACK
+        pid = 1
+        while not done.is_set():
+            sock.sendall(encode_subscribe(pid, f"storm/{pid}/x", qos=1))
+            pkt = stream.read_packet(timeout=5)
+            # the storm session may also receive routed PUBLISHes for
+            # earlier filters; ack and keep draining until the SUBACK
+            while pkt is not None and pkt.type != SUBACK:
+                pkt = stream.read_packet(timeout=5)
+            pid = pid % 0xFFFF + 1
+        sock.close()
+
+    storm = _t.Thread(target=subscribe_storm, daemon=True)
+    storm.start()
+    pub = MqttPublisher(broker.host, broker.port)
+    raw_sub = socket.create_connection((broker.host, broker.port), timeout=5)
+    raw_stream = PacketStream(raw_sub)
+    raw_sub.sendall(encode_connect("steady-sub"))
+    assert raw_stream.read_packet(timeout=5).type == CONNACK
+    raw_sub.sendall(encode_subscribe(1, "storm/+/x", qos=1))
+    assert raw_stream.read_packet(timeout=5).type == SUBACK
+    try:
+        got = 0
+        from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_wire import (
+            encode_puback,
+        )
+
+        for i in range(n_msgs):
+            pub.publish(f"storm/{i % 7}/x", f"m{i}".encode(), qos=1)
+            # drain this subscriber so its socket buffer never fills
+            pkt = raw_stream.read_packet(timeout=5)
+            while pkt is not None:
+                if pkt.type == PUBLISH:
+                    got += 1
+                    if pkt.packet_id is not None:
+                        raw_sub.sendall(encode_puback(pkt.packet_id))
+                    break
+                pkt = raw_stream.read_packet(timeout=5)
+    finally:
+        done.set()
+        storm.join(timeout=10)
+        pub.close()
+        raw_sub.close()
+    # every publish survived the storm: no serve thread died routing
+    assert got == n_msgs
+
+
+def test_unsubscribe_stops_delivery_exact_filter_only(broker):
+    """§3.10: UNSUBSCRIBE removes a subscription by exact filter-string
+    comparison and is acknowledged with UNSUBACK. Messages published
+    after the unsubscribe must not route; a different filter that
+    happens to match the same topics is untouched."""
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_wire import (
+        UNSUBACK,
+        encode_puback,
+        encode_unsubscribe,
+    )
+
+    sock = socket.create_connection((broker.host, broker.port), timeout=5)
+    stream = PacketStream(sock)
+    sock.sendall(encode_connect("unsub-test"))
+    assert stream.read_packet(timeout=5).type == CONNACK
+    sock.sendall(encode_subscribe(1, "factory/+/telemetry", qos=1))
+    assert stream.read_packet(timeout=5).type == SUBACK
+    sock.sendall(encode_subscribe(2, "factory/m1/telemetry", qos=1))
+    assert stream.read_packet(timeout=5).type == SUBACK
+
+    pub = MqttPublisher(broker.host, broker.port)
+    pub.publish("factory/m1/telemetry", b"before", qos=1)
+    got = stream.read_packet(timeout=5)
+    assert got.type == PUBLISH and got.payload == b"before"
+    sock.sendall(encode_puback(got.packet_id))
+
+    # remove ONLY the wildcard filter; the exact filter stays live
+    sock.sendall(encode_unsubscribe(3, "factory/+/telemetry"))
+    ack = stream.read_packet(timeout=5)
+    assert ack.type == UNSUBACK and ack.packet_id == 3
+
+    pub.publish("factory/m2/telemetry", b"wild-only", qos=1)  # now unmatched
+    pub.publish("factory/m1/telemetry", b"exact-still", qos=1)
+    nxt = stream.read_packet(timeout=5)
+    assert nxt.type == PUBLISH and nxt.payload == b"exact-still"
+    sock.sendall(encode_puback(nxt.packet_id))
+    assert stream.read_packet(timeout=0.5) is None  # wild-only never arrived
+
+    # removing the last filter silences the session entirely; UNSUBACK
+    # still comes back even for a not-subscribed filter (spec MUST)
+    sock.sendall(encode_unsubscribe(4, "factory/m1/telemetry", "never/was"))
+    ack = stream.read_packet(timeout=5)
+    assert ack.type == UNSUBACK and ack.packet_id == 4
+    pub.publish("factory/m1/telemetry", b"after", qos=1)
+    assert stream.read_packet(timeout=0.5) is None
+    pub.close()
+    sock.close()
+
+
+def test_unsubscribe_codec_roundtrip():
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_wire import (
+        UNSUBSCRIBE,
+        encode_unsubscribe,
+        parse_packet,
+    )
+
+    raw = encode_unsubscribe(77, "a/+/b", "#")
+    pkt, used = parse_packet(raw)
+    assert used == len(raw)
+    assert pkt.type == UNSUBSCRIBE and pkt.flags == 0x02
+    assert pkt.packet_id == 77
+    # payload after the packet id is the two length-prefixed filters
+    assert pkt.body[2:] == b"\x00\x05a/+/b\x00\x01#"
