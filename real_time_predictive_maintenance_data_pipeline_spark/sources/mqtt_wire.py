@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import os
 import socket
+import ssl
 import threading
 import time
 import uuid
@@ -216,6 +217,38 @@ def valid_topic_filter(topic_filter: str) -> bool:
     return True
 
 
+def client_tls_context(
+    root_ca: str, certfile: str, keyfile: str, check_hostname: bool = True
+) -> ssl.SSLContext:
+    """O8: the mTLS socket factory from PEM file paths — the exact
+    inputs the reference loads (AwsIotSslUtil.java:54-66: root CA into
+    the trust store for server auth, device cert + private key into the
+    key store for client auth, TLS context from both; the Python side
+    mirrors realtime_inference.py:152-162: ``cert_reqs=CERT_REQUIRED``,
+    ``PROTOCOL_TLS_CLIENT``, ``tls_insecure_set(False)`` ==
+    ``check_hostname=True``). Pass the returned context as ``tls=`` to
+    ``MqttPublisher`` / ``SubscriberBridge``; every MQTT frame then
+    crosses the socket inside TLS, as on a broker's port 8883."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.load_verify_locations(cafile=root_ca)
+    ctx.load_cert_chain(certfile=certfile, keyfile=keyfile)
+    ctx.verify_mode = ssl.CERT_REQUIRED
+    ctx.check_hostname = check_hostname
+    return ctx
+
+
+def server_tls_context(root_ca: str, certfile: str, keyfile: str) -> ssl.SSLContext:
+    """Broker side of mutual TLS for the test transport: present the
+    server certificate, REQUIRE a client certificate chaining to
+    ``root_ca`` (AWS IoT Core's X.509 device-auth contract — a client
+    without a valid device cert never completes the handshake)."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile=certfile, keyfile=keyfile)
+    ctx.load_verify_locations(cafile=root_ca)
+    ctx.verify_mode = ssl.CERT_REQUIRED
+    return ctx
+
+
 def encode_pingreq() -> bytes:
     return _frame(PINGREQ, 0, b"")
 
@@ -319,8 +352,16 @@ class MqttPublisher:
         client_id: str = "rtpmdp-pub",
         ack_timeout: float = 5.0,
         max_retries: int = 3,
+        tls: ssl.SSLContext | None = None,
+        server_hostname: str | None = None,
     ) -> None:
         self._sock = socket.create_connection((host, port), timeout=10.0)
+        if tls is not None:
+            # O8: TLS handshake before any MQTT byte (IoTSimulator's
+            # socketFactory on port 8883, IoTSimulator.java:121-127)
+            self._sock = tls.wrap_socket(
+                self._sock, server_hostname=server_hostname or host
+            )
         self._stream = PacketStream(self._sock)
         self._ack_timeout = ack_timeout
         self._max_retries = max_retries
@@ -381,7 +422,12 @@ def unique_client_id(prefix: str = "rtpmdp") -> str:
 
 
 def publish_partitions(
-    df, host: str, port: int, topic: str, topic_col: str | None = None
+    df,
+    host: str,
+    port: int,
+    topic: str,
+    topic_col: str | None = None,
+    tls_paths: tuple[str, str, str] | None = None,
 ) -> None:
     """O7 as a distributed Spark sink: every partition opens ITS OWN
     QoS-1 connection and publishes its rows' ``value`` column — the
@@ -393,7 +439,14 @@ def publish_partitions(
     ``topic_col`` names a per-row topic column for multi-topic relays
     (the AWS IoT rule shape — per-device topics matched by a wildcard
     filter, phase2-iot-kinesis.yaml:61); ``topic`` is the fallback for
-    rows where that column is null."""
+    rows where that column is null.
+
+    ``tls_paths`` is an optional ``(root_ca, certfile, keyfile)`` PEM
+    path triple (O8 — the same three files the reference's socket
+    factory loads, IoTSimulator.java:80-82): paths serialize to the
+    executors, where each partition builds its own SSLContext (contexts
+    hold OS resources and cannot be pickled) and handshakes mutual TLS
+    before the first MQTT byte."""
 
     cols = ["value"] if topic_col is None else ["value", topic_col]
 
@@ -402,8 +455,16 @@ def publish_partitions(
         try:
             for row in rows:
                 if pub is None:  # connect lazily: empty partitions stay silent
+                    tls = (
+                        client_tls_context(*tls_paths)
+                        if tls_paths is not None
+                        else None
+                    )
                     pub = MqttPublisher(
-                        host, port, client_id=unique_client_id("rtpmdp-part")
+                        host,
+                        port,
+                        client_id=unique_client_id("rtpmdp-part"),
+                        tls=tls,
                     )
                 t = topic if topic_col is None else (row[topic_col] or topic)
                 pub.publish(t, row["value"].encode("utf-8"), qos=1)
@@ -432,10 +493,18 @@ class SubscriberBridge:
     def __init__(
         self, host: str, port: int, topic: str, spool_dir: str,
         client_id: str = "rtpmdp-sub",
+        tls: ssl.SSLContext | None = None,
+        server_hostname: str | None = None,
     ) -> None:
         os.makedirs(spool_dir, exist_ok=True)
         self._path = os.path.join(spool_dir, "mqtt_spool.jsonl")
         self._sock = socket.create_connection((host, port), timeout=10.0)
+        if tls is not None:
+            # O8: subscribe side of mTLS (realtime_inference.py:152-162
+            # — tls_set(ca, cert, key, CERT_REQUIRED) then connect :8883)
+            self._sock = tls.wrap_socket(
+                self._sock, server_hostname=server_hostname or host
+            )
         self._stream = PacketStream(self._sock)
         self._sock.sendall(encode_connect(client_id))
         ack = self._stream.read_packet(timeout=10.0)
@@ -536,12 +605,15 @@ class MiniBroker:
     timer-based. Not a production broker; the clients above speak the
     same frames to a real one."""
 
-    def __init__(self, host: str = "127.0.0.1") -> None:
+    def __init__(
+        self, host: str = "127.0.0.1", tls: ssl.SSLContext | None = None
+    ) -> None:
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._srv.bind((host, 0))
         self._srv.listen(16)
         self.host, self.port = self._srv.getsockname()
+        self._tls = tls  # server_tls_context(...) -> mutual TLS required
         self._sessions: list[_Session] = []
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -556,12 +628,29 @@ class MiniBroker:
                 conn, _ = self._srv.accept()
             except (TimeoutError, socket.timeout, OSError):
                 continue
-            sess = _Session(sock=conn)
-            with self._lock:
-                self._sessions.append(sess)
+            # Handshake + serve off the accept thread: a client that
+            # stalls mid-TLS-handshake must not block further accepts.
             threading.Thread(
-                target=self._serve, args=(sess,), daemon=True
+                target=self._start_session, args=(conn,), daemon=True
             ).start()
+
+    def _start_session(self, conn: socket.socket) -> None:
+        if self._tls is not None:
+            try:
+                conn.settimeout(10.0)
+                conn = self._tls.wrap_socket(conn, server_side=True)
+            except (ssl.SSLError, OSError):
+                # failed mutual auth (no/unknown client cert) costs only
+                # THIS connection — it never becomes a session
+                try:
+                    conn.close()
+                except OSError:
+                    pass
+                return
+        sess = _Session(sock=conn)
+        with self._lock:
+            self._sessions.append(sess)
+        self._serve(sess)
 
     def _serve(self, sess: _Session) -> None:
         stream = PacketStream(sess.sock)
