@@ -1,7 +1,13 @@
 """Run the reference pipeline over its ACTUAL transport — MQTT 3.1.1
 frames on live TCP — end-to-end in one process:
 
-    python examples/mqtt_pipeline.py [n_records]
+    python examples/mqtt_pipeline.py [n_records] [--tls]
+
+With ``--tls`` the demo mints a dev CA + server + device certificates
+at runtime (``sources/mqtt_certs.py``; needs the ``cryptography``
+package) and runs the identical loop with every MQTT frame inside
+mutual TLS — the reference's port-8883 shape (O8,
+AwsIotSslUtil.java:54-66, realtime_inference.py:152-162).
 
 Phase map (reference → here):
   1. telemetry simulator publishing QoS 1     → ``publish_partitions``:
@@ -50,7 +56,9 @@ from real_time_predictive_maintenance_data_pipeline_spark.sources.pysource impor
 from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_wire import (
     MiniBroker,
     SubscriberBridge,
+    client_tls_context,
     publish_partitions,
+    server_tls_context,
 )
 from real_time_predictive_maintenance_data_pipeline_spark.sources.streams import (
     TELEMETRY_TOPIC,
@@ -62,22 +70,48 @@ from real_time_predictive_maintenance_data_pipeline_spark.streaming import (
 )
 
 
-def main(n_records: int = 200) -> None:
+def main(n_records: int = 200, tls: bool = False) -> None:
     spark = get_spark("rtpmdp-mqtt-demo", cpus="8")
     spark.sparkContext.setLogLevel("ERROR")
     register_telemetry_source(spark)
     work = tempfile.mkdtemp(prefix="rtpmdp_mqtt_")
+
+    tls_paths = None
+    if tls:
+        # O8: mint a dev CA + server + device certs; every MQTT frame
+        # below then crosses the sockets inside mutual TLS
+        from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_certs import (
+            mint_dev_certs,
+        )
+
+        certs = mint_dev_certs(f"{work}/certs")
+        tls_paths = (
+            certs["root_ca.pem"],
+            certs["certificate.pem.crt"],
+            certs["private.pem.key"],
+        )
+        print(f"minted dev certificates (mutual TLS ON): {work}/certs")
 
     print("phase 4: training MLlib RandomForest on seeded historical table ...")
     model, res = train_and_eval(historical_telemetry(spark))
     print(f"  held-out precision={res.precision:.2f} recall={res.recall:.2f}")
 
     print("phases 2-3: broker + QoS-1 wildcard subscriber bridge -> spool ...")
-    broker = MiniBroker()
+    broker = MiniBroker(
+        tls=server_tls_context(
+            certs["root_ca.pem"], certs["server.pem.crt"], certs["server.pem.key"]
+        )
+        if tls
+        else None
+    )
     # the AWS IoT rule shape: ONE wildcard filter fans in every
     # per-machine topic (phase2-iot-kinesis.yaml:61)
     bridge = SubscriberBridge(
-        broker.host, broker.port, "factory/+/telemetry", f"{work}/spool"
+        broker.host,
+        broker.port,
+        "factory/+/telemetry",
+        f"{work}/spool",
+        tls=client_tls_context(*tls_paths) if tls else None,
     )
 
     print(f"phase 1: publishing {n_records} telemetry records over MQTT "
@@ -100,7 +134,12 @@ def main(n_records: int = 200) -> None:
         ).alias("topic"),
     )
     publish_partitions(
-        wire, broker.host, broker.port, TELEMETRY_TOPIC, topic_col="topic"
+        wire,
+        broker.host,
+        broker.port,
+        TELEMETRY_TOPIC,
+        topic_col="topic",
+        tls_paths=tls_paths,
     )
 
     deadline = time.time() + 30
@@ -135,4 +174,8 @@ def main(n_records: int = 200) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 200)
+    argv = [a for a in sys.argv[1:] if a != "--tls"]
+    main(
+        int(argv[0]) if argv else 200,
+        tls="--tls" in sys.argv[1:],
+    )

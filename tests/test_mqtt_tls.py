@@ -18,7 +18,6 @@ engine's TLS code itself is stdlib ``ssl``.
 
 from __future__ import annotations
 
-import datetime
 import json
 import socket
 import ssl
@@ -28,11 +27,12 @@ import pytest
 
 cryptography = pytest.importorskip("cryptography")
 
-from cryptography import x509
-from cryptography.hazmat.primitives import hashes, serialization
-from cryptography.hazmat.primitives.asymmetric import ec
-from cryptography.x509.oid import NameOID
-
+from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_certs import (
+    mint_dev_certs,
+    mint_keypair,
+    pem_cert,
+    pem_key,
+)
 from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_wire import (
     MiniBroker,
     MqttPublisher,
@@ -45,83 +45,20 @@ from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_wire impo
 TOPIC = "factory/telemetry"
 
 
-def _name(cn: str) -> x509.Name:
-    return x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, cn)])
-
-
-def _mint(
-    cn: str,
-    issuer_name: x509.Name | None = None,
-    issuer_key=None,
-    ca: bool = False,
-    san: bool = False,
-):
-    """Return (key, cert). Self-signed when no issuer is given."""
-    key = ec.generate_private_key(ec.SECP256R1())
-    subject = _name(cn)
-    now = datetime.datetime.now(datetime.timezone.utc)
-    builder = (
-        x509.CertificateBuilder()
-        .subject_name(subject)
-        .issuer_name(issuer_name if issuer_name is not None else subject)
-        .public_key(key.public_key())
-        .serial_number(x509.random_serial_number())
-        .not_valid_before(now - datetime.timedelta(minutes=5))
-        .not_valid_after(now + datetime.timedelta(days=1))
-        .add_extension(x509.BasicConstraints(ca=ca, path_length=None), critical=True)
-    )
-    if san:
-        builder = builder.add_extension(
-            x509.SubjectAlternativeName(
-                [
-                    x509.DNSName("localhost"),
-                    x509.IPAddress(__import__("ipaddress").ip_address("127.0.0.1")),
-                ]
-            ),
-            critical=False,
-        )
-    cert = builder.sign(issuer_key if issuer_key is not None else key, hashes.SHA256())
-    return key, cert
-
-
-def _pem_key(key) -> bytes:
-    return key.private_bytes(
-        serialization.Encoding.PEM,
-        serialization.PrivateFormat.PKCS8,
-        serialization.NoEncryption(),
-    )
-
-
-def _pem_cert(cert) -> bytes:
-    return cert.public_bytes(serialization.Encoding.PEM)
-
-
 @pytest.fixture(scope="module")
 def certs(tmp_path_factory):
     """PEM files on disk, exactly the reference's three-file layout
     (IoTSimulator.java:80-82) plus a rogue CA for the rejection path."""
     d = tmp_path_factory.mktemp("certs")
-    ca_key, ca_cert = _mint("rtpmdp-root-ca", ca=True)
-    srv_key, srv_cert = _mint(
-        "127.0.0.1", issuer_name=ca_cert.subject, issuer_key=ca_key, san=True
+    paths = mint_dev_certs(str(d))
+    rogue_ca_key, rogue_ca_cert = mint_keypair("rogue-ca", ca=True)
+    rogue_key, rogue_cert = mint_keypair(
+        "device-evil", issuer_cert=rogue_ca_cert, issuer_key=rogue_ca_key
     )
-    dev_key, dev_cert = _mint(
-        "device-001", issuer_name=ca_cert.subject, issuer_key=ca_key
-    )
-    rogue_ca_key, rogue_ca_cert = _mint("rogue-ca", ca=True)
-    rogue_key, rogue_cert = _mint(
-        "device-evil", issuer_name=rogue_ca_cert.subject, issuer_key=rogue_ca_key
-    )
-    paths = {}
     for name, data in {
-        "root_ca.pem": _pem_cert(ca_cert),
-        "server.pem.crt": _pem_cert(srv_cert),
-        "server.pem.key": _pem_key(srv_key),
-        "certificate.pem.crt": _pem_cert(dev_cert),
-        "private.pem.key": _pem_key(dev_key),
-        "rogue_ca.pem": _pem_cert(rogue_ca_cert),
-        "rogue.pem.crt": _pem_cert(rogue_cert),
-        "rogue.pem.key": _pem_key(rogue_key),
+        "rogue_ca.pem": pem_cert(rogue_ca_cert),
+        "rogue.pem.crt": pem_cert(rogue_cert),
+        "rogue.pem.key": pem_key(rogue_key),
     }.items():
         p = d / name
         p.write_bytes(data)
@@ -291,3 +228,27 @@ def test_distributed_publish_over_mtls(spark, tls_broker, certs, tmp_path):
         for line in (tmp_path / "spool" / "mqtt_spool.jsonl").read_text().splitlines()
     )
     assert got == list(range(n))
+
+
+def test_mint_dev_certs_layout(tmp_path):
+    """mint_dev_certs writes the reference's three-file client bundle
+    plus a broker pair, and both TLS contexts load from those paths
+    directly (the example's --tls wiring)."""
+    paths = mint_dev_certs(str(tmp_path / "dev"))
+    assert set(paths) == {
+        "root_ca.pem",
+        "certificate.pem.crt",
+        "private.pem.key",
+        "server.pem.crt",
+        "server.pem.key",
+    }
+    for p in paths.values():
+        head = open(p, "rb").read(30)
+        assert head.startswith(b"-----BEGIN ")
+    # both factories accept the minted files as-is
+    client_tls_context(
+        paths["root_ca.pem"], paths["certificate.pem.crt"], paths["private.pem.key"]
+    )
+    server_tls_context(
+        paths["root_ca.pem"], paths["server.pem.crt"], paths["server.pem.key"]
+    )
