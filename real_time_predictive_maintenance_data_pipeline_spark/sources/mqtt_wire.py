@@ -307,14 +307,21 @@ def parse_packet(raw: bytes) -> tuple[Packet, int]:
 
 class PacketStream:
     """Incremental framer over a socket: buffers bytes, yields complete
-    packets. One instance per connection (not thread-safe)."""
+    packets. One instance per connection (not thread-safe).
+
+    ``read_packet`` returns ``None`` both on timeout (try again later)
+    and on connection loss; ``eof`` distinguishes them — it latches True
+    once the peer closed or the socket errored, so pollers can tell a
+    quiet connection from a dead one instead of spinning on a socket
+    whose ``recv`` returns instantly forever."""
 
     def __init__(self, sock: socket.socket) -> None:
         self._sock = sock
         self._buf = b""
+        self.eof = False
 
     def read_packet(self, timeout: float | None = None) -> Packet | None:
-        """Next complete packet, or None on EOF/timeout."""
+        """Next complete packet, or None on EOF/timeout (check ``eof``)."""
         self._sock.settimeout(timeout)
         while True:
             try:
@@ -323,13 +330,17 @@ class PacketStream:
                 return pkt
             except IndexError:
                 pass
+            if self.eof:
+                return None
             try:
                 chunk = self._sock.recv(65536)
             except (TimeoutError, socket.timeout):
                 return None
             except OSError:
+                self.eof = True
                 return None
             if not chunk:
+                self.eof = True
                 return None
             self._buf += chunk
 
@@ -488,39 +499,103 @@ class SubscriberBridge:
     a restarted query replays from the file, not the broker.
 
     PUBACK is sent only AFTER the line is flushed — a crash between
-    write and ack re-delivers (at-least-once), never loses."""
+    write and ack re-delivers (at-least-once), never loses.
+
+    Transport loss auto-recovers like the reference's
+    ``client.loop_forever()`` (realtime_inference.py:189): the loop
+    redials + re-subscribes with capped exponential backoff
+    (``reconnects`` counts sessions re-established; ``reconnect=False``
+    opts out, surfacing the loss via ``close()``). The FIRST connect
+    still raises to the caller — a bad address or refused TLS auth is
+    configuration, not transient loss. Protocol corruption (malformed
+    frame) stays fail-fast: stored and re-raised by ``close()``."""
 
     def __init__(
         self, host: str, port: int, topic: str, spool_dir: str,
         client_id: str = "rtpmdp-sub",
         tls: ssl.SSLContext | None = None,
         server_hostname: str | None = None,
+        reconnect: bool = True,
+        max_reconnect_wait: float = 2.0,
     ) -> None:
         os.makedirs(spool_dir, exist_ok=True)
         self._path = os.path.join(spool_dir, "mqtt_spool.jsonl")
-        self._sock = socket.create_connection((host, port), timeout=10.0)
-        if tls is not None:
-            # O8: subscribe side of mTLS (realtime_inference.py:152-162
-            # — tls_set(ca, cert, key, CERT_REQUIRED) then connect :8883)
-            self._sock = tls.wrap_socket(
-                self._sock, server_hostname=server_hostname or host
-            )
-        self._stream = PacketStream(self._sock)
-        self._sock.sendall(encode_connect(client_id))
-        ack = self._stream.read_packet(timeout=10.0)
-        if ack is None or ack.type != CONNACK or ack.body[1] != 0:
-            raise ConnectionError("MQTT CONNECT refused")
-        self._sock.sendall(encode_subscribe(1, topic, qos=1))
-        sub = self._stream.read_packet(timeout=10.0)
-        if sub is None or sub.type != SUBACK:
-            raise ConnectionError("MQTT SUBSCRIBE not acknowledged")
+        self._host, self._port, self._topic = host, port, topic
+        self._client_id = client_id
+        self._tls = tls
+        self._server_hostname = server_hostname
+        self._reconnect = reconnect
+        self._max_wait = max_reconnect_wait
         self._stop = threading.Event()
-        self._seen: set[int] = set()  # in-flight dedup by packet id
+        self._seen: set[int] = set()  # per-session dedup by packet id
         self.received = 0
         self.rejected = 0  # non-UTF-8 / newline-bearing payloads (quarantined)
+        self.reconnects = 0
         self._error: BaseException | None = None
+        # the FIRST connect raises to the caller (bad address, refused
+        # CONNECT, failed TLS auth are configuration errors, not
+        # transient transport loss); only established sessions reconnect
+        self._connect()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def _connect(self) -> None:
+        """Dial + CONNECT + SUBSCRIBE one session; assigns
+        ``_sock``/``_stream`` only on full success."""
+        sock = socket.create_connection((self._host, self._port), timeout=10.0)
+        try:
+            if self._tls is not None:
+                # O8: subscribe side of mTLS (realtime_inference.py:152-162
+                # — tls_set(ca, cert, key, CERT_REQUIRED) then connect :8883)
+                sock = self._tls.wrap_socket(
+                    sock, server_hostname=self._server_hostname or self._host
+                )
+            stream = PacketStream(sock)
+            sock.sendall(encode_connect(self._client_id))
+            ack = stream.read_packet(timeout=10.0)
+            if ack is None or ack.type != CONNACK or ack.body[1] != 0:
+                raise ConnectionError("MQTT CONNECT refused")
+            sock.sendall(encode_subscribe(1, self._topic, qos=1))
+            sub = stream.read_packet(timeout=10.0)
+            if sub is None or sub.type != SUBACK:
+                raise ConnectionError("MQTT SUBSCRIBE not acknowledged")
+        except BaseException:
+            try:
+                sock.close()
+            except OSError:
+                pass
+            raise
+        self._sock, self._stream = sock, stream
+
+    def _reconnect_loop(self) -> bool:
+        """Connection lost: redial with capped exponential backoff until
+        a session is re-established (True) or ``close()`` stops us
+        (False) — the recovery contract of the reference's
+        ``client.loop_forever()`` (realtime_inference.py:189), which
+        auto-reconnects and re-subscribes on connection loss."""
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        delay = 0.05
+        while not self._stop.is_set():
+            try:
+                self._connect()
+            except (OSError, ConnectionError):
+                if self._stop.wait(delay):
+                    return False
+                delay = min(delay * 2, self._max_wait)
+                continue
+            # Fresh session: the broker's outbound packet ids restart, so
+            # the dedup set must reset with them (a stale set would drop
+            # NEW messages that reuse an old id). Un-PUBACKed forwards
+            # from the dead session may arrive again under new ids and
+            # spool twice — that is the at-least-once contract; the
+            # downstream dropDuplicatesWithinWatermark dedupes by value.
+            self._seen = set()
+            self.reconnects += 1
+            return True
+        return False
 
     def _loop(self) -> None:
         try:
@@ -528,6 +603,17 @@ class SubscriberBridge:
                 while not self._stop.is_set():
                     pkt = self._stream.read_packet(timeout=0.25)
                     if pkt is None:
+                        if self._stream.eof:
+                            if self._reconnect and self._reconnect_loop():
+                                continue
+                            if not self._stop.is_set():
+                                # reconnect disabled (or aborted): surface
+                                # the loss via close() instead of the
+                                # caller watching ``received`` stall
+                                self._error = ConnectionError(
+                                    "MQTT connection lost"
+                                )
+                            return
                         continue
                     if pkt.type == PUBLISH:
                         # duplicate delivery (DUP resend raced our PUBACK):
@@ -557,9 +643,19 @@ class SubscriberBridge:
                             if pkt.packet_id is not None:
                                 self._seen.add(pkt.packet_id)
                         if pkt.qos == 1 and pkt.packet_id is not None:
-                            self._sock.sendall(encode_puback(pkt.packet_id))
+                            try:
+                                self._sock.sendall(encode_puback(pkt.packet_id))
+                            except OSError:
+                                # connection died between read and ack: the
+                                # next read_packet sees eof and reconnects;
+                                # the unacked message redelivers (at-least-
+                                # once — it is already spooled above)
+                                pass
                     elif pkt.type == PINGREQ:
-                        self._sock.sendall(encode_pingresp())
+                        try:
+                            self._sock.sendall(encode_pingresp())
+                        except OSError:
+                            pass
         except BaseException as exc:  # noqa: BLE001 — surfaced via close()
             # A malformed frame (ValueError from parse_packet) or socket
             # error must not silently kill the spool thread: store the
@@ -606,11 +702,14 @@ class MiniBroker:
     same frames to a real one."""
 
     def __init__(
-        self, host: str = "127.0.0.1", tls: ssl.SSLContext | None = None
+        self,
+        host: str = "127.0.0.1",
+        tls: ssl.SSLContext | None = None,
+        port: int = 0,
     ) -> None:
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._srv.bind((host, 0))
+        self._srv.bind((host, port))
         self._srv.listen(16)
         self.host, self.port = self._srv.getsockname()
         self._tls = tls  # server_tls_context(...) -> mutual TLS required
@@ -666,6 +765,16 @@ class MiniBroker:
                 sess.sock.close()
                 return
             if pkt is None:
+                if stream.eof:
+                    # peer vanished without DISCONNECT (crash, network
+                    # partition): reap the session — keeping it would
+                    # spin this serve thread on an instant-EOF recv and
+                    # route frames into a dead socket forever
+                    with self._lock:
+                        if sess in self._sessions:
+                            self._sessions.remove(sess)
+                    sess.sock.close()
+                    return
                 if self._stop.is_set():
                     return
                 continue
@@ -775,6 +884,25 @@ class MiniBroker:
     def inflight_count(self) -> int:
         with self._lock:
             return sum(len(s.inflight) for s in self._sessions)
+
+    def session_count(self) -> int:
+        with self._lock:
+            return len(self._sessions)
+
+    def drop_connections(self) -> int:
+        """Sever every live client connection WITHOUT stopping the
+        broker — the clients' view of a broker restart or network
+        partition. Deterministic trigger for reconnect tests; returns
+        the number of connections dropped."""
+        with self._lock:
+            sessions = list(self._sessions)
+            self._sessions.clear()
+        for s in sessions:
+            try:
+                s.sock.close()
+            except OSError:
+                pass
+        return len(sessions)
 
     def close(self) -> None:
         self._stop.set()

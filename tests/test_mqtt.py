@@ -741,3 +741,105 @@ def test_unsubscribe_codec_roundtrip():
     assert pkt.packet_id == 77
     # payload after the packet id is the two length-prefixed filters
     assert pkt.body[2:] == b"\x00\x05a/+/b\x00\x01#"
+
+
+# ---------------------------------------------------------------------------
+# Connection-loss recovery (loop_forever parity, realtime_inference.py:189)
+# ---------------------------------------------------------------------------
+
+
+def _wait_until(pred, timeout=10.0):
+    deadline = time.time() + timeout
+    while not pred() and time.time() < deadline:
+        time.sleep(0.05)
+    return pred()
+
+
+def test_subscriber_reconnects_after_connection_drop(broker, tmp_path):
+    """Severed transport auto-recovers: redial + re-subscribe, then keep
+    spooling — paho ``loop_forever`` semantics. The second batch rides a
+    FRESH broker session whose packet ids restart at 1, so it also
+    proves the per-session dedup set resets (a stale set would silently
+    drop every post-reconnect message)."""
+    sub = SubscriberBridge(broker.host, broker.port, TOPIC, str(tmp_path / "sp"))
+    pub = MqttPublisher(broker.host, broker.port)
+    for i in range(3):
+        pub.publish(TOPIC, f"pre-{i}".encode(), qos=1)
+    pub.close()
+    assert _wait_until(lambda: sub.received == 3)
+
+    assert broker.drop_connections() == 1  # only the subscriber session
+    assert _wait_until(lambda: sub.reconnects >= 1)
+    assert _wait_until(lambda: broker.session_count() == 1)
+
+    pub = MqttPublisher(broker.host, broker.port)
+    for i in range(3):
+        pub.publish(TOPIC, f"post-{i}".encode(), qos=1)
+    pub.close()
+    assert _wait_until(lambda: sub.received == 6)
+    sub.close()  # must not raise: loss was recovered, not an error
+    lines = (tmp_path / "sp" / "mqtt_spool.jsonl").read_text().splitlines()
+    assert lines == [f"pre-{i}" for i in range(3)] + [f"post-{i}" for i in range(3)]
+
+
+def test_subscriber_reconnect_disabled_surfaces_loss(broker, tmp_path):
+    """With ``reconnect=False`` a severed connection is an ERROR the
+    caller hears about at close(), never a silent stall."""
+    sub = SubscriberBridge(
+        broker.host, broker.port, TOPIC, str(tmp_path / "sp"), reconnect=False
+    )
+    broker.drop_connections()
+    assert _wait_until(lambda: sub._error is not None)
+    with pytest.raises(RuntimeError, match="subscriber thread died"):
+        sub.close()
+
+
+def test_subscriber_reconnect_survives_broker_outage(tmp_path):
+    """The backoff loop outlives a full broker restart on the same
+    port: every redial fails while the broker is down, then the first
+    successful one re-subscribes and delivery resumes."""
+    broker = MiniBroker()
+    port = broker.port
+    sub = SubscriberBridge(broker.host, port, TOPIC, str(tmp_path / "sp"))
+    try:
+        broker.close()  # outage: connection severed AND nothing listening
+        assert _wait_until(lambda: sub._stream.eof or sub.reconnects >= 1)
+        broker = MiniBroker(port=port)
+        assert _wait_until(lambda: sub.reconnects >= 1)
+        pub = MqttPublisher(broker.host, broker.port)
+        pub.publish(TOPIC, b"after-outage", qos=1)
+        pub.close()
+        assert _wait_until(lambda: sub.received == 1)
+        sub.close()
+    finally:
+        broker.close()
+
+
+def test_broker_reaps_dead_sessions(broker):
+    """A client vanishing WITHOUT DISCONNECT (crash/partition) is
+    reaped: its serve thread exits instead of spinning on instant-EOF
+    recv, and routing stops targeting the dead socket."""
+    raw = socket.create_connection((broker.host, broker.port), timeout=5)
+    raw.sendall(encode_connect("abrupt-client"))
+    stream = PacketStream(raw)
+    ack = stream.read_packet(timeout=5)
+    assert ack is not None and ack.type == CONNACK
+    assert _wait_until(lambda: broker.session_count() == 1)
+    raw.close()  # no DISCONNECT frame
+    assert _wait_until(lambda: broker.session_count() == 0)
+
+
+def test_packet_stream_eof_is_latched():
+    """eof distinguishes a dead socket from a quiet one — and stays
+    False across ordinary timeouts."""
+    a, b = socket.socketpair()
+    stream = PacketStream(a)
+    assert stream.read_packet(timeout=0.05) is None  # quiet, not dead
+    assert stream.eof is False
+    b.sendall(encode_connect("c1"))
+    pkt = stream.read_packet(timeout=1.0)
+    assert pkt is not None
+    b.close()
+    assert stream.read_packet(timeout=1.0) is None
+    assert stream.eof is True
+    a.close()
