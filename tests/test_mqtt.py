@@ -767,6 +767,9 @@ def test_subscriber_reconnects_after_connection_drop(broker, tmp_path):
         pub.publish(TOPIC, f"pre-{i}".encode(), qos=1)
     pub.close()
     assert _wait_until(lambda: sub.received == 3)
+    # the publisher's DISCONNECT is processed asynchronously — wait for
+    # its session to go away so the drop below is deterministic
+    assert _wait_until(lambda: broker.session_count() == 1)
 
     assert broker.drop_connections() == 1  # only the subscriber session
     assert _wait_until(lambda: sub.reconnects >= 1)
