@@ -517,6 +517,7 @@ class SubscriberBridge:
         server_hostname: str | None = None,
         reconnect: bool = True,
         max_reconnect_wait: float = 2.0,
+        keepalive: int = 60,
     ) -> None:
         os.makedirs(spool_dir, exist_ok=True)
         self._path = os.path.join(spool_dir, "mqtt_spool.jsonl")
@@ -526,11 +527,13 @@ class SubscriberBridge:
         self._server_hostname = server_hostname
         self._reconnect = reconnect
         self._max_wait = max_reconnect_wait
+        self._keepalive = keepalive
         self._stop = threading.Event()
         self._seen: set[int] = set()  # per-session dedup by packet id
         self.received = 0
         self.rejected = 0  # non-UTF-8 / newline-bearing payloads (quarantined)
         self.reconnects = 0
+        self.pings_sent = 0
         self._error: BaseException | None = None
         # the FIRST connect raises to the caller (bad address, refused
         # CONNECT, failed TLS auth are configuration errors, not
@@ -551,7 +554,7 @@ class SubscriberBridge:
                     sock, server_hostname=self._server_hostname or self._host
                 )
             stream = PacketStream(sock)
-            sock.sendall(encode_connect(self._client_id))
+            sock.sendall(encode_connect(self._client_id, keep_alive=self._keepalive))
             ack = stream.read_packet(timeout=10.0)
             if ack is None or ack.type != CONNACK or ack.body[1] != 0:
                 raise ConnectionError("MQTT CONNECT refused")
@@ -599,12 +602,25 @@ class SubscriberBridge:
 
     def _loop(self) -> None:
         try:
+            last_tx = time.monotonic()
             with open(self._path, "a", encoding="utf-8") as spool:
                 while not self._stop.is_set():
+                    # spec §3.1.2.10: within each keepalive interval the
+                    # client must send SOME control packet — a broker
+                    # drops silent clients at 1.5x keepalive. PUBACKs
+                    # count; when idle, PINGREQ at half the interval.
+                    if time.monotonic() - last_tx >= self._keepalive / 2:
+                        try:
+                            self._sock.sendall(encode_pingreq())
+                            self.pings_sent += 1
+                        except OSError:
+                            pass  # dead socket: eof path below recovers
+                        last_tx = time.monotonic()
                     pkt = self._stream.read_packet(timeout=0.25)
                     if pkt is None:
                         if self._stream.eof:
                             if self._reconnect and self._reconnect_loop():
+                                last_tx = time.monotonic()  # fresh CONNECT
                                 continue
                             if not self._stop.is_set():
                                 # reconnect disabled (or aborted): surface
@@ -645,6 +661,7 @@ class SubscriberBridge:
                         if pkt.qos == 1 and pkt.packet_id is not None:
                             try:
                                 self._sock.sendall(encode_puback(pkt.packet_id))
+                                last_tx = time.monotonic()
                             except OSError:
                                 # connection died between read and ack: the
                                 # next read_packet sees eof and reconnects;
@@ -654,6 +671,7 @@ class SubscriberBridge:
                     elif pkt.type == PINGREQ:
                         try:
                             self._sock.sendall(encode_pingresp())
+                            last_tx = time.monotonic()
                         except OSError:
                             pass
         except BaseException as exc:  # noqa: BLE001 — surfaced via close()

@@ -846,3 +846,21 @@ def test_packet_stream_eof_is_latched():
     assert stream.read_packet(timeout=1.0) is None
     assert stream.eof is True
     a.close()
+
+
+def test_subscriber_keepalive_pings_when_idle(broker, tmp_path):
+    """§3.1.2.10: within each keepalive interval the client must send
+    SOME control packet or a real broker drops it at 1.5x keepalive —
+    an idle subscriber pings at half the advertised interval and the
+    session stays usable afterwards."""
+    sub = SubscriberBridge(
+        broker.host, broker.port, TOPIC, str(tmp_path / "sp"), keepalive=1
+    )
+    assert _wait_until(lambda: sub.pings_sent >= 2, timeout=5.0)
+    assert broker.session_count() == 1  # broker answered, nothing died
+    pub = MqttPublisher(broker.host, broker.port)
+    pub.publish(TOPIC, b"after-idle", qos=1)
+    pub.close()
+    assert _wait_until(lambda: sub.received == 1)
+    assert sub.reconnects == 0  # liveness came from pings, not redials
+    sub.close()
