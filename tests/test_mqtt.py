@@ -864,3 +864,75 @@ def test_subscriber_keepalive_pings_when_idle(broker, tmp_path):
     assert _wait_until(lambda: sub.received == 1)
     assert sub.reconnects == 0  # liveness came from pings, not redials
     sub.close()
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_packet_stream_reassembles_arbitrary_fragmentation(data):
+    """TCP is a byte stream: a sequence of MQTT frames may arrive split
+    at ANY byte boundary (or coalesced). The framer must reassemble the
+    identical packet sequence regardless of fragmentation."""
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.mqtt_wire import (
+        encode_connack,
+        encode_disconnect,
+        encode_pingreq,
+        encode_pingresp,
+        encode_puback,
+        encode_suback,
+        encode_unsubscribe,
+    )
+
+    frame_strategy = st.one_of(
+        st.builds(encode_connect, st.text(min_size=1, max_size=10)),
+        st.builds(encode_connack),
+        st.builds(
+            encode_publish,
+            st.text(min_size=1, max_size=10).filter(lambda t: "\x00" not in t),
+            st.binary(max_size=300),
+            st.just(1),
+            st.integers(min_value=1, max_value=0xFFFF),
+        ),
+        st.builds(encode_puback, st.integers(min_value=1, max_value=0xFFFF)),
+        st.builds(
+            encode_subscribe, st.integers(min_value=1, max_value=0xFFFF),
+            st.text(min_size=1, max_size=10).filter(lambda t: "\x00" not in t),
+        ),
+        st.builds(encode_suback, st.integers(min_value=1, max_value=0xFFFF)),
+        st.builds(
+            encode_unsubscribe, st.integers(min_value=1, max_value=0xFFFF),
+            st.text(min_size=1, max_size=10).filter(lambda t: "\x00" not in t),
+        ),
+        st.builds(encode_pingreq),
+        st.builds(encode_pingresp),
+        st.builds(encode_disconnect),
+    )
+    frames = data.draw(st.lists(frame_strategy, min_size=1, max_size=6))
+    blob = b"".join(frames)
+    # arbitrary cut points, including empty-chunk degenerate splits
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(blob)), max_size=12
+            )
+        )
+    )
+    a, b = socket.socketpair()
+    try:
+        pos = 0
+        for c in cuts + [len(blob)]:
+            if c > pos:
+                b.sendall(blob[pos:c])
+            pos = c
+        stream = PacketStream(a)
+        got = [stream.read_packet(timeout=2.0) for _ in frames]
+    finally:
+        a.close()
+        b.close()
+    expected = [parse_packet(f)[0] for f in frames]
+    assert [
+        (p.type, p.packet_id, getattr(p, "topic", None), getattr(p, "payload", None))
+        for p in got
+    ] == [
+        (p.type, p.packet_id, getattr(p, "topic", None), getattr(p, "payload", None))
+        for p in expected
+    ]
