@@ -408,6 +408,15 @@ class MqttPublisher:
                     break
                 ack = self._stream.read_packet(timeout=remaining)
                 if ack is None:
+                    if self._stream.eof:
+                        # dead connection: fail fast and clearly instead
+                        # of DUP re-sending into a closed socket until
+                        # the retry budget burns down. The Spark task
+                        # retry (foreachPartition) is the recovery path.
+                        raise ConnectionError(
+                            f"MQTT connection lost awaiting PUBACK "
+                            f"for packet {pid} (after {sends} sends)"
+                        )
                     break
                 if ack.type == PUBACK and ack.packet_id == pid:
                     return sends

@@ -936,3 +936,19 @@ def test_packet_stream_reassembles_arbitrary_fragmentation(data):
         (p.type, p.packet_id, getattr(p, "topic", None), getattr(p, "payload", None))
         for p in expected
     ]
+
+
+def test_publisher_fails_fast_when_connection_dies(broker):
+    """A publisher whose connection is severed mid-session raises a
+    clear ConnectionError on the next QoS-1 publish instead of DUP
+    re-sending into the dead socket until the retry budget burns —
+    the Spark task retry is the recovery path."""
+    pub = MqttPublisher(broker.host, broker.port)
+    pub.publish(TOPIC, b"while-alive", qos=1)
+    broker.drop_connections()
+    with pytest.raises((ConnectionError, OSError)):
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            pub.publish(TOPIC, b"into-the-void", qos=1)
+            time.sleep(0.05)
+    pub.close()
