@@ -621,11 +621,29 @@ def min_label_components(
     itself dropped") must not silently receive a half-propagated
     labeling.
     """
+    # Checkpoint the initial labels first: the caller's frame carries
+    # its full lineage (filters, windows, joins) and feeds two
+    # consumers (the self-loop branch of the edge list and round 1's
+    # join) — truncating here runs that lineage once.
+    labels = labels.toDF("node", "lbl").localCheckpoint(eager=True)
+    # Symmetrize and add one SELF-LOOP per node. The self-loops make
+    # every node see its own current label through the join itself, so
+    # each round is join + groupBy with `labels` appearing exactly ONCE
+    # in the plan. The previous form unioned `labels` back in per round
+    # ("incl. its own label"), putting the same checkpointed frame on
+    # both sides of a Union — Spark 4.1's DeduplicateRelations
+    # re-aliases the second occurrence's output but LogicalRDD keeps
+    # its constraints under the OLD attribute ids, and
+    # UnionBase.rewriteConstraints then dies with
+    # 'NoSuchElementException: key not found: node#N' (reproduced with
+    # a window-filtered corpus feeding near_dup_clusters). Self-loops
+    # also guarantee isolated nodes keep a row in every round's output.
     edges = (
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
         )
         .toDF("src", "dst")
+        .union(labels.select(F.col("node").alias("src"), F.col("node").alias("dst")))
         .localCheckpoint(eager=True)
     )
     hard_cap = max_iters * 8 if require_convergence else max_iters
@@ -634,11 +652,10 @@ def min_label_components(
         if not require_convergence and i >= max_iters:
             break
         # neighbor minimum: for each dst, the smallest label seen on any
-        # incident src (incl. its own current label via the union)
+        # incident src (incl. its own current label via the self-loop)
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "lbl")
-            .union(labels)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=True)

@@ -128,6 +128,32 @@ def test_near_dup_clusters_match_union_find(spark, docs):
         assert cid == min(members)
 
 
+def test_near_dup_clusters_window_filtered_input(spark, docs):
+    """Regression: a constraint-rich upstream plan (window + self-equal
+    filter, the exact-dedup idiom in examples/curate_corpus.py) used to
+    crash label propagation's round-1 checkpoint with Catalyst's
+    'NoSuchElementException: key not found: node#N' — the same
+    checkpointed labels frame sat on both sides of a Union and
+    DeduplicateRelations left LogicalRDD constraints under stale
+    attribute ids. The loop now uses self-loop edges instead of a
+    per-round union; this pins the failing input shape end-to-end."""
+    from pyspark.sql import Window
+
+    filtered = (
+        docs.withColumn("dg", F.sha2("text", 256))
+        .withColumn("keep_id", F.min("doc_id").over(Window.partitionBy("dg")))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .drop("dg", "keep_id")
+    )
+    n_in = filtered.count()
+    labels = D.near_dup_clusters(filtered, jaccard_threshold=0.9)
+    rows = labels.collect()
+    assert len(rows) == n_in  # every surviving doc is labeled
+    for r in rows:
+        if r.is_keeper:
+            assert r.doc_id == r.cluster_id
+
+
 def test_stratified_sample_fractions(spark, docs):
     """sampleBy fractions within 5σ binomial CI per stratum."""
     import math
