@@ -128,6 +128,43 @@ def test_near_dup_clusters_match_union_find(spark, docs):
         assert cid == min(members)
 
 
+def test_min_label_components_chain_graph(spark):
+    """A path graph deeper than the iteration bound exercises the
+    documented degradation mode: labels stop at the k-hop minimum, but
+    every node still gets a row, labels never increase past the true
+    minimum, and the true component minimum always keeps its own label
+    (so a downstream keeper-join can only under-dedup, never lose
+    docs). With require_convergence=True the same graph must propagate
+    to the exact single component."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.dedup import (
+        min_label_components,
+    )
+
+    n = 20  # diameter 19 > the default 6-round bound
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    nodes = spark.range(n).select(
+        F.col("id").alias("node"), F.col("id").alias("lbl")
+    )
+
+    partial = {
+        r.node: r.lbl
+        for r in min_label_components(pairs, nodes, max_iters=6).collect()
+    }
+    assert set(partial) == set(range(n))  # every node labeled
+    assert all(0 <= partial[i] <= i for i in range(n))  # monotone, bounded
+    assert partial[0] == 0  # the true minimum is always its own keeper
+
+    full = {
+        r.node: r.lbl
+        for r in min_label_components(
+            pairs, nodes, max_iters=6, require_convergence=True
+        ).collect()
+    }
+    assert full == {i: 0 for i in range(n)}  # exact single component
+
+
 def test_near_dup_clusters_window_filtered_input(spark, docs):
     """Regression: a constraint-rich upstream plan (window + self-equal
     filter, the exact-dedup idiom in examples/curate_corpus.py) used to
