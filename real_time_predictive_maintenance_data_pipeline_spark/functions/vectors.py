@@ -41,5 +41,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two double arrays."""
+    """Cosine similarity of two double arrays.
+
+    Raw IEEE expression: a zero-norm operand divides by zero, which
+    under Spark 4's default ANSI mode raises DIVIDE_BY_ZERO. Callers
+    over untrusted data must exclude degenerate vectors first — the
+    ``operators.similarity`` family filters null/zero-norm rows before
+    any division (see brute_force_topk)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))

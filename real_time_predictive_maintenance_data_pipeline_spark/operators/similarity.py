@@ -39,12 +39,25 @@ def brute_force_topk(
     # the join each corpus norm would be recomputed per query (and vice
     # versa), tripling the per-pair higher-order work. Same float ops,
     # same results: dot / (norm_q * norm_c).
-    corpus = embeddings.select(
-        F.col(id_col), as_double(vec_col).alias("__corpus_vec")
-    ).withColumn("__cnorm", l2_norm(F.col("__corpus_vec")))
-    q = queries.select(
-        F.col(query_id_col), as_double(vec_col).alias("__query_vec")
-    ).withColumn("__qnorm", l2_norm(F.col("__query_vec")))
+    # Degenerate vectors (null, empty, all-zero) are EXCLUDED on both
+    # sides: cosine is undefined on a zero norm, and under Spark 4's
+    # default ANSI mode the division would otherwise kill the whole job
+    # with DIVIDE_BY_ZERO on the first garbage embedding — at 100 TB
+    # there is always one. isNotNull reaches the parquet scan as a
+    # PushedFilter; the norm check is a cheap map-side predicate (a
+    # null vector's norm is null, so it also drops there).
+    corpus = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), as_double(vec_col).alias("__corpus_vec"))
+        .withColumn("__cnorm", l2_norm(F.col("__corpus_vec")))
+        .filter(F.col("__cnorm") > 0.0)
+    )
+    q = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(query_id_col), as_double(vec_col).alias("__query_vec"))
+        .withColumn("__qnorm", l2_norm(F.col("__query_vec")))
+        .filter(F.col("__qnorm") > 0.0)
+    )
     scored = (
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
@@ -85,19 +98,26 @@ def hard_negatives(
     it prunes before any scoring.
     Returns (query_id, vec_id, score, rank), score 4-dp.
     """
-    corpus = embeddings.select(
-        F.col(id_col),
-        F.col(label_col).alias("__clabel"),
-        as_double(vec_col).alias("__cvec"),
-    ).withColumn("__cnorm", l2_norm(F.col("__cvec")))
+    # degenerate-vector guards: see brute_force_topk (ANSI div-by-zero)
+    corpus = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(label_col).alias("__clabel"),
+            as_double(vec_col).alias("__cvec"),
+        )
+        .withColumn("__cnorm", l2_norm(F.col("__cvec")))
+        .filter(F.col("__cnorm") > 0.0)
+    )
     q = (
-        embeddings.filter(F.col(id_col) < n_queries)
+        embeddings.filter((F.col(id_col) < n_queries) & F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("query_id"),
             F.col(label_col).alias("__qlabel"),
             as_double(vec_col).alias("__qvec"),
         )
         .withColumn("__qnorm", l2_norm(F.col("__qvec")))
+        .filter(F.col("__qnorm") > 0.0)
     )
     scored = (
         corpus.join(F.broadcast(q), F.col("__clabel") != F.col("__qlabel"))
@@ -131,9 +151,13 @@ def cosine_pairs(
     """
     # Norm once per vector (not once per pair — that would redo the
     # O(d) norm reduction n times per row in the O(n²) join).
-    d = embeddings.select(
-        F.col(id_col), as_double(vec_col).alias("__v")
-    ).withColumn("__norm", l2_norm(F.col("__v")))
+    # Degenerate-vector guards: see brute_force_topk (ANSI div-by-zero).
+    d = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), as_double(vec_col).alias("__v"))
+        .withColumn("__norm", l2_norm(F.col("__v")))
+        .filter(F.col("__norm") > 0.0)
+    )
     a = d.select(
         F.col(id_col).alias("vec_a"),
         F.col("__v").alias("__va"),
@@ -162,7 +186,12 @@ def cosine_pairs(
 def _to_mllib_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
-    return df.withColumn("__features", array_to_vector(as_double(vec_col)))
+    # null embeddings would crash array_to_vector / every MLlib fit
+    # downstream (LSH, KMeans); drop them here — the check pushes to
+    # the parquet scan. Zero vectors are fine for the Euclidean paths.
+    return df.filter(F.col(vec_col).isNotNull()).withColumn(
+        "__features", array_to_vector(as_double(vec_col))
+    )
 
 
 def lsh_topk(
@@ -271,21 +300,34 @@ def ivf_topk(
 
     # Corpus norms computed once at index-build time (per vector), not
     # per probe pair — at scale this column would be persisted with the
-    # cell-partitioned index.
-    corpus = model.transform(feats).select(id_col, "__vec", "__cell").withColumn(
-        "__cnorm", l2_norm(F.col("__vec"))
+    # cell-partitioned index. Zero-norm vectors are excluded (cosine
+    # undefined; ANSI div-by-zero otherwise — see brute_force_topk).
+    corpus = (
+        model.transform(feats)
+        .select(id_col, "__vec", "__cell")
+        .withColumn("__cnorm", l2_norm(F.col("__vec")))
+        .filter(F.col("__cnorm") > 0.0)
     )
 
-    # Centroid table: nlist rows — broadcast everywhere.
+    # Centroid table: nlist rows — broadcast everywhere. A centroid can
+    # average to the zero vector on adversarial data; such a cell can't
+    # be cosine-ranked, so it is simply never probed.
     spark = embeddings.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+            if any(float(x) != 0.0 for x in c)
+        ],
         schema=f"__cell INT, __cvec ARRAY<DOUBLE>",
     )
 
-    q = queries.select(
-        F.col(query_id_col), as_double(vec_col).alias("__qvec")
-    ).withColumn("__qnorm", l2_norm(F.col("__qvec")))
+    q = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(query_id_col), as_double(vec_col).alias("__qvec"))
+        .withColumn("__qnorm", l2_norm(F.col("__qvec")))
+        .filter(F.col("__qnorm") > 0.0)
+    )
     # Rank cells per query by centroid cosine; keep nprobe.
     qc = q.crossJoin(F.broadcast(centroids)).select(
         query_id_col,
@@ -355,7 +397,7 @@ def pq_train_codebooks(
     import numpy as np
     import pandas as pd
 
-    d = embeddings.select(
+    d = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.posexplode(
             # slice the vector into m contiguous subvectors
             F.transform(
@@ -426,7 +468,7 @@ def pq_encode(
     for r in rows:
         C[r.sub, r.code] = r.centroid
 
-    pruned = embeddings.select(
+    pruned = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         as_double(F.col(vec_col)).alias("__v"),
         *[F.col(c) for c in extra_cols],
@@ -485,9 +527,14 @@ def pq_adc_topk(
     C = np.zeros((m, kk, dsub))
     for r in rows:
         C[r.sub, r.code] = r.centroid
-    qrows = queries.select(
-        F.col(query_id_col).alias("__qid"), as_double(F.col(vec_col)).alias("__qv")
-    ).collect()
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("__qid"),
+            as_double(F.col(vec_col)).alias("__qv"),
+        )
+        .collect()
+    )
     qids = np.array([r.__getitem__("__qid") for r in qrows], dtype=np.int64)
     Q = np.stack([np.array(r.__getitem__("__qv")) for r in qrows]).reshape(
         len(qrows), m, dsub
@@ -594,9 +641,14 @@ def ivf_pq_topk(
     C = np.zeros((m, pq_k, dsub))
     for r in rows:
         C[r.sub, r.code] = r.centroid
-    qrows = queries.select(
-        F.col(query_id_col).alias("__qid"), as_double(F.col(vec_col)).alias("__qv")
-    ).collect()
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("__qid"),
+            as_double(F.col(vec_col)).alias("__qv"),
+        )
+        .collect()
+    )
     luts: dict[int, dict[int, np.ndarray]] = {}
     probed_cells: set[int] = set()
     for r in qrows:

@@ -86,6 +86,50 @@ def test_cosine_pairs_symmetric_threshold(embs):
     assert ids == 0  # canonical ordering
 
 
+def test_degenerate_vectors_excluded_not_fatal(spark, embs, queries):
+    """Null and all-zero embeddings must be EXCLUDED by every ANN entry
+    point, not crash it: cosine of a zero norm divides by zero, which
+    under Spark 4's default ANSI mode killed the whole job on the first
+    garbage vector (DIVIDE_BY_ZERO at similarity.py's score division) —
+    and had ANSI been off, NaN sorts above every real score in a
+    descending window, so the zero vector would have ranked top-1 for
+    every query. Clean-corpus results must be unchanged."""
+    dim = len(embs.select("embedding").first()[0])
+    base = embs.limit(100)
+    dirty = base.unionByName(
+        spark.createDataFrame(
+            [(100001, [0.0] * dim, 0), (100002, None, 0)],
+            "vec_id long, embedding array<float>, label int",
+        ).select(*base.columns)
+    )
+
+    clean_top = S.brute_force_topk(base, queries, k=K)
+    dirty_top = S.brute_force_topk(dirty, queries, k=K)
+    got = {(r.query_id, r.vec_id, r.score) for r in dirty_top.collect()}
+    assert got == {(r.query_id, r.vec_id, r.score) for r in clean_top.collect()}
+    assert all(v not in (100001, 100002) for _, v, _ in got)
+
+    # the other cosine entry points accept the same dirty frame
+    assert S.cosine_pairs(dirty, threshold=0.5).filter(
+        (F.col("vec_a").isin(100001, 100002))
+        | (F.col("vec_b").isin(100001, 100002))
+    ).count() == 0
+    assert S.hard_negatives(dirty, k=3, n_queries=5).filter(
+        F.col("vec_id").isin(100001, 100002)
+    ).count() == 0
+    ivf = S.ivf_topk(dirty, queries, k=K, nlist=4, nprobe=2)
+    assert ivf.filter(F.col("vec_id").isin(100001, 100002)).count() == 0
+
+    # Euclidean paths: nulls dropped before MLlib/numpy ever see them
+    # (zero vectors are legitimate points there)
+    assert S.lsh_topk(dirty, [1.0] * dim, k=K).filter(
+        F.col("vec_id") == 100002
+    ).count() == 0
+    books = S.pq_train_codebooks(dirty, m=4, k=4)
+    codes = S.pq_encode(dirty, books, m=4)
+    assert codes.filter(F.col("vec_id") == 100002).count() == 0
+
+
 def test_pq_reconstruction_beats_random_codebook(spark):
     """PQ quality gate: reconstructing each vector from its trained
     codes must give a much lower MSE than assigning codes from an
