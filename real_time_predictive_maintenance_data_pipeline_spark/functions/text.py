@@ -91,14 +91,20 @@ def word_bigrams(text: Column | str) -> Column:
     """Distinct word-bigram array ('w1 w2' strings) — the shared gram
     construction of benchmark decontamination (doc_decontaminate and
     the curation funnel must build IDENTICAL grams or their
-    containment decisions desynchronize). Requires >= 2 words; callers
-    filter ``size(tokens(text)) >= 2`` first."""
+    containment decisions desynchronize). NULL for < 2 words — without
+    the guard, ``sequence(1, size-1)`` on a 1-token doc generates the
+    DESCENDING [1, 0] and ``element_at(words, 0)`` is a hard error
+    (index 0 always throws, ANSI or not); callers that pre-filter
+    ``size(tokens(text)) >= 2`` see identical values either way."""
     words = tokens(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
-        )
+    return F.when(
+        F.size(words) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i), F.element_at(words, i + 1)
+                ),
+            )
+        ),
     )

@@ -633,3 +633,40 @@ def test_minhash_collapse_precision_and_identical_recall(spark, rows):
         p for p, j in brute.items() if j == decimal_threshold(1.0)
     }
     assert identical <= set(got)
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet="ab ", max_size=12),  # incl. "", "a", "   "
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_text_expressions_total_on_degenerate_docs(spark, texts):
+    """Every text-analysis expression must be TOTAL over arbitrary
+    degenerate documents (null, empty, single-token, whitespace soup):
+    null in → null out, never a thrown expression. word_bigrams used
+    to hard-crash on 1-token docs (sequence(1, 0) is descending, and
+    element_at(words, 0) always throws)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = df.select(
+        "id",
+        T.word_bigrams("text").alias("g"),
+        T.avg_token_len("text").alias("a"),
+        T.quality_score("text").alias("q"),
+        T.fingerprint("text").alias("f"),
+        T.langid_guess("text").alias("l"),
+    ).collect()  # must not raise
+    for r, t in zip(sorted(rows, key=lambda r: r.id), texts):
+        if t is None:
+            assert r.g is None and r.a is None and r.q is None
+        elif len(t.split(" ")) < 2:
+            assert r.g is None  # documented: bigrams undefined < 2 tokens
