@@ -76,7 +76,14 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     feature row per payload. Column pruning upstream ensures only
     (id, payload) bytes cross the JVM→Python Arrow boundary.
     """
-    pruned = df.select(F.col(id_col).alias("doc_id"), "payload")
+    # Null payloads (missing media) are dropped BEFORE the Arrow
+    # boundary — bytes(None) would TypeError inside the Python worker
+    # and kill the task; the isNotNull check pushes to the scan. Same
+    # guard on every mapInPandas operator below (byte_stats_arrow
+    # instead keeps its strict 1:1 contract and emits null stats).
+    pruned = df.filter(F.col("payload").isNotNull()).select(
+        F.col(id_col).alias("doc_id"), "payload"
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -113,7 +120,9 @@ def resize_stub(df: DataFrame, width: int = 32, height: int = 32, id_col: str = 
     preserving the real operator's shape: binary in → binary out, 1:1
     rows, bounded memory per Arrow batch, prunable input columns.
     """
-    pruned = df.select(F.col(id_col).alias("doc_id"), "payload")
+    pruned = df.filter(F.col("payload").isNotNull()).select(
+        F.col(id_col).alias("doc_id"), "payload"
+    )
     n_out = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -156,7 +165,9 @@ def frame_sample(df: DataFrame, every_n: int = 4, id_col: str = "doc_id") -> Dat
     frame_bytes = bytes remaining in that frame (last frame may be
     short).
     """
-    pruned = df.select(F.col(id_col).alias("doc_id"), "payload")
+    pruned = df.filter(F.col("payload").isNotNull()).select(
+        F.col(id_col).alias("doc_id"), "payload"
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -201,7 +212,9 @@ def audio_window_rms(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
     import numpy as np
 
-    pruned = df.select(F.col(id_col).alias("doc_id"), "payload")
+    pruned = df.filter(F.col("payload").isNotNull()).select(
+        F.col(id_col).alias("doc_id"), "payload"
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -248,7 +261,9 @@ def phash64(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
     import numpy as np
 
-    pruned = df.select(F.col(id_col).alias("__id"), "payload")
+    pruned = df.filter(F.col("payload").isNotNull()).select(
+        F.col(id_col).alias("__id"), "payload"
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

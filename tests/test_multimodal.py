@@ -152,3 +152,31 @@ def test_byte_stats_arrow_null_and_empty_payloads(spark):
         None,
     )
     assert (got[3].n_bytes, got[3].first_byte, got[3].byte_sum) == (0, None, 0)
+
+
+def test_null_payloads_dropped_not_fatal(spark, media):
+    """A null payload (missing media) must be DROPPED by every
+    multimodal operator, not kill the Arrow task — bytes(None) raises
+    TypeError inside the Python worker. Non-null rows' outputs are
+    unchanged."""
+    dirty = media.select("doc_id", "payload").unionByName(
+        spark.createDataFrame([(999901, None)], "doc_id long, payload binary")
+    )
+    ops = [
+        M.extract_features,
+        M.resize_stub,
+        M.frame_sample,
+        M.audio_window_rms,
+        M.phash64,
+    ]
+    for op in ops:
+        out = op(dirty)
+        id_field = out.columns[0]
+        assert out.filter(F.col(id_field) == 999901).count() == 0, op.__name__
+    # byte_stats_arrow's contract differs: strictly 1:1, null stats for
+    # a null payload (the mapInArrow path handles the null cell inline)
+    row = M.byte_stats_arrow(dirty).filter(F.col("doc_id") == 999901).collect()
+    assert len(row) == 1 and row[0].n_bytes is None and row[0].byte_sum is None
+    clean = {tuple(r) for r in M.extract_features(media).collect()}
+    got = {tuple(r) for r in M.extract_features(dirty).collect()}
+    assert got == clean
