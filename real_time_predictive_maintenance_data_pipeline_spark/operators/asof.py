@@ -79,7 +79,13 @@ def asof_join(
 
     # Normalize both sides to: keys, __ts, __side, payload-struct
     # (+ the matched timestamp, for tolerance/nearest arithmetic).
-    r = right.select(
+    # Null-timestamp RIGHT rows are excluded up front: they sort first
+    # under the ascending window order (nulls first), so the backward
+    # carry-forward would otherwise attach their payload to every left
+    # row that has no real earlier match — wrong results, silently.
+    # (pandas merge_asof refuses NaT keys outright; here: no timestamp,
+    # no match.) Left null-ts rows are handled symmetrically below.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -144,6 +150,12 @@ def asof_join(
             .when(dist(back) <= dist(fwd), back)  # backward wins ties
             .otherwise(fwd)
         )
+
+    # A left row without a timestamp cannot match anything (under the
+    # forward sort it would otherwise sit at the partition head and
+    # grab the first real right payload) — keep the row, null the
+    # payload: left-outer cardinality is preserved.
+    matched = F.when(F.col("__ts").isNotNull(), matched)
 
     if tolerance_us is not None:
         matched = F.when(dist(matched) <= F.lit(tolerance_us), matched)

@@ -138,3 +138,36 @@ def test_asof_nearest_tie_prefers_backward(spark):
         payload_cols=["px"], direction="nearest",
     )
     assert out.collect()[0].px == 1.0
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_null_timestamps_never_match(spark, direction):
+    """No timestamp, no match — in every direction. A null-ts RIGHT row
+    used to sort to the partition head (nulls first) and be carried
+    onto every left row with no real earlier match; a null-ts LEFT row
+    under 'forward' grabbed the first real right payload. Both must be
+    null-payload instead, and left-outer cardinality must hold."""
+    left = spark.createDataFrame(
+        [("A", 5), ("A", 20), ("A", None)], "k STRING, lts LONG"
+    )
+    right = spark.createDataFrame(
+        [("A", None, 666.0), ("A", 10, 1.0)], "k STRING, rts LONG, px DOUBLE"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload_cols=["rts", "px"], direction=direction,
+    )
+    got = _collect(out)
+    assert len(got) == 3
+    assert got[("A", None)] == (None, None)  # null left ts: no match
+    for (_, lts), (rts, px) in got.items():
+        assert px != 666.0, f"null-ts right row matched at lts={lts}"
+    if direction == "backward":
+        assert got[("A", 5)] == (None, None)
+        assert got[("A", 20)] == (10, 1.0)
+    elif direction == "forward":
+        assert got[("A", 5)] == (10, 1.0)
+        assert got[("A", 20)] == (None, None)
+    else:
+        assert got[("A", 5)] == (10, 1.0)
+        assert got[("A", 20)] == (10, 1.0)
