@@ -171,3 +171,47 @@ def test_asof_null_timestamps_never_match(spark, direction):
     else:
         assert got[("A", 5)] == (10, 1.0)
         assert got[("A", 20)] == (10, 1.0)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ts = st.one_of(st.none(), st.integers(0, 30))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from("AB"), _ts), min_size=1, max_size=12, unique=True
+    ),
+    rights=st.lists(
+        st.tuples(st.sampled_from("AB"), _ts, st.integers(0, 99)),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+def test_asof_property_matches_reference(spark, lefts, rights, direction):
+    """asof_join == the sequential reference over arbitrary small
+    frames: dense timestamp collisions, keys missing on either side,
+    and null timestamps on both sides (null ts never matches; null-ts
+    right rows are invisible)."""
+    ref = _brute_asof(
+        [l for l in lefts if l[1] is not None],
+        [(k, t, float(p)) for k, t, p in rights if t is not None],
+        direction,
+    )
+    for k, lts in lefts:
+        if lts is None:
+            ref[(k, None)] = None
+    left = spark.createDataFrame(lefts, "k STRING, lts LONG")
+    right = spark.createDataFrame(
+        [(k, t, float(p)) for k, t, p in rights], "k STRING, rts LONG, px DOUBLE"
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        payload_cols=["px"], direction=direction,
+    )
+    got = {(r.k, r.lts): r.px for r in out.collect()}
+    assert got == ref
