@@ -1,0 +1,52 @@
+"""End-to-end smoke of the runnable examples, as real subprocesses.
+
+Each example is the composition surface a user actually runs; catalog
+queries feed operators plain fixture scans, so plan shapes that only
+arise from composed upstream stages (window filters, normalized text)
+are exercised ONLY here. This caught a real crash in round 8: the
+curation funnel died inside label propagation (Catalyst Union
+constraint rewrite) while all 314 catalog queries passed.
+
+Subprocess + explicit returncode: piping an example through `tail`
+masks its exit status, which is exactly how the crash hid.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(script: str, *args: str, timeout: int = 420) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", script), *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+    )
+
+
+@pytest.mark.slow
+def test_curate_corpus_example_end_to_end(tmp_path):
+    """The full curation funnel at sf0.001 — normalize, blocklist,
+    exact dedup (window + self-equal filter), near-dup components,
+    quality, decontaminate, pack. The funnel's yield report must reach
+    the final 'written' stage."""
+    p = _run("curate_corpus.py", "/root/testdata/sf0.001", str(tmp_path / "out"))
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "written" in p.stdout and "output:" in p.stdout
+
+
+@pytest.mark.slow
+def test_run_pipeline_example_end_to_end():
+    """The reference-parity pipeline (simulate → relay → lake →
+    train → score → alert) for a few seconds of stream time."""
+    p = _run("run_pipeline.py", "6", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "lake:" in p.stdout
