@@ -16,8 +16,10 @@ Phase map (reference → here):
                                                 each row to ITS machine's
                                                 topic factory/<id>/telemetry
   2. broker (AWS IoT Core) + topic rule       → in-process ``MiniBroker``
-     fanning in device topics by filter         routing the §4.7 wildcard
-     (phase2-iot-kinesis.yaml:61)               filter factory/+/telemetry
+     subscribing one topic filter               routing the §4.7 wildcard
+     (phase2-iot-kinesis.yaml:61; wildcard       filter factory/+/telemetry
+     filters allowed — here we generalize        (generalizes the literal
+     the literal single-topic default)           single-topic default)
   3. subscriber loop (realtime_inference.py)  → ``SubscriberBridge`` →
                                                 replayable spool file
   4. RF training (sklearn notebook)           → MLlib pipeline, seeded
@@ -104,8 +106,11 @@ def main(n_records: int = 200, tls: bool = False) -> None:
         if tls
         else None
     )
-    # the AWS IoT rule shape: ONE wildcard filter fans in every
-    # per-machine topic (phase2-iot-kinesis.yaml:61)
+    # the reference's IoT rule subscribes one topic filter
+    # (phase2-iot-kinesis.yaml:61 — default: the literal
+    # 'factory/telemetry'); filters MAY be wildcards, and this
+    # example generalizes to per-machine topics fanned in by one
+    # wildcard filter — an extension beyond the reference default
     bridge = SubscriberBridge(
         broker.host,
         broker.port,

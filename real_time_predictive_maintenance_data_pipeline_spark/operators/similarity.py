@@ -8,6 +8,18 @@ hyperplane projections so only same-bucket candidates are scored.
 Both paths keep vectors as native arrays with higher-order-function
 math (``functions.vectors``) — MLlib Vector conversion happens only at
 the LSH boundary, where MLlib requires it.
+
+DEGENERATE-VECTOR CONTRACT (every public function here): rows whose
+vector is null — and, for the cosine-ranked paths, whose L2 norm is
+zero — are EXCLUDED before any math, on BOTH the corpus and the query
+side. Cosine is undefined on a zero norm, and under Spark 4's default
+ANSI mode the division would otherwise kill the whole job with
+DIVIDE_BY_ZERO on the first garbage embedding. The observable effect:
+an excluded QUERY id is simply ABSENT from the result (no row, no
+error), and an excluded corpus id can never appear as a neighbor. Use
+``degenerate_vectors(df)`` to audit which ids a given frame would
+drop before handing it to any entry point. Each function's docstring
+restates the side(s) it filters.
 """
 
 from __future__ import annotations
@@ -17,6 +29,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import as_double, cosine, dot, l2_norm
+
+
+def degenerate_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Audit helper for the module's degenerate-vector contract: the
+    rows every cosine-ranked entry point here would silently exclude —
+    null vectors and zero-norm vectors — as (id, reason). Count or
+    collect this BEFORE a search when dropped ids must be observable:
+
+        bad = degenerate_vectors(embeddings)
+        n_dropped = bad.count()   # alert/log if > 0
+
+    Kept separate from the search plans on purpose: auditing is one
+    extra scan the caller opts into, not a hidden count() inside every
+    query (which would double-execute the corpus scan)."""
+    v = F.col(vec_col)
+    return (
+        df.select(F.col(id_col), v)
+        .filter(v.isNull() | (l2_norm(as_double(vec_col)) == 0.0))
+        .select(
+            id_col,
+            F.when(v.isNull(), F.lit("null_vector"))
+            .otherwise(F.lit("zero_norm"))
+            .alias("reason"),
+        )
+    )
 
 
 def brute_force_topk(
@@ -34,6 +73,11 @@ def brute_force_topk(
     is a map-side cross product — no shuffle — and the per-query top-k is
     one window over query_id. Self-matches (same id) are excluded.
     Returns (query_id, vec_id, score, rank) with score 4-dp rounded.
+
+    Degenerate inputs (module contract): null/zero-norm vectors are
+    excluded on BOTH sides — a degenerate query id returns NO rows, a
+    degenerate corpus id is never a neighbor. Audit beforehand with
+    ``degenerate_vectors``.
     """
     # L2 norms are attached ONCE per side before the pair join — inside
     # the join each corpus norm would be recomputed per query (and vice
@@ -97,6 +141,10 @@ def hard_negatives(
     for the per-query top-k. The label inequality is a join residual —
     it prunes before any scoring.
     Returns (query_id, vec_id, score, rank), score 4-dp.
+
+    Degenerate inputs (module contract): null/zero-norm vectors are
+    excluded on both sides — a degenerate query id is absent from the
+    output. Audit with ``degenerate_vectors``.
     """
     # degenerate-vector guards: see brute_force_topk (ANSI div-by-zero)
     corpus = (
@@ -148,6 +196,10 @@ def cosine_pairs(
     Brute force O(n²) — correct baseline and the oracle for the LSH
     variant. At 100 TB use ``lsh_similar_pairs`` instead.
     Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b, 4-dp rounded.
+
+    Degenerate inputs (module contract): null/zero-norm vectors join
+    NO pairs — their ids never appear on either side of the output.
+    Audit with ``degenerate_vectors``.
     """
     # Norm once per vector (not once per pair — that would redo the
     # O(d) norm reduction n times per row in the O(n²) join).
@@ -207,6 +259,10 @@ def lsh_topk(
 
     Euclidean-LSH pruning; on normalized vectors Euclidean order ==
     cosine order. Returns (vec_id, dist) for ~k approximate neighbors.
+
+    Degenerate inputs: null corpus vectors are excluded (their ids are
+    never returned); zero vectors are VALID here — Euclidean distance
+    is defined on them, so they stay in the index.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.linalg import Vectors
@@ -235,7 +291,10 @@ def lsh_similar_pairs(
     num_hash_tables: int = 4,
 ) -> DataFrame:
     """Approximate all-pairs within L2 distance via LSH self-join —
-    the linear-ish scale path replacing ``cosine_pairs`` at 100 TB."""
+    the linear-ish scale path replacing ``cosine_pairs`` at 100 TB.
+
+    Degenerate inputs: null vectors are excluded (ids appear in no
+    pair); zero vectors are valid under the Euclidean metric."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
 
     feats = _to_mllib_vectors(embeddings, vec_col).select(id_col, "__features")
@@ -287,7 +346,18 @@ def ivf_topk(
     Recall is probabilistic (a true neighbor can live in an unprobed
     cell); tests assert recall@k ≥ 0.7 vs ``brute_force_topk`` at
     nprobe/nlist = 6/16 (the corpus is near-random unit vectors — the
-    hardest case for IVF; structured embeddings cluster far better). Returns (query_id, vec_id, score, rank).
+    hardest case for IVF; structured embeddings cluster far better).
+    Returns (query_id, vec_id, score, rank).
+
+    Degenerate inputs (module contract): null/zero-norm corpus and
+    query vectors are excluded — a degenerate query id returns no
+    rows. One IVF-specific case on top: a cell whose learned CENTROID
+    is the zero vector cannot be cosine-ranked and is never probed, so
+    its member vectors are unreachable through this index (recall
+    loss, not an error; the members still exist for ``brute_force_
+    topk``). Zero centroids arise only when a cell's vectors sum to
+    exactly zero — adversarial input, not seen on real embeddings.
+    Audit inputs with ``degenerate_vectors``.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import vector_to_array
@@ -393,6 +463,9 @@ def pq_train_codebooks(
     encode-everything.
 
     Returns (sub, code, centroid: array<double>), m*k rows.
+
+    Degenerate inputs: null vectors are excluded from training (PQ is
+    Euclidean, so zero vectors are valid training points).
     """
     import numpy as np
     import pandas as pd
@@ -456,6 +529,10 @@ def pq_encode(
     makes billion-vector rerank indexes RAM-resident.
 
     Returns (id_col, codes: array<int>).
+
+    Degenerate inputs: null vectors are not encoded — their ids are
+    absent from the code table (and therefore from every ADC search
+    over it). Zero vectors encode normally.
     """
     import numpy as np
     import pandas as pd
@@ -516,6 +593,11 @@ def pq_adc_topk(
     index.
 
     Returns (query_id, vec_id, adist, rank), adist 4-dp rounded.
+
+    Degenerate inputs: null query vectors are excluded (their ids
+    return no rows); null corpus vectors were never encoded (see
+    ``pq_encode``). Zero vectors are valid under the Euclidean ADC
+    metric.
     """
     import numpy as np
     import pandas as pd
@@ -601,6 +683,11 @@ def ivf_pq_topk(
     load at query time.
 
     Returns (query_id, vec_id, adist, rank), adist 4-dp rounded.
+
+    Degenerate inputs: null corpus vectors are excluded at the index
+    build; null query vectors are excluded at search (ids absent from
+    the output). This index is fully Euclidean — zero vectors and zero
+    centroids are valid here, unlike ``ivf_topk``'s cosine ranking.
     """
     import numpy as np
     import pandas as pd

@@ -94,6 +94,17 @@ def heavy_hitters(df, value_col: str, k: int = 20):
     value; this shuffles at most k values per partition — the hot-key
     detector that feeds ``salted_join`` at 100 TB.
 
+    Null handling: null (and, for float columns, NaN) values are
+    EXCLUDED — they are never heavy-hitter candidates and do not count
+    toward the n/k threshold total. Two reasons, both load-bearing:
+    (1) the exact second pass is an equi-join, which can never match a
+    null candidate, so a null "hitter" would silently vanish there
+    anyway; (2) CPython 3.10+ hashes each float NaN by IDENTITY, so
+    NaN keys would each open their own Misra-Gries counter — unbounded
+    dict growth that breaks the operator's O(k)-memory contract on
+    exactly the garbage-bearing data it exists for. Count nulls with a
+    plain ``df.filter(col.isNull()).count()`` if that stratum matters.
+
     Returns (value_col, n) for values with n > total/k, exact counts.
     """
     from collections.abc import Iterator
@@ -102,7 +113,11 @@ def heavy_hitters(df, value_col: str, k: int = 20):
 
     from pyspark.sql import functions as F
 
-    src = df.select(F.col(value_col).alias("__v"))
+    src = df.select(F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    if df.schema[value_col].dataType.simpleString() in ("float", "double"):
+        src = src.filter(~F.isnan("__v"))
 
     def mg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}

@@ -167,6 +167,15 @@ def ewma_last(
     move to the streaming EWMA (``streaming.stateful.drift_monitor``)
     which carries O(1) state per key across micro-batches.
 
+    Null handling: rows with a null value or a null timestamp are
+    EXCLUDED before the fold (both checks push to the scan). A null
+    value is a missed observation, not a zero — folding it in would
+    NaN-poison every later EWMA for the key (pandas widens None to
+    NaN); a null timestamp has no position in the series. ``n`` counts
+    the observations actually folded; a key with none disappears. True
+    IEEE NaN VALUES (not nulls) propagate by contract, same as
+    ``functions.vectors.cosine``.
+
     Returns (key_col, n, ewma) with ewma 4-dp rounded.
     """
     import pandas as pd
@@ -185,6 +194,7 @@ def ewma_last(
 
     return (
         df.select(key_col, ts_col, value_col)
+        .filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
         .groupBy(key_col)
         .applyInPandas(fit, f"{key_col} long, n long, ewma double")
     )

@@ -75,67 +75,69 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 8
+_ROTATED_FOR_ROUND = 9
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # ROUND-8 STEADY-STATE WINDOW (first rotation under the r8+ policy
-    # below): plan/oracle-changed names first (mandatory), then the 48
-    # least-recently-driver-checked names, oldest first (ties by
-    # registration order) — tools/plan_next_window.py proposal.
+    # ROUND-9 STEADY-STATE WINDOW: plan-changed names first
+    # (MANDATORY per the r8+ policy below — these operators' Spark
+    # plans changed in round 8 but none sat in the r8 window; the
+    # round-8 ADVICE flagged exactly this gap), then the 36
+    # least-recently-driver-checked names (the whole remaining r02
+    # block) via tools/plan_next_window.py.
     #
-    # Mandatory: new this round / transport+close path changed this round
-    "telemetry_mqtt_wildcard",
-    "telemetry_mqtt_roundtrip",
+    # Mandatory: Spark plan changed in r8 without a driver recheck
+    "dedup_embedding_pairs",
+    "sim_topk_bruteforce",
+    "sim_knn_batch",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_hard_negatives",
+    "emb_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_ivf_pq_topk",
+    "dedup_clusters",
+    "sem_dedup",
+    "mm_feature_extract",
+    "mm_resize",
+    "mm_phash_neardup",
     # DRIVER-SCALE RE-RUN, NOT A REGRESSION: least-recently-checked
-    # rotation; all were green in their last driver round.
-    "doc_token_stats",  # last r01
-    "doc_quality",  # last r01
-    "doc_langid",  # last r01
-    "doc_fingerprint",  # last r01
-    "dedup_exact",  # last r01
-    "dedup_ngram_jaccard",  # last r01
-    "mm_binary_stats",  # last r01
-    "mm_frame_sample",  # last r01
-    "doc_token_regex",  # last r01
-    "doc_punct_ratio",  # last r01
-    "doc_top_terms",  # last r01
-    "doc_bigrams",  # last r01
-    "doc_decontaminate",  # last r01
-    "doc_chunk",  # last r01
-    "doc_pii_redact",  # last r01
-    "doc_repetition",  # last r01
-    "emb_label_centroids",  # last r01
-    "mm_audio_rms",  # last r01
-    "q1_pricing_summary",  # last r01
-    "rel_agg_stats",  # last r01
-    "rel_agg_distinct",  # last r01
-    "rel_having",  # last r01
-    "rel_rollup",  # last r01
-    "rel_cube",  # last r01
-    "rel_grouping_sets",  # last r01
-    "rel_pivot_status",  # last r01
-    "q3_shipping_priority",  # last r01
-    "q5_local_supplier",  # last r01
-    "rel_join_inner",  # last r01
-    "rel_join_left",  # last r01
-    "rel_join_full",  # last r01
-    "rel_join_semi",  # last r01
-    "rel_join_anti",  # last r01
-    "rel_join_cross",  # last r01
-    "rel_range_join",  # last r01
-    "rel_scalar_subquery",  # last r01
-    "emb_quantize_int8",  # last r02
-    "doc_winnow",  # last r02
-    "rel_window_rank",  # last r02
-    "rel_window_running",  # last r02
-    "rel_window_moving_avg",  # last r02
-    "rel_topk_global",  # last r02
-    "rel_topk_per_group",  # last r02
-    "rel_union",  # last r02
-    "rel_intersect",  # last r02
-    "rel_except",  # last r02
-    "rel_asof_join",  # last r02
-    "q6_forecast_revenue",  # last r02
+    # rotation; all were green in their last driver round (r02).
+    "q10_returned_items",
+    "q18_large_orders",
+    "rel_except_all",
+    "rel_intersect_all",
+    "src_csv_roundtrip",
+    "src_partitioned_pruned",
+    "src_json_roundtrip",
+    "rel_sql_api",
+    "rel_salted_join",
+    "rel_window_distribution",
+    "rel_window_range_frame",
+    "q14_promo_revenue",
+    "q19_disjunctive",
+    "src_orc_roundtrip",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "rel_join_right",
+    "src_text_roundtrip",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q22_global_sales_opportunity",
+    "q2_best_supplier",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_heavy_suppliers",
+    "q21_sole_returner",
+    "q8_market_share",
+    "rel_recursive_cte",
+    "telemetry_historical_stats",
+    "telemetry_score_500k",
+    "telemetry_scored_alerts",
+    "telemetry_train_metrics",
+    "telemetry_pysource_stats",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -152,46 +154,46 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # pre-commit gate for any float-sensitive change.
     # tools/plan_next_window.py prints the ready-to-paste proposal and
     # lists latest-round FAILURES as mandatory rechecks.
+    # "Spark plan changed" is detected MECHANICALLY since r9: regenerate
+    # PLAN_DIGESTS.json (python tools/plan_digest.py) after operator
+    # edits and commit it; the planner diffs it against the copy at the
+    # last round boundary and lists changed names as mandatory — the r8
+    # ADVICE gap (changed sim_*/dedup_clusters/mm_* plans missing their
+    # recheck) cannot silently recur.
 )
 
 _DRIVER_VERIFIED: tuple[str, ...] = (
-    # Cumulative r01-r07 green names (CORRECTNESS_r01..r07: hash-green
-    # or rows-only by declared contract; zero failures across all seven
-    # rounds), MINUS the 48 names rotated into the r8 recheck window
-    # above. After r7 the whole catalog has driver rows; this list now
-    # tracks "not in the current recheck window".
+    # Cumulative r01-r08 green names (zero failures across eight
+    # rounds), MINUS the 50 names rotated into the r9 recheck window
+    # above. Under the steady-state policy this list tracks
+    # "not in the current recheck window".
     "rel_rfm_segmentation",
     "rel_abc_classification",
+    "rel_abc_prefix2",
+    "rel_rfm_bucketed",
     "rel_yoy_growth",
-    "rel_cohort_ltv",
-    "rel_percent_of_total",
-    "rel_new_vs_returning",
     "rel_gini_coefficient",
     "rel_herfindahl_index",
     "rel_entropy_by_group",
+    "rel_percent_of_total",
     "rel_top_decile_ratio",
-    "doc_js_divergence",
     "events_dau_stickiness",
     "events_interarrival_stats",
     "events_autocorr_lag1",
     "events_power_user_share",
-    "events_weekday_profile",
-    "events_cumulative_users",
-    "events_hourly_heatmap",
     "ts_bollinger_bands",
     "ts_max_drawdown",
+    "events_weekday_profile",
     "ts_xmr_control",
-    "ts_naive_forecast_error",
     "doc_ttr",
     "doc_hapax_ratio",
     "doc_word_len_profile",
-    "doc_shingle_uniqueness",
     "ml_roc_auc",
     "ml_lift_deciles",
+    "ml_roc_auc_hist",
+    "ml_lift_bucketed",
     "ml_confusion_threshold",
     "ml_ndcg_at_k",
-    "ml_brier_calibration",
-    "ml_precision_at_k",
     "rel_pivot_multi_agg",
     "rel_collect_sorted_string",
     "rel_word_positions",
@@ -200,230 +202,235 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_weighted_avg_price",
     "rel_geo_harmonic_means",
     "rel_self_excluding_avg",
-    "rel_json_props_stats",
-    "rel_order_linecount_dist",
-    "rel_grouping_id",
     "graph_degree_histogram",
     "graph_jaccard_pairs",
     "emb_norm_quantiles",
     "emb_simhash_bits",
+    "doc_shingle_uniqueness",
+    "ml_brier_calibration",
+    "ml_precision_at_k",
+    "rel_json_props_stats",
+    "rel_cohort_ltv",
+    "events_cumulative_users",
+    "rel_new_vs_returning",
+    "doc_js_divergence",
+    "ts_naive_forecast_error",
+    "events_hourly_heatmap",
+    "rel_order_linecount_dist",
+    "rel_grouping_id",
     "emb_dim_variance_topk",
-    "doc_dsir_importance",
-    "doc_normalize_text",
-    "doc_curriculum_order",
-    "doc_token_budget_select",
-    "doc_blocklist_filter",
-    "doc_chunk_sliding",
-    "doc_dataset_card",
-    "doc_langid_confusion",
-    "doc_zipf_slope",
-    "dedup_incremental_batch",
-    "emb_matryoshka_truncate",
-    "emb_recall_eval",
-    "events_activity_streaks",
-    "events_state_spans",
-    "events_last_touch_attribution",
-    "events_time_to_convert",
-    "events_ks_two_sample",
-    "events_psi_drift",
-    "rel_k_anonymity",
-    "rel_ab_ttest",
-    "rel_chi_square",
-    "rel_benford_digits",
-    "rel_cms_freq_estimate",
-    "rel_equidepth_histogram",
-    "rel_weighted_median",
-    "rel_basket_pairs_lift",
-    "rel_capped_running_balance",
-    "rel_fifo_allocation",
-    "ml_kaplan_meier",
-    "ts_holt_linear",
-    "rel_spatial_grid_join",
-    "rel_record_linkage",
-    "rel_snapshot_diff",
-    "rel_delete_where_rewrite",
-    "rel_sql_pipe",
-    "rel_sql_udf",
-    "rel_parameterized_sql",
-    "rel_transpose",
-    "src_bucketed_groupby",
-    "mm_bytes_arrow",
-    "rel_agg_bool_bit",
-    "doc_chunk_dedup",
-    "doc_span_dedup",
-    "doc_bm25_search",
-    "doc_bigram_lm",
-    "doc_char_entropy",
-    "doc_curation_funnel",
-    "doc_domain_mix_weights",
-    "doc_ngram_novelty",
-    "doc_stable_sample",
-    "doc_vocab_growth",
-    "emb_coreset_per_label",
-    "events_retention_cohorts",
-    "events_funnel_steps",
-    "events_mad_outliers",
-    "events_markov_transitions",
-    "events_top_paths",
-    "events_rolling_active_users",
-    "rel_pareto_cumshare",
-    "ts_stl_decompose",
-    "ts_cusum_changepoint",
-    "ts_interpolate_linear",
-    "ts_mtbf_stats",
-    "ts_seasonal_hour_profile",
-    "ts_resample_ohlc",
-    "ts_ewma_last",
-    "rel_changelog_apply",
-    "rel_dq_expectations",
-    "src_bucketed_join",
-    "src_dynamic_overwrite",
-    "src_schema_evolution",
-    "src_csv_quarantine",
-    "src_compaction",
-    "rel_zorder_key",
-    "rel_window_ignore_nulls",
-    "rel_regexp_funcs",
-    "rel_mode_per_group",
-    "rel_count_distinct_multi",
-    "rel_session_window_builtin",
-    "rel_incremental_agg_refresh",
-    "rel_observe_metrics",
-    "rel_heavy_hitters",
-    "graph_triangle_count",
-    "rel_string_funcs",
-    "rel_date_funcs",
-    "rel_case_when",
-    "rel_json_funcs",
-    "rel_null_safe_eq",
-    "rel_null_funcs",
-    "rel_try_arith",
-    "rel_interval_arith",
-    "rel_levenshtein",
-    "rel_array_funcs",
-    "rel_map_funcs",
-    "rel_explode",
-    "rel_variant_semistructured",
-    "rel_distinct_rows",
-    "rel_percentiles",
-    "rel_string_agg",
-    "rel_arg_minmax",
-    "rel_corr_covar",
-    "rel_skew_kurtosis",
-    "rel_histogram",
-    "rel_unpivot",
-    "rel_grouped_regression",
-    "rel_profile_columns",
-    "rel_rollup_reuse",
-    "rel_latest_by_key",
-    "rel_exists_subquery",
-    "rel_not_in_subquery",
-    "rel_lateral_topk",
-    "rel_events_hourly",
-    "rel_sessionize",
-    "ts_gap_fill_hourly",
-    "rel_interval_join_banded",
-    "rel_rolling_zscore",
-    "rel_grouped_median_pandas",
-    "rel_python_udtf",
-    "src_xml_roundtrip",
-    "src_binaryfile_ingest",
-    "rel_merge_upsert",
-    "rel_scd2_history",
-    "emb_normalize",
-    "doc_keep_decision",
-    "doc_length_buckets",
-    "doc_pack_sequences",
-    "doc_unigram_logprob",
-    "doc_tfidf_top_terms",
-    "emb_dim_stats",
-    "emb_centroid_outliers",
-    "telemetry_artifact_score",
-    "telemetry_score_500k",
-    "telemetry_historical_stats",
-    "telemetry_scored_alerts",
-    "telemetry_train_metrics",
-    "telemetry_pysource_stats",
-    "rel_window_distribution",
-    "rel_window_range_frame",
-    "rel_except_all",
-    "rel_intersect_all",
-    "src_csv_roundtrip",
-    "src_partitioned_pruned",
-    "src_json_roundtrip",
-    "src_orc_roundtrip",
-    "src_text_roundtrip",
-    "q2_best_supplier",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_heavy_suppliers",
-    "q21_sole_returner",
-    "q22_global_sales_opportunity",
-    "rel_join_right",
-    "rel_salted_join",
-    "rel_recursive_cte",
-    "rel_sql_api",
-    "sem_dedup",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_pq_adc_topk",
-    "sim_ivf_pq_topk",
-    "sim_topk_bruteforce",
-    "sim_knn_batch",
-    "sim_hard_negatives",
-    "dedup_embedding_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_banded",
-    "dedup_clusters",
-    "ml_als_recommend",
-    "ml_cv_model_selection",
-    "ml_kmeans_embeddings",
-    "ml_isotonic_calibration",
-    "ml_quality_classifier",
-    "ml_survival_aft",
-    "doc_bpe_vocab",
-    "doc_bpe_encode",
-    "doc_compression_ratio",
-    "doc_dup_pagerank",
-    "doc_stratified_sample",
-    "mm_feature_extract",
-    "mm_resize",
-    "mm_phash_neardup",
-    "emb_pca_whitening",
-    "emb_pq_codes",
-    "rel_approx_distinct",
-    "rel_approx_quantile",
-    "rel_hll_partial_merge",
-    "telemetry_stream_roundtrip",
-    "ml_roc_auc_hist",
-    "ml_lift_bucketed",
-    "rel_abc_prefix2",
-    "rel_rfm_bucketed",
     "rel_cuped_adjustment",
     "rel_srm_check",
     "rel_experiment_mde",
     "rel_bootstrap_ci",
-    "rel_proportions_ztest",
-    "events_error_rate_wilson",
     "rel_skew_report",
     "rel_join_explosion_estimate",
     "rel_offset_fetch_pagination",
     "rel_union_by_name_missing",
     "rel_null_ordering_rank",
+    "rel_proportions_ztest",
+    "events_error_rate_wilson",
     "ts_week_over_week",
+    "doc_chunk_dedup",
+    "doc_span_dedup",
+    "doc_char_entropy",
+    "doc_compression_ratio",
+    "doc_bigram_lm",
+    "doc_curation_funnel",
+    "doc_bm25_search",
+    "doc_bpe_vocab",
+    "ml_quality_classifier",
+    "ts_interpolate_linear",
+    "ts_cusum_changepoint",
+    "ml_als_recommend",
+    "ml_survival_aft",
+    "rel_incremental_agg_refresh",
+    "emb_pca_whitening",
+    "events_markov_transitions",
+    "events_top_paths",
+    "ts_seasonal_hour_profile",
+    "events_rolling_active_users",
+    "rel_pareto_cumshare",
+    "ts_stl_decompose",
+    "ts_mtbf_stats",
+    "rel_regexp_funcs",
+    "rel_window_ignore_nulls",
+    "rel_changelog_apply",
+    "rel_dq_expectations",
+    "src_dynamic_overwrite",
+    "src_schema_evolution",
+    "src_csv_quarantine",
+    "graph_triangle_count",
+    "doc_normalize_text",
+    "doc_curriculum_order",
+    "doc_token_budget_select",
+    "rel_k_anonymity",
+    "rel_ab_ttest",
+    "rel_chi_square",
+    "rel_delete_where_rewrite",
+    "emb_matryoshka_truncate",
+    "emb_recall_eval",
+    "dedup_incremental_batch",
+    "doc_bpe_encode",
+    "events_activity_streaks",
+    "rel_basket_pairs_lift",
+    "doc_zipf_slope",
+    "doc_langid_confusion",
+    "doc_blocklist_filter",
+    "doc_chunk_sliding",
+    "doc_dataset_card",
+    "events_state_spans",
+    "mm_bytes_arrow",
+    "rel_sql_pipe",
+    "rel_transpose",
+    "rel_cms_freq_estimate",
+    "ts_holt_linear",
+    "rel_weighted_median",
+    "rel_spatial_grid_join",
+    "rel_record_linkage",
+    "events_last_touch_attribution",
+    "rel_capped_running_balance",
+    "rel_fifo_allocation",
+    "rel_equidepth_histogram",
+    "rel_snapshot_diff",
+    "ml_isotonic_calibration",
+    "ml_cv_model_selection",
+    "events_psi_drift",
+    "events_ks_two_sample",
+    "rel_benford_digits",
+    "events_time_to_convert",
+    "ml_kaplan_meier",
+    "src_bucketed_groupby",
+    "rel_sql_udf",
+    "rel_parameterized_sql",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_langid",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "mm_binary_stats",
+    "mm_frame_sample",
+    "doc_token_regex",
+    "doc_punct_ratio",
+    "doc_top_terms",
+    "ml_kmeans_embeddings",
+    "doc_stratified_sample",
+    "doc_bigrams",
+    "doc_decontaminate",
+    "doc_chunk",
+    "doc_pii_redact",
+    "doc_repetition",
+    "emb_quantize_int8",
+    "emb_label_centroids",
+    "doc_winnow",
+    "mm_audio_rms",
+    "emb_normalize",
+    "doc_keep_decision",
+    "doc_length_buckets",
+    "doc_pack_sequences",
+    "doc_unigram_logprob",
+    "dedup_simhash_banded",
+    "doc_tfidf_top_terms",
+    "emb_dim_stats",
+    "emb_centroid_outliers",
+    "doc_domain_mix_weights",
+    "doc_ngram_novelty",
+    "doc_dsir_importance",
+    "emb_coreset_per_label",
+    "doc_vocab_growth",
+    "doc_stable_sample",
+    "doc_dup_pagerank",
+    "q1_pricing_summary",
+    "rel_agg_stats",
+    "rel_agg_distinct",
+    "rel_having",
+    "rel_rollup",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_pivot_status",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "rel_join_inner",
+    "rel_join_left",
+    "rel_join_full",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_cross",
+    "rel_range_join",
+    "rel_scalar_subquery",
+    "rel_window_rank",
+    "rel_window_running",
+    "rel_window_moving_avg",
+    "rel_topk_global",
+    "rel_topk_per_group",
+    "rel_union",
+    "rel_intersect",
+    "rel_except",
+    "rel_string_funcs",
+    "rel_date_funcs",
+    "rel_case_when",
+    "rel_json_funcs",
+    "rel_null_safe_eq",
+    "rel_events_hourly",
+    "rel_sessionize",
+    "rel_asof_join",
+    "rel_distinct_rows",
+    "rel_approx_distinct",
+    "rel_approx_quantile",
+    "q6_forecast_revenue",
+    "rel_array_funcs",
+    "rel_percentiles",
+    "rel_exists_subquery",
+    "rel_not_in_subquery",
+    "rel_interval_arith",
+    "rel_levenshtein",
+    "rel_grouped_regression",
+    "rel_map_funcs",
+    "rel_profile_columns",
+    "rel_rollup_reuse",
+    "ts_gap_fill_hourly",
+    "rel_null_funcs",
+    "rel_string_agg",
+    "rel_arg_minmax",
+    "rel_corr_covar",
+    "rel_unpivot",
+    "rel_histogram",
+    "rel_try_arith",
+    "rel_explode",
+    "rel_latest_by_key",
+    "rel_grouped_median_pandas",
+    "rel_interval_join_banded",
+    "rel_rolling_zscore",
+    "rel_skew_kurtosis",
+    "rel_agg_bool_bit",
+    "rel_variant_semistructured",
+    "rel_hll_partial_merge",
+    "rel_lateral_topk",
+    "src_xml_roundtrip",
+    "rel_python_udtf",
+    "src_binaryfile_ingest",
+    "rel_merge_upsert",
+    "rel_scd2_history",
+    "events_retention_cohorts",
+    "events_funnel_steps",
+    "events_mad_outliers",
+    "rel_mode_per_group",
+    "src_bucketed_join",
+    "ts_resample_ohlc",
+    "rel_count_distinct_multi",
+    "rel_observe_metrics",
+    "rel_zorder_key",
+    "src_compaction",
+    "rel_session_window_builtin",
+    "rel_heavy_hitters",
+    "ts_ewma_last",
+    "telemetry_stream_roundtrip",
+    "telemetry_mqtt_roundtrip",
+    "telemetry_mqtt_wildcard",
+    "telemetry_artifact_score",
 )
 
 

@@ -132,9 +132,14 @@ def telemetry_mqtt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("telemetry", "streaming", "eager-io"),
 )
 def telemetry_mqtt_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-topic MQTT relay matched by a §4.7 wildcard filter — the
-    AWS IoT rule shape (one rule's topic filter fanning in per-device
-    topics, phase2-iot-kinesis.yaml:61): each telemetry row publishes to
+    """Multi-topic MQTT relay matched by a §4.7 wildcard filter. The
+    reference's IoT rule subscribes ONE topic filter
+    (phase2-iot-kinesis.yaml:61, default the literal ``factory/
+    telemetry``); rule topic filters MAY be wildcards, and this query
+    GENERALIZES the reference's single-literal-topic default to the
+    per-device-topic layout that shape enables — an extension beyond
+    the reference, not its out-of-the-box behavior: each telemetry row
+    publishes to
     its OWN per-machine topic ``factory/<machineId>/telemetry``; one
     subscriber holding the single wildcard filter ``factory/+/telemetry``
     must receive exactly the machine rows — decoy publishes to

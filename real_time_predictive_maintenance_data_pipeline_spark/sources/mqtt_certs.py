@@ -129,7 +129,17 @@ def mint_dev_certs(out_dir: str, server_cn: str = "127.0.0.1") -> dict[str, str]
         "server.pem.key": pem_key(srv_key),
     }.items():
         p = os.path.join(out_dir, name)
-        with open(p, "wb") as f:
-            f.write(data)
+        if name.endswith(".key"):
+            # private keys must not be world-readable even in dev runs —
+            # the example writes into a shared tmp dir. O_TRUNC keeps
+            # re-minting over an existing file working; the mode applies
+            # only at create time, so chmod unconditionally too.
+            fd = os.open(p, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            os.chmod(p, 0o600)
+        else:
+            with open(p, "wb") as f:
+                f.write(data)
         paths[name] = p
     return paths

@@ -571,6 +571,14 @@ class SubscriberBridge:
             sub = stream.read_packet(timeout=10.0)
             if sub is None or sub.type != SUBACK:
                 raise ConnectionError("MQTT SUBSCRIBE not acknowledged")
+            # close() may have fired while we were blocked dialing (its
+            # join timeout is shorter than the connect timeout): without
+            # this check the reconnect thread would install a fresh
+            # session AFTER close() returned and leak it until process
+            # exit. Abort here so _reconnect_loop observes _stop and
+            # exits instead of adopting the socket.
+            if self._stop.is_set():
+                raise ConnectionError("subscriber closing")
         except BaseException:
             try:
                 sock.close()

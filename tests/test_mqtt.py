@@ -797,6 +797,24 @@ def test_subscriber_reconnect_disabled_surfaces_loss(broker, tmp_path):
         sub.close()
 
 
+def test_connect_aborts_when_close_raced_the_dial(broker, tmp_path):
+    """close() joins the loop thread with a timeout SHORTER than the
+    connect timeout, so a reconnect attempt can still be mid-dial when
+    close() returns. _connect must then refuse to install the fresh
+    session (it would leak until process exit — nobody reads or
+    DISCONNECTs it): with _stop set, it closes the just-dialed socket
+    and raises, and the reconnect loop observes _stop and gives up."""
+    sub = SubscriberBridge(broker.host, broker.port, TOPIC, str(tmp_path / "sp"))
+    assert _wait_until(lambda: broker.session_count() == 1)
+    sub._stop.set()  # what close() does before the join
+    with pytest.raises(ConnectionError, match="closing"):
+        sub._connect()
+    # the aborted session's socket was closed -> broker reaps it; only
+    # the bridge's original session remains
+    assert _wait_until(lambda: broker.session_count() == 1)
+    sub.close()
+
+
 def test_subscriber_reconnect_survives_broker_outage(tmp_path):
     """The backoff loop outlives a full broker restart on the same
     port: every redial fails while the broker is down, then the first

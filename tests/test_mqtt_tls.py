@@ -252,3 +252,25 @@ def test_mint_dev_certs_layout(tmp_path):
     server_tls_context(
         paths["root_ca.pem"], paths["server.pem.crt"], paths["server.pem.key"]
     )
+
+
+def test_private_keys_not_world_readable(tmp_path):
+    """Minted PRIVATE keys must be owner-only (0600) even under a
+    permissive umask — the example writes them into a shared tmp dir.
+    Certificates are public material and keep default permissions.
+    Re-minting over an existing world-readable file must tighten it."""
+    import os
+    import stat
+
+    d = str(tmp_path / "dev")
+    paths = mint_dev_certs(d)
+    for name, p in paths.items():
+        mode = stat.S_IMODE(os.stat(p).st_mode)
+        if name.endswith(".key"):
+            assert mode == 0o600, (name, oct(mode))
+        else:
+            assert mode & stat.S_IRUSR  # certs stay readable
+    # loosen a key by hand, re-mint: mode must come back to 0600
+    os.chmod(paths["private.pem.key"], 0o644)
+    paths = mint_dev_certs(d)
+    assert stat.S_IMODE(os.stat(paths["private.pem.key"]).st_mode) == 0o600

@@ -231,6 +231,67 @@ def test_heavy_hitters_exact_on_skewed_data(spark):
     assert got == want and len(want) > 0
 
 
+def test_heavy_hitters_null_and_nan_keys_excluded(spark):
+    """Dirty-key contract (operators/skew.heavy_hitters docstring):
+    null and NaN values are excluded from candidacy AND from the n/k
+    total. The NaN case is the load-bearing one — CPython 3.10+ hashes
+    each float NaN by identity, so before the guard every NaN row
+    opened its own Misra-Gries counter (unbounded dict growth) and
+    evicted real candidates. A NaN-flooded column must still find the
+    true hot value."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.skew import (
+        heavy_hitters,
+    )
+
+    # 2000 NaNs + 1000 nulls (would flood k=10 counters) + 300 copies
+    # of the one real heavy hitter + 200 distinct light values
+    df = (
+        spark.range(2000).select(F.lit(float("nan")).alias("v"))
+        .unionAll(spark.range(1000).select(F.lit(None).cast("double").alias("v")))
+        .unionAll(spark.range(300).select(F.lit(7.5).alias("v")))
+        .unionAll(spark.range(200).select((F.col("id") + 1000.0).alias("v")))
+        .repartition(8)
+    )
+    got = {(r.v, r.n) for r in heavy_hitters(df, "v", k=10).collect()}
+    # threshold over the 500 non-null/non-NaN rows: 500/10 = 50
+    assert got == {(7.5, 300)}
+    assert not any(v is None or math.isnan(v) for v, _ in got)
+
+
+def test_ewma_last_null_rows_excluded_not_poisoning(spark):
+    """Dirty-row contract (operators/timeseries.ewma_last docstring):
+    null values and null timestamps are missed observations — excluded
+    before the fold, with n counting only folded rows. Before the
+    guard one null value NaN-poisoned the key's entire EWMA (pandas
+    widens None to NaN and the recursion never recovers)."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.timeseries import (
+        ewma_last,
+    )
+
+    clean = [(1, i, float(10 + i)) for i in range(5)]
+    dirty = clean + [(1, 2_000, None), (1, None, 99.0), (2, 0, None)]
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        return {
+            r.user_id: (r.n, r.ewma)
+            for r in ewma_last(
+                df, key_col="user_id", ts_col="ts", value_col="value"
+            ).collect()
+        }
+
+    want = run(clean)
+    got = run(dirty)
+    assert got == want  # nulls neither crash, poison, nor count
+    assert 2 not in got  # a key with ONLY null observations disappears
+
+
 def test_compression_ratio_matches_direct_zlib(spark):
     """doc_compression_ratio gate: the pandas-UDF output must equal a
     driver-side zlib computation byte-for-byte (same level, same

@@ -130,6 +130,26 @@ def test_degenerate_vectors_excluded_not_fatal(spark, embs, queries):
     assert codes.filter(F.col("vec_id") == 100002).count() == 0
 
 
+def test_degenerate_vectors_audit_helper(spark, embs):
+    """The module's dropped-id contract is observable: for any input
+    frame, ``degenerate_vectors`` names exactly the ids the search
+    entry points would silently exclude, with the reason."""
+    dim = len(embs.select("embedding").first()[0])
+    base = embs.limit(50)
+    dirty = base.unionByName(
+        spark.createDataFrame(
+            [(100001, [0.0] * dim, 0), (100002, None, 0)],
+            "vec_id long, embedding array<float>, label int",
+        ).select(*base.columns)
+    )
+    audit = {
+        r.vec_id: r.reason for r in S.degenerate_vectors(dirty).collect()
+    }
+    assert audit == {100001: "zero_norm", 100002: "null_vector"}
+    # clean corpus: audit is empty (nothing silently dropped)
+    assert S.degenerate_vectors(base).count() == 0
+
+
 def test_pq_reconstruction_beats_random_codebook(spark):
     """PQ quality gate: reconstructing each vector from its trained
     codes must give a much lower MSE than assigning codes from an

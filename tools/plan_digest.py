@@ -1,0 +1,165 @@
+"""Fingerprint every catalog query's OPTIMIZED logical plan so window
+rotation can detect "Spark plan changed this round" MECHANICALLY.
+
+Why: the round-8 ADVICE found plan-changed queries (similarity /
+label-propagation / multimodal nulls hardening) sitting outside the
+driver recheck window because "did this round change that query's
+plan?" was a human judgment over the diff. This tool removes the
+judgment: it builds each registered query at sf0.001, canonicalizes
+``optimizedPlan().toString()`` (expression ids, plan ids, file paths
+and scratch dirs stripped — everything Catalyst regenerates per
+session), and writes ``PLAN_DIGESTS.json`` {name: sha256-16}. Commit
+the file each round; ``tools/plan_next_window.py`` then diffs the
+working-tree digests against the last round boundary and prints the
+changed names as MANDATORY recheck candidates.
+
+Usage:
+  python tools/plan_digest.py               # regenerate PLAN_DIGESTS.json
+  python tools/plan_digest.py --check       # regenerate to a temp dict and
+                                            # diff vs the committed file
+                                            # (exit 1 if any name changed)
+
+Skips (digest = a fixed sentinel, never a hash):
+- ``eager-io``-tagged queries: their construction moves live transport
+  bytes (MQTT broker threads, streaming roundtrips) — plan text is
+  wire-dependent and the driver already treats them rows-only.
+
+Determinism: two back-to-back runs in fresh sessions must agree —
+``tests/test_plan_digest_tool.py`` pins that on a sample; regenerate
+twice when in doubt. Queries ARE constructed, so index-building ones
+(KMeans fits, label propagation) execute real sf0.001 jobs here: the
+full run takes a few minutes, same order as a window pre-verify.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "PLAN_DIGESTS.json")
+SF_DIR = os.environ.get("PLAN_DIGEST_SF_DIR", "/root/testdata/sf0.001")
+EAGER_SENTINEL = "eager-io:not-fingerprinted"
+
+_NORMALIZERS = (
+    # expression ids: l_orderkey#123L -> l_orderkey#L
+    (re.compile(r"#(\d+)"), "#"),
+    # adaptive/codegen plan ids
+    (re.compile(r"\[plan_id=\d+\]"), "[plan_id=]"),
+    # any file-ish path (parquet locations, scratch roundtrip dirs,
+    # checkpoint dirs): file:/..., /tmp/..., spark-warehouse/...
+    (re.compile(r"file:[^\s,\)\]]+"), "PATH"),
+    (re.compile(r"/[-\w./]*/(?:testdata|tmp|rtpmdp[^\s,\)\]]*|spark-warehouse)[^\s,\)\]]*"), "PATH"),
+    # InMemoryFileIndex prints a path count that tracks the tmp layout
+    (re.compile(r"InMemoryFileIndex\([^)]*\)"), "InMemoryFileIndex()"),
+    # python UDF ordinals are assigned per-session
+    (re.compile(r"pythonUDF\d+"), "pythonUDF"),
+    # JVM closure identities (MLlib object-API plans):
+    # ALSModel$$Lambda$4614/0x00007f...@5da8823f
+    (re.compile(r"\$\$Lambda\$\d+/0x[0-9a-fA-F]+"), "$$Lambda"),
+    (re.compile(r"@[0-9a-fA-F]{6,}"), "@"),
+    # LogicalRDD carries per-session RDD identity in some renderings
+    (re.compile(r"\bRDD\b[^,\n]*"), "RDD"),
+)
+
+
+def canonical_plan(df) -> str:
+    # ANALYZED plan, not optimized: the analyzed tree is a direct,
+    # deterministic translation of the authored DataFrame ops — exactly
+    # the "did this round's code change this query?" signal. Optimizer
+    # output is NOT render-stable across sessions (e.g.
+    # RewriteDistinctAggregates assigns gids in expression-hash order,
+    # which permutes with the session's exprId counter — observed on
+    # rel_count_distinct_multi), so hashing it flagged false changes.
+    s = df._jdf.queryExecution().analyzed().toString()
+    for pat, repl in _NORMALIZERS:
+        s = pat.sub(repl, s)
+    return s
+
+
+def digest(df) -> str:
+    return hashlib.sha256(canonical_plan(df).encode()).hexdigest()[:16]
+
+
+def generate(spark, names: list[str] | None = None) -> dict[str, str]:
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import (
+        all_queries,
+    )
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.registry import (
+        _REGISTRY,
+    )
+
+    todo = names or all_queries()
+    out: dict[str, str] = {}
+    for i, name in enumerate(todo):
+        q = _REGISTRY[name]
+        if "eager-io" in q.tags:
+            out[name] = EAGER_SENTINEL
+            continue
+        try:
+            # a prior query's .cache() would substitute InMemoryRelation
+            # into THIS plan (CacheManager rewrites every later plan that
+            # subsumes a cached one), making digests depend on catalog
+            # order and cache timing — fingerprint cache-free instead
+            spark.catalog.clearCache()
+            out[name] = digest(q.spark(spark, SF_DIR))
+        except Exception as exc:  # a build crash must be loud, not a hash
+            out[name] = f"ERROR:{type(exc).__name__}"
+            print(f"  !! {name}: {exc}", file=sys.stderr)
+        if (i + 1) % 50 == 0:
+            print(f"  {i + 1}/{len(todo)}", file=sys.stderr)
+    return out
+
+
+def _session():
+    from real_time_predictive_maintenance_data_pipeline_spark.session import (
+        get_spark,
+    )
+
+    return get_spark()
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    spark = _session()
+    fresh = generate(spark)
+    bad = sorted(n for n, d in fresh.items() if d.startswith("ERROR:"))
+    if check:
+        if not os.path.exists(OUT):
+            print("no committed PLAN_DIGESTS.json; run without --check first")
+            return 1
+        with open(OUT) as f:
+            committed = json.load(f)
+        changed = sorted(
+            n
+            for n in fresh
+            if n in committed and committed[n] != fresh[n]
+        )
+        added = sorted(set(fresh) - set(committed))
+        removed = sorted(set(committed) - set(fresh))
+        for label, names in (
+            ("PLAN CHANGED", changed),
+            ("NEW QUERY", added),
+            ("REMOVED", removed),
+        ):
+            if names:
+                print(f"{label} ({len(names)}):")
+                for n in names:
+                    print(f"    {n}")
+        if not (changed or added or removed):
+            print("all plan digests match the committed file")
+        return 1 if (changed or added or removed or bad) else 0
+    with open(OUT, "w") as f:
+        json.dump(dict(sorted(fresh.items())), f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT}: {len(fresh)} digests, {len(bad)} errors")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

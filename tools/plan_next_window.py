@@ -2,8 +2,11 @@
 steady-state policy (recorded in plans/registry.py): once every catalog
 query has a driver row, the 50-slot window becomes a ROTATING RECHECK —
 (a) queries whose Spark plan or oracle text changed this round go first
-(that part is a human judgment; this tool can't see semantic diffs),
-then (b) the least-recently-driver-checked names in age order (ties by
+(plan changes are detected MECHANICALLY: regenerate PLAN_DIGESTS.json
+with ``python tools/plan_digest.py``, and this tool diffs it against
+the copy committed at the last round boundary — oracle-text changes
+remain a human judgment over the diff), then (b) the
+least-recently-driver-checked names in age order (ties by
 registration order) fill the remaining slots, so the whole catalog
 re-earns driver evidence roughly every ceil(catalog/50) rounds.
 
@@ -27,6 +30,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 from collections import Counter
 
@@ -64,6 +68,59 @@ def last_checked_rounds(repo: str) -> tuple[dict[str, int], set[str]]:
                     outcome[name] = _row_failed(row)
     failed = {n for n, bad in outcome.items() if bad}
     return last, failed
+
+
+def plan_changed_since_boundary(repo: str) -> tuple[list[str], str]:
+    """Names whose digest in the working-tree PLAN_DIGESTS.json differs
+    from the copy committed at the last round boundary (the driver's
+    "round N: verdict/..." commit). Returns (names, note); the note is
+    non-empty when the comparison could not run (missing file, first
+    round with digests, stale working copy) and explains why.
+
+    Regenerate the working-tree file FIRST (python tools/plan_digest.py)
+    — this tool only diffs, it never builds Spark plans itself."""
+    cur_path = os.path.join(repo, "PLAN_DIGESTS.json")
+    if not os.path.exists(cur_path):
+        return [], "PLAN_DIGESTS.json missing — run python tools/plan_digest.py"
+    try:
+        sha = subprocess.run(
+            ["git", "log", "--format=%H", "-1", "--grep", "^round [0-9]*: verdict"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if not sha:
+            return [], "no round-boundary commit found"
+        base_raw = subprocess.run(
+            ["git", "show", f"{sha}:PLAN_DIGESTS.json"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout
+    except subprocess.CalledProcessError:
+        return [], "no PLAN_DIGESTS.json at the last round boundary yet"
+    base = json.loads(base_raw)
+    with open(cur_path) as f:
+        cur = json.load(f)
+    changed = sorted(n for n in cur if n in base and base[n] != cur[n])
+    new = sorted(set(cur) - set(base))
+    # staleness guard: digests regenerated before the latest source edit
+    # would silently miss changes
+    src_root = os.path.join(
+        repo, "real_time_predictive_maintenance_data_pipeline_spark"
+    )
+    newest_src = max(
+        (
+            os.path.getmtime(os.path.join(d, f))
+            for d, _, fs in os.walk(src_root)
+            for f in fs
+            if f.endswith(".py")
+        ),
+        default=0.0,
+    )
+    note = ""
+    if newest_src > os.path.getmtime(cur_path):
+        note = (
+            "WARNING: package source is newer than PLAN_DIGESTS.json — "
+            "regenerate with python tools/plan_digest.py before trusting this"
+        )
+    return changed + new, note
 
 
 def main() -> int:
@@ -108,10 +165,25 @@ def main() -> int:
         for n in must:
             print(f'    "{n}",  # FAILED r{last[n]:02d}')
 
-    take = aged[: max(0, window - len(never) - len(must))]
+    plan_changed, note = plan_changed_since_boundary(repo)
+    if note:
+        print(f"\n{note}")
+    # already-mandatory names (failures) need no second listing
+    plan_changed = [n for n in plan_changed if n in set(qs) and n not in failed]
+    if plan_changed:
+        print(
+            f"\nPLAN CHANGED SINCE LAST ROUND BOUNDARY ({len(plan_changed)})"
+            " — mandatory rechecks (r8+ policy), place after failures:"
+        )
+        for n in plan_changed:
+            print(f'    "{n}",  # plan changed')
+
+    aged = [n for n in aged if n not in set(plan_changed)]
+    take = aged[: max(0, window - len(never) - len(must) - len(plan_changed))]
     print(
         f"\nproposed _RECHECK_FIRST slice ({len(take)} names, oldest first;"
-        " prepend any plan/oracle-changed names manually):"
+        " prepend the mandatory sections above; oracle-TEXT changes"
+        " are still a manual prepend):"
     )
     print("(")
     print("    # DRIVER-SCALE RE-RUN, NOT A REGRESSION: least-recently-")
