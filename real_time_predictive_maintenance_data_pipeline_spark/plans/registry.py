@@ -75,17 +75,98 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 9
+_ROTATED_FOR_ROUND = 11
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # ROUND-9 STEADY-STATE WINDOW: plan-changed names first
-    # (MANDATORY per the r8+ policy below — these operators' Spark
-    # plans changed in round 8 but none sat in the r8 window; the
-    # round-8 ADVICE flagged exactly this gap), then the 36
-    # least-recently-driver-checked names (the whole remaining r02
-    # block) via tools/plan_next_window.py.
-    #
-    # Mandatory: Spark plan changed in r8 without a driver recheck
+    # ROUND-11 STEADY-STATE WINDOW (r10 produced no rotation — this
+    # window also serves the skipped r10 rotation). Mandatory first:
+    # rel_heavy_hitters / ts_ewma_last Spark plans changed in r9
+    # (null/NaN exclusion, operators/skew.py:81 /
+    # operators/timeseries.py:197) but their last driver rows are r04
+    # and PLAN_DIGESTS.json was first committed alongside those edits,
+    # so the digest diff cannot flag them (r9/r10 VERDICT item).
+    "rel_heavy_hitters",
+    "ts_ewma_last",
+    # DRIVER-SCALE RE-RUN, NOT A REGRESSION: least-recently-checked
+    # rotation per the r8+ steady-state policy (the whole remaining
+    # r03 block) via tools/plan_next_window.py.
+    "emb_normalize",  # last r03
+    "doc_keep_decision",  # last r03
+    "doc_length_buckets",  # last r03
+    "doc_pack_sequences",  # last r03
+    "doc_unigram_logprob",  # last r03
+    "doc_tfidf_top_terms",  # last r03
+    "emb_dim_stats",  # last r03
+    "emb_centroid_outliers",  # last r03
+    "rel_string_funcs",  # last r03
+    "rel_date_funcs",  # last r03
+    "rel_case_when",  # last r03
+    "rel_json_funcs",  # last r03
+    "rel_null_safe_eq",  # last r03
+    "rel_events_hourly",  # last r03
+    "rel_sessionize",  # last r03
+    "rel_distinct_rows",  # last r03
+    "rel_array_funcs",  # last r03
+    "rel_percentiles",  # last r03
+    "rel_exists_subquery",  # last r03
+    "rel_not_in_subquery",  # last r03
+    "rel_interval_arith",  # last r03
+    "rel_levenshtein",  # last r03
+    "rel_grouped_regression",  # last r03
+    "rel_map_funcs",  # last r03
+    "rel_profile_columns",  # last r03
+    "rel_rollup_reuse",  # last r03
+    "ts_gap_fill_hourly",  # last r03
+    "rel_null_funcs",  # last r03
+    "rel_string_agg",  # last r03
+    "rel_arg_minmax",  # last r03
+    "rel_corr_covar",  # last r03
+    "rel_unpivot",  # last r03
+    "rel_histogram",  # last r03
+    "rel_try_arith",  # last r03
+    "rel_explode",  # last r03
+    "rel_latest_by_key",  # last r03
+    "rel_grouped_median_pandas",  # last r03
+    "rel_interval_join_banded",  # last r03
+    "rel_rolling_zscore",  # last r03
+    "rel_skew_kurtosis",  # last r03
+    "rel_variant_semistructured",  # last r03
+    "rel_lateral_topk",  # last r03
+    "src_xml_roundtrip",  # last r03
+    "rel_python_udtf",  # last r03
+    "src_binaryfile_ingest",  # last r03
+    "rel_merge_upsert",  # last r03
+    "rel_scd2_history",  # last r03
+    "telemetry_artifact_score",  # last r03
+)
+
+_WINDOW_PRIORITY: tuple[str, ...] = (
+    # Empty under the ROUND-8+ STEADY-STATE POLICY (recorded per the r6
+    # verdict's task 6): every catalog name has a driver row since r7,
+    # so the window stops chasing coverage and becomes a ROTATING
+    # RECHECK: pack _RECHECK_FIRST with (a) any query whose Spark plan
+    # or oracle text changed this round (mandatory), then (b) the
+    # least-recently-driver-checked 50-name slice of the catalog in age
+    # order (ties by registration order), so the whole catalog re-earns
+    # driver evidence roughly every 6-7 rounds. New queries enter only
+    # to serve a real SURVEY gap and go to the front of the next
+    # window. sf0.1 sweeps via tools/sweep_catalog.py remain the
+    # pre-commit gate for any float-sensitive change.
+    # tools/plan_next_window.py prints the ready-to-paste proposal and
+    # lists latest-round FAILURES as mandatory rechecks.
+    # "Spark plan changed" is detected MECHANICALLY since r9: regenerate
+    # PLAN_DIGESTS.json (python tools/plan_digest.py) after operator
+    # edits and commit it; the planner diffs it against the copy at the
+    # last round boundary and lists changed names as mandatory — the r8
+    # ADVICE gap (changed sim_*/dedup_clusters/mm_* plans missing their
+    # recheck) cannot silently recur.
+)
+
+_DRIVER_VERIFIED: tuple[str, ...] = (
+    # Cumulative r01-r10 green names (zero failures across ten
+    # rounds), MINUS the 50 names rotated into the r11 recheck window
+    # above. Under the steady-state policy this list tracks
+    # "not in the current recheck window".
     "dedup_embedding_pairs",
     "sim_topk_bruteforce",
     "sim_knn_batch",
@@ -100,8 +181,6 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "mm_feature_extract",
     "mm_resize",
     "mm_phash_neardup",
-    # DRIVER-SCALE RE-RUN, NOT A REGRESSION: least-recently-checked
-    # rotation; all were green in their last driver round (r02).
     "q10_returned_items",
     "q18_large_orders",
     "rel_except_all",
@@ -138,35 +217,6 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "telemetry_scored_alerts",
     "telemetry_train_metrics",
     "telemetry_pysource_stats",
-)
-
-_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Empty under the ROUND-8+ STEADY-STATE POLICY (recorded per the r6
-    # verdict's task 6): every catalog name has a driver row since r7,
-    # so the window stops chasing coverage and becomes a ROTATING
-    # RECHECK: pack _RECHECK_FIRST with (a) any query whose Spark plan
-    # or oracle text changed this round (mandatory), then (b) the
-    # least-recently-driver-checked 50-name slice of the catalog in age
-    # order (ties by registration order), so the whole catalog re-earns
-    # driver evidence roughly every 6-7 rounds. New queries enter only
-    # to serve a real SURVEY gap and go to the front of the next
-    # window. sf0.1 sweeps via tools/sweep_catalog.py remain the
-    # pre-commit gate for any float-sensitive change.
-    # tools/plan_next_window.py prints the ready-to-paste proposal and
-    # lists latest-round FAILURES as mandatory rechecks.
-    # "Spark plan changed" is detected MECHANICALLY since r9: regenerate
-    # PLAN_DIGESTS.json (python tools/plan_digest.py) after operator
-    # edits and commit it; the planner diffs it against the copy at the
-    # last round boundary and lists changed names as mandatory — the r8
-    # ADVICE gap (changed sim_*/dedup_clusters/mm_* plans missing their
-    # recheck) cannot silently recur.
-)
-
-_DRIVER_VERIFIED: tuple[str, ...] = (
-    # Cumulative r01-r08 green names (zero failures across eight
-    # rounds), MINUS the 50 names rotated into the r9 recheck window
-    # above. Under the steady-state policy this list tracks
-    # "not in the current recheck window".
     "rel_rfm_segmentation",
     "rel_abc_classification",
     "rel_abc_prefix2",
@@ -327,15 +377,7 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "emb_label_centroids",
     "doc_winnow",
     "mm_audio_rms",
-    "emb_normalize",
-    "doc_keep_decision",
-    "doc_length_buckets",
-    "doc_pack_sequences",
-    "doc_unigram_logprob",
     "dedup_simhash_banded",
-    "doc_tfidf_top_terms",
-    "emb_dim_stats",
-    "emb_centroid_outliers",
     "doc_domain_mix_weights",
     "doc_ngram_novelty",
     "doc_dsir_importance",
@@ -369,51 +411,12 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_union",
     "rel_intersect",
     "rel_except",
-    "rel_string_funcs",
-    "rel_date_funcs",
-    "rel_case_when",
-    "rel_json_funcs",
-    "rel_null_safe_eq",
-    "rel_events_hourly",
-    "rel_sessionize",
     "rel_asof_join",
-    "rel_distinct_rows",
     "rel_approx_distinct",
     "rel_approx_quantile",
     "q6_forecast_revenue",
-    "rel_array_funcs",
-    "rel_percentiles",
-    "rel_exists_subquery",
-    "rel_not_in_subquery",
-    "rel_interval_arith",
-    "rel_levenshtein",
-    "rel_grouped_regression",
-    "rel_map_funcs",
-    "rel_profile_columns",
-    "rel_rollup_reuse",
-    "ts_gap_fill_hourly",
-    "rel_null_funcs",
-    "rel_string_agg",
-    "rel_arg_minmax",
-    "rel_corr_covar",
-    "rel_unpivot",
-    "rel_histogram",
-    "rel_try_arith",
-    "rel_explode",
-    "rel_latest_by_key",
-    "rel_grouped_median_pandas",
-    "rel_interval_join_banded",
-    "rel_rolling_zscore",
-    "rel_skew_kurtosis",
     "rel_agg_bool_bit",
-    "rel_variant_semistructured",
     "rel_hll_partial_merge",
-    "rel_lateral_topk",
-    "src_xml_roundtrip",
-    "rel_python_udtf",
-    "src_binaryfile_ingest",
-    "rel_merge_upsert",
-    "rel_scd2_history",
     "events_retention_cohorts",
     "events_funnel_steps",
     "events_mad_outliers",
@@ -425,12 +428,9 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_zorder_key",
     "src_compaction",
     "rel_session_window_builtin",
-    "rel_heavy_hitters",
-    "ts_ewma_last",
     "telemetry_stream_roundtrip",
     "telemetry_mqtt_roundtrip",
     "telemetry_mqtt_wildcard",
-    "telemetry_artifact_score",
 )
 
 
