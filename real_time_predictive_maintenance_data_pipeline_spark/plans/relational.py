@@ -4061,8 +4061,10 @@ def rel_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_heavy_hitters",
     oracle="""
 SELECT event_type, COUNT(*) AS n
-FROM events GROUP BY event_type
-HAVING COUNT(*) > (SELECT COUNT(*) FROM events) / 20.0
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+HAVING COUNT(*) > (SELECT COUNT(*) FROM events
+                   WHERE event_type IS NOT NULL) / 20.0
 """,
     tags=("agg", "approx", "skew"),
 )
@@ -4087,6 +4089,7 @@ WITH o AS (
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
          COUNT(*) OVER (PARTITION BY user_id) AS n
   FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
 )
 SELECT user_id, CAST(MAX(n) AS BIGINT) AS n,
        ROUND(SUM(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value

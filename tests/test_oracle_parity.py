@@ -130,3 +130,84 @@ def test_dtype_class_drift_caught_locally(spark, duck):
         "AS n_heavy FROM lineitem GROUP BY l_returnflag"
     )
     compare(sdf, duck, cast)
+
+
+def test_dirty_events_oracle_alignment(spark, tmp_path):
+    """The r9/r10 verdict's latent divergence: rel_heavy_hitters and
+    ts_ewma_last exclude null/NaN rows (operators/skew.py,
+    operators/timeseries.py) but their oracles used to count them —
+    hash-neutral only because the fixtures carry zero nulls. This runs
+    BOTH the registered Spark query and the registered oracle text on a
+    null-bearing events table and demands byte parity.
+
+    The heavy-hitter fixture is built so the alignment is load-bearing:
+    `view` (60 rows) clears the null-excluding threshold
+    (1090/20 = 54.5) but NOT the null-counting one (1590/20 = 79.5) —
+    an unaligned oracle drops it and the compare fails."""
+    import datetime as dt
+
+    import duckdb
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+
+    def add(user_id, ts, event_type, value):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, ts, user_id, event_type, value, None))
+
+    # heavy-hitter block (value NULL -> invisible to ewma_last):
+    # click x400 + view x60 + 63 singleton-ish types x10 + 500 nulls
+    for i in range(400):
+        add(900, t0, "click", None)
+    for i in range(60):
+        add(900, t0, "view", None)
+    for t in range(63):
+        for i in range(10):
+            add(900, t0, f"type_{t}", None)
+    for i in range(500):
+        add(900, t0, None, None)
+    # ewma block (event_type NULL -> excluded from heavy hitters):
+    # user 1: 5 clean obs + a null-value row + a null-ts row
+    for i, v in enumerate([10.0, 20.0, 30.0, 40.0, 50.0]):
+        add(1, t0 + dt.timedelta(minutes=i), None, v)
+    add(1, t0 + dt.timedelta(hours=2), None, None)
+    add(1, None, None, 99.0)
+    # user 2: only null observations -> must disappear from both sides
+    add(2, t0, None, None)
+    add(2, None, None, 7.0)
+    # user 3: null-ts rows interleaved with clean ones
+    add(3, t0, None, 5.0)
+    add(3, None, None, 123.0)
+    add(3, t0 + dt.timedelta(minutes=1), None, 6.0)
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    try:
+        for name in ("rel_heavy_hitters", "ts_ewma_last"):
+            q = QUERIES[name]
+            compare(q.spark(spark, sf_dir), con, q.oracle)
+        # sanity on the discriminating facts (not just parity)
+        hh = {
+            (r.event_type, r.n)
+            for r in QUERIES["rel_heavy_hitters"].spark(spark, sf_dir).collect()
+        }
+        assert hh == {("click", 400), ("view", 60)}
+        ew = {
+            r.user_id for r in QUERIES["ts_ewma_last"].spark(spark, sf_dir).collect()
+        }
+        assert ew == {1, 3}
+    finally:
+        con.close()
