@@ -1,4 +1,4 @@
-"""Fingerprint every catalog query's OPTIMIZED logical plan so window
+"""Fingerprint every catalog query's ANALYZED logical plan so window
 rotation can detect "Spark plan changed this round" MECHANICALLY.
 
 Why: the round-8 ADVICE found plan-changed queries (similarity /
@@ -6,7 +6,7 @@ label-propagation / multimodal nulls hardening) sitting outside the
 driver recheck window because "did this round change that query's
 plan?" was a human judgment over the diff. This tool removes the
 judgment: it builds each registered query at sf0.001, canonicalizes
-``optimizedPlan().toString()`` (expression ids, plan ids, file paths
+``analyzed().toString()`` (expression ids, plan ids, file paths
 and scratch dirs stripped — everything Catalyst regenerates per
 session), and writes ``PLAN_DIGESTS.json`` {name: sha256-16}. Commit
 the file each round; ``tools/plan_next_window.py`` then diffs the

@@ -70,12 +70,82 @@ def last_checked_rounds(repo: str) -> tuple[dict[str, int], set[str]]:
     return last, failed
 
 
+def _boundary_shas(repo: str, limit: int = 2) -> list[str]:
+    """SHAs of the most recent round-boundary commits, newest first.
+
+    Both boundary message formats count (the r10 ADVICE grep fix): the
+    driver's "round N: verdict/advice/correctness/bench" AND its
+    "round N: end-of-round snapshot (...)" — a round that stalled before
+    the verdict commit still has a usable snapshot boundary."""
+    out = subprocess.run(
+        ["git", "log", "--format=%H %s", f"-{limit}", "--grep",
+         "^round [0-9]*: \\(verdict\\|end-of-round\\)"],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.splitlines()
+    return [line.split()[0] for line in out if line.strip()]
+
+
+def _boundary_round(repo: str, sha: str) -> int:
+    """Round number from a boundary commit's subject line."""
+    subject = subprocess.run(
+        ["git", "log", "--format=%s", "-1", sha],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    m = re.match(r"round (\d+):", subject)
+    return int(m.group(1)) if m else -1
+
+
+def _digests_at(repo: str, sha: str) -> dict | None:
+    """PLAN_DIGESTS.json as committed at ``sha``, or None if absent."""
+    proc = subprocess.run(
+        ["git", "show", f"{sha}:PLAN_DIGESTS.json"],
+        cwd=repo, capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        return None
+    return json.loads(proc.stdout)
+
+
+def _digest_diff(base: dict, cur: dict) -> list[str]:
+    changed = sorted(n for n in cur if n in base and base[n] != cur[n])
+    new = sorted(set(cur) - set(base))
+    return changed + new
+
+
+def plan_changed_between_boundaries(repo: str) -> tuple[list[str], str]:
+    """Names whose committed digest differs between the LAST TWO round
+    boundaries. This is the structural fix for the r9 blind spot: when
+    PLAN_DIGESTS.json is first committed (or regenerated) in the same
+    snapshot as the operator edits it records, the working-tree diff
+    against that snapshot shows nothing — but the previous boundary
+    still holds the pre-edit digests, so boundary-vs-boundary diffing
+    flags the names (rel_heavy_hitters / ts_ewma_last escaped exactly
+    this way in r9)."""
+    try:
+        shas = _boundary_shas(repo, limit=2)
+    except subprocess.CalledProcessError:
+        return [], "git log failed — not a git checkout?"
+    if len(shas) < 2:
+        return [], "fewer than two round-boundary commits"
+    cur = _digests_at(repo, shas[0])
+    base = _digests_at(repo, shas[1])
+    if cur is None or base is None:
+        return [], "PLAN_DIGESTS.json absent at one of the last two boundaries"
+    # A name already driver-checked in the round the newest boundary
+    # closed has fresh evidence for exactly these changes — only names
+    # whose last driver row predates that round still need the recheck.
+    rnd = _boundary_round(repo, shas[0])
+    last, _failed = last_checked_rounds(repo)
+    stale = [n for n in _digest_diff(base, cur) if last.get(n, -1) < rnd]
+    return stale, ""
+
+
 def plan_changed_since_boundary(repo: str) -> tuple[list[str], str]:
     """Names whose digest in the working-tree PLAN_DIGESTS.json differs
-    from the copy committed at the last round boundary (the driver's
-    "round N: verdict/..." commit). Returns (names, note); the note is
-    non-empty when the comparison could not run (missing file, first
-    round with digests, stale working copy) and explains why.
+    from the copy committed at the last round boundary. Returns
+    (names, note); the note is non-empty when the comparison could not
+    run (missing file, first round with digests, stale working copy)
+    and explains why.
 
     Regenerate the working-tree file FIRST (python tools/plan_digest.py)
     — this tool only diffs, it never builds Spark plans itself."""
@@ -83,23 +153,17 @@ def plan_changed_since_boundary(repo: str) -> tuple[list[str], str]:
     if not os.path.exists(cur_path):
         return [], "PLAN_DIGESTS.json missing — run python tools/plan_digest.py"
     try:
-        sha = subprocess.run(
-            ["git", "log", "--format=%H", "-1", "--grep", "^round [0-9]*: verdict"],
-            cwd=repo, capture_output=True, text=True, check=True,
-        ).stdout.strip()
-        if not sha:
-            return [], "no round-boundary commit found"
-        base_raw = subprocess.run(
-            ["git", "show", f"{sha}:PLAN_DIGESTS.json"],
-            cwd=repo, capture_output=True, text=True, check=True,
-        ).stdout
+        shas = _boundary_shas(repo, limit=1)
     except subprocess.CalledProcessError:
+        return [], "git log failed — not a git checkout?"
+    if not shas:
+        return [], "no round-boundary commit found"
+    base = _digests_at(repo, shas[0])
+    if base is None:
         return [], "no PLAN_DIGESTS.json at the last round boundary yet"
-    base = json.loads(base_raw)
     with open(cur_path) as f:
         cur = json.load(f)
-    changed = sorted(n for n in cur if n in base and base[n] != cur[n])
-    new = sorted(set(cur) - set(base))
+    changed_and_new = _digest_diff(base, cur)
     # staleness guard: digests regenerated before the latest source edit
     # would silently miss changes
     src_root = os.path.join(
@@ -120,7 +184,7 @@ def plan_changed_since_boundary(repo: str) -> tuple[list[str], str]:
             "WARNING: package source is newer than PLAN_DIGESTS.json — "
             "regenerate with python tools/plan_digest.py before trusting this"
         )
-    return changed + new, note
+    return changed_and_new, note
 
 
 def main() -> int:
@@ -168,6 +232,13 @@ def main() -> int:
     plan_changed, note = plan_changed_since_boundary(repo)
     if note:
         print(f"\n{note}")
+    boundary_changed, bnote = plan_changed_between_boundaries(repo)
+    if bnote:
+        print(f"\nboundary-vs-boundary digest diff skipped: {bnote}")
+    # boundary-vs-boundary names are mandatory too (r9 blind spot:
+    # digests committed in the same snapshot as the edits they record
+    # are invisible to the working-tree diff above)
+    plan_changed = sorted(set(plan_changed) | set(boundary_changed))
     # already-mandatory names (failures) need no second listing
     plan_changed = [n for n in plan_changed if n in set(qs) and n not in failed]
     if plan_changed:
