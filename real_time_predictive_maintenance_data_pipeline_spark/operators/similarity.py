@@ -44,7 +44,9 @@ def degenerate_vectors(
 
     Kept separate from the search plans on purpose: auditing is one
     extra scan the caller opts into, not a hidden count() inside every
-    query (which would double-execute the corpus scan)."""
+    query (which would double-execute the corpus scan). For the
+    IVF-only degeneracy this audit cannot see — a learned centroid
+    that is the zero vector — use ``ivf_dead_cells``."""
     v = F.col(vec_col)
     return (
         df.select(F.col(id_col), v)
@@ -357,7 +359,9 @@ def ivf_topk(
     loss, not an error; the members still exist for ``brute_force_
     topk``). Zero centroids arise only when a cell's vectors sum to
     exactly zero — adversarial input, not seen on real embeddings.
-    Audit inputs with ``degenerate_vectors``.
+    Audit inputs with ``degenerate_vectors`` and the quantizer itself
+    with ``ivf_dead_cells`` (same seeded KMeans, so it reports exactly
+    the cells this search would drop).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import vector_to_array
@@ -441,6 +445,54 @@ def ivf_topk(
     return scored.select(
         query_id_col, id_col, "score", F.row_number().over(w).alias("rank")
     ).filter(F.col("rank") <= k)
+
+
+def ivf_dead_cells(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Audit for the one IVF-specific degeneracy ``degenerate_vectors``
+    cannot see: a coarse-quantizer cell whose learned CENTROID is the
+    zero vector. Such a cell cannot be cosine-ranked, so ``ivf_topk``
+    never probes it and every member vector becomes unreachable through
+    the index (silent recall loss — the members themselves are healthy
+    and ``brute_force_topk`` still finds them). Zero centroids need a
+    cell whose vectors sum to exactly zero: adversarial input, not seen
+    on real embeddings, which is why the search plan drops the cell
+    silently and this audit is the opt-in way to make that observable.
+
+    Fits the SAME seeded quantizer as ``ivf_topk`` (identical KMeans
+    params, seed 42), so the audited cells are exactly the cells the
+    search would build. Same cost model as the other audits in this
+    module: one extra KMeans fit + one assignment scan the caller opts
+    into, never hidden inside the search plan.
+
+    Returns (cell, n_members): one row per dead cell with the count of
+    corpus vectors it strands; empty frame = every cell reachable.
+    """
+    from pyspark.ml.clustering import KMeans
+
+    feats = _to_mllib_vectors(embeddings, vec_col).select(
+        F.col(id_col), F.col("__features")
+    )
+    km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
+    model = km.fit(feats)
+    dead = [
+        i
+        for i, c in enumerate(model.clusterCenters())
+        if not any(float(x) != 0.0 for x in c)
+    ]
+    spark = embeddings.sparkSession
+    if not dead:
+        return spark.createDataFrame([], schema="cell INT, n_members BIGINT")
+    return (
+        model.transform(feats)
+        .filter(F.col("__cell").isin(dead))
+        .groupBy(F.col("__cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
 
 
 def pq_train_codebooks(

@@ -309,3 +309,48 @@ def test_pca_whitening_scree_and_decorrelation(spark):
     c = np.corrcoef(mat.T)
     off = c - np.diag(np.diag(c))
     assert np.abs(off).max() < 1e-6, np.abs(off).max()
+
+
+def test_ivf_dead_cells_flags_sum_to_zero_cell(spark):
+    """The IVF-only degeneracy made observable (r10 VERDICT item 7): a
+    cell whose vectors sum to exactly zero learns the zero centroid,
+    which ivf_topk silently never probes — its members are stranded
+    (recall loss) while staying fully reachable by brute force. The
+    ivf_dead_cells audit, fitting the same seeded quantizer, must name
+    that cell and count its stranded members; a clean corpus must audit
+    empty."""
+    # tight cloud at (0,100) + an antipodal pair summing to (0,0): the
+    # optimal 2-clustering isolates the pair, whose centroid is zero
+    cloud = [(i, [0.0, 100.0], 0) for i in range(30)]
+    pair = [(100, [50.0, 0.0], 0), (101, [-50.0, 0.0], 0)]
+    corpus = spark.createDataFrame(
+        cloud + pair, "vec_id long, embedding array<double>, label int"
+    )
+
+    dead = S.ivf_dead_cells(corpus, nlist=2).collect()
+    assert len(dead) == 1 and dead[0].n_members == 2
+
+    # the stranded ids are invisible to the index even when every
+    # rankable cell is probed...
+    queries = spark.createDataFrame(
+        [(0, [49.0, 1.0])], "query_id long, embedding array<double>"
+    )
+    ivf_ids = {
+        r.vec_id
+        for r in S.ivf_topk(
+            corpus, queries, k=5, nlist=2, nprobe=2
+        ).collect()
+    }
+    assert ivf_ids and not ivf_ids & {100, 101}
+    # ...but brute force still reaches them (members are healthy)
+    bf_ids = {
+        r.vec_id for r in S.brute_force_topk(corpus, queries, k=5).collect()
+    }
+    assert 100 in bf_ids  # cosine([49,1],[50,0]) ~ 1.0: the true top hit
+
+    # clean corpus: no dead cells
+    clean = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 3 + 1)], 0) for i in range(40)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    assert S.ivf_dead_cells(clean, nlist=4).count() == 0
