@@ -159,7 +159,18 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # edits and commit it; the planner diffs it against the copy at the
     # last round boundary and lists changed names as mandatory — the r8
     # ADVICE gap (changed sim_*/dedup_clusters/mm_* plans missing their
-    # recheck) cannot silently recur.
+    # recheck) cannot silently recur. Since r11 the planner ALSO diffs
+    # the digests committed at the last TWO round boundaries, so an
+    # edit committed in the same snapshot as its regenerated digest
+    # file (the r9 blind spot) is flagged one boundary later.
+    # STALL POLICY (r10 post-mortem, keep deliberately): a round that
+    # produces no commits leaves _ROTATED_FOR_ROUND stale, which fails
+    # tools/check_window.py and turns the pytest suite red at the next
+    # boundary. That red test is the INTENDED loud signal that a round
+    # was skipped — diagnose by comparing _ROTATED_FOR_ROUND against
+    # PROGRESS.jsonl's round counter (a `"turns": 0` line = the round
+    # never ran); the fix is always "rotate the window", never "relax
+    # the check".
 )
 
 _DRIVER_VERIFIED: tuple[str, ...] = (
