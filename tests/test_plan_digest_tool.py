@@ -100,8 +100,14 @@ def test_committed_digests_cover_whole_catalog():
     names = all_queries()
     missing = [n for n in names if n not in digests]
     assert not missing, f"regenerate PLAN_DIGESTS.json: missing {missing[:5]}"
-    stale = [n for n in digests if n not in names]
+    stale = [n for n in digests if n not in names and not n.startswith("__")]
     assert not stale, f"regenerate PLAN_DIGESTS.json: removed queries {stale[:5]}"
+    # the r11 attribution record: fixture schema fingerprints ride along
+    # under the reserved __fixtures__ key so the window planner can tell
+    # testdata regeneration apart from code-driven plan changes
+    from tools.plan_digest import fixture_fingerprints
+
+    assert digests.get("__fixtures__") == fixture_fingerprints()
     for n in names:
         if "eager-io" in _REGISTRY[n].tags:
             assert digests[n] == EAGER_SENTINEL, n

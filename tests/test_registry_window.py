@@ -47,24 +47,31 @@ def test_boundary_digest_diff_flags_same_snapshot_edits(tmp_path):
         git("commit", "-m", msg, "--allow-empty")
 
     git("init", "-q")
-    # boundary 1 (snapshot format): pre-edit digests
+    # boundary 1 (snapshot format): pre-edit digests + fixture record
     commit(
         "round 9: end-of-round snapshot (98 turns)",
-        {"q_edited": "digest_old", "q_untouched": "same", "q_fresh": "old"},
+        {"q_edited": "digest_old", "q_untouched": "same", "q_fresh": "old",
+         "__fixtures__": {"events": "schema_a"}},
     )
     # boundary 2 (verdict format): q_edited changed in the same snapshot
     # its digest file was regenerated in; q_fresh changed too but got a
-    # round-10 driver row, so it has fresh evidence already
+    # round-10 driver row, so it has fresh evidence already; the fixture
+    # fingerprint also drifted (testdata regeneration)
     commit(
         "round 10: verdict/advice/correctness/bench",
         {"q_edited": "digest_new", "q_untouched": "same",
-         "q_fresh": "new", "q_added": "brand_new"},
+         "q_fresh": "new", "q_added": "brand_new",
+         "__fixtures__": {"events": "schema_b"}},
         correctness=("q_fresh", 10),
     )
 
     names, note = plan_changed_between_boundaries(repo)
-    assert note == ""
     assert "q_edited" in names  # the same-snapshot edit is flagged
     assert "q_added" in names  # digests new at the boundary are flagged
     assert "q_untouched" not in names
     assert "q_fresh" not in names  # round-10 driver row = fresh evidence
+    # the reserved key is metadata, never a "changed query"...
+    assert "__fixtures__" not in names
+    # ...but its drift is attributed in the note so a mass digest shift
+    # reads as testdata regeneration, not 49 code changes
+    assert "fixture schema drift" in note and "events" in note

@@ -116,6 +116,30 @@ def generate(spark, names: list[str] | None = None) -> dict[str, str]:
     return out
 
 
+def fixture_fingerprints(sf_dir: str = SF_DIR) -> dict[str, str]:
+    """Arrow-schema hash per fixture table, stored under the reserved
+    ``__fixtures__`` key. The round-11 lesson: the driver regenerates
+    /root/testdata between rounds and a physical-type flip (events.ts
+    nanos -> micros) changed 49 analyzed plans with ZERO code edits —
+    indistinguishable from code churn in the name-level diff. With the
+    schema fingerprint recorded alongside the digests, the window
+    planner can attribute a mass digest shift to the fixture drift that
+    caused it (and name the drifted tables) instead of presenting it as
+    49 independent plan changes."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            schema = pq.read_schema(os.path.join(sf_dir, f))
+            # drop pandas metadata noise; the physical schema is the signal
+            s = schema.remove_metadata().to_string(show_schema_metadata=False)
+            out[f.removesuffix(".parquet")] = hashlib.sha256(
+                s.encode()
+            ).hexdigest()[:16]
+    return out
+
+
 def _session():
     from real_time_predictive_maintenance_data_pipeline_spark.session import (
         get_spark,
@@ -135,13 +159,24 @@ def main() -> int:
             return 1
         with open(OUT) as f:
             committed = json.load(f)
+        committed_q = {k: v for k, v in committed.items() if not k.startswith("__")}
         changed = sorted(
             n
             for n in fresh
-            if n in committed and committed[n] != fresh[n]
+            if n in committed_q and committed_q[n] != fresh[n]
         )
-        added = sorted(set(fresh) - set(committed))
-        removed = sorted(set(committed) - set(fresh))
+        added = sorted(set(fresh) - set(committed_q))
+        removed = sorted(set(committed_q) - set(fresh))
+        old_fx = committed.get("__fixtures__") or {}
+        new_fx = fixture_fingerprints()
+        drifted = sorted(
+            t for t in set(old_fx) | set(new_fx) if old_fx.get(t) != new_fx.get(t)
+        )
+        if drifted and old_fx:
+            print(
+                "FIXTURE SCHEMA DRIFT (digest changes may be environmental, "
+                f"not code): {', '.join(drifted)}"
+            )
         for label, names in (
             ("PLAN CHANGED", changed),
             ("NEW QUERY", added),
@@ -154,8 +189,10 @@ def main() -> int:
         if not (changed or added or removed):
             print("all plan digests match the committed file")
         return 1 if (changed or added or removed or bad) else 0
+    record = dict(sorted(fresh.items()))
+    record["__fixtures__"] = fixture_fingerprints()
     with open(OUT, "w") as f:
-        json.dump(dict(sorted(fresh.items())), f, indent=1, sort_keys=True)
+        json.dump(record, f, indent=1, sort_keys=True)
         f.write("\n")
     print(f"wrote {OUT}: {len(fresh)} digests, {len(bad)} errors")
     return 1 if bad else 0

@@ -107,9 +107,28 @@ def _digests_at(repo: str, sha: str) -> dict | None:
 
 
 def _digest_diff(base: dict, cur: dict) -> list[str]:
+    # reserved keys (``__fixtures__`` et al.) are metadata, not queries
+    base = {k: v for k, v in base.items() if not k.startswith("__")}
+    cur = {k: v for k, v in cur.items() if not k.startswith("__")}
     changed = sorted(n for n in cur if n in base and base[n] != cur[n])
     new = sorted(set(cur) - set(base))
     return changed + new
+
+
+def _fixture_drift(base: dict, cur: dict) -> list[str]:
+    """Fixture tables whose recorded schema fingerprint differs between
+    two PLAN_DIGESTS.json copies — the r11 attribution signal: a mass
+    digest shift accompanied by fixture drift is environmental (the
+    driver regenerated /root/testdata with different physical types),
+    not 49 independent code changes. Empty when either copy predates
+    the ``__fixtures__`` record."""
+    old_fx = base.get("__fixtures__") or {}
+    new_fx = cur.get("__fixtures__") or {}
+    if not old_fx or not new_fx:
+        return []
+    return sorted(
+        t for t in set(old_fx) | set(new_fx) if old_fx.get(t) != new_fx.get(t)
+    )
 
 
 def plan_changed_between_boundaries(repo: str) -> tuple[list[str], str]:
@@ -137,7 +156,16 @@ def plan_changed_between_boundaries(repo: str) -> tuple[list[str], str]:
     rnd = _boundary_round(repo, shas[0])
     last, _failed = last_checked_rounds(repo)
     stale = [n for n in _digest_diff(base, cur) if last.get(n, -1) < rnd]
-    return stale, ""
+    drift = _fixture_drift(base, cur)
+    note = (
+        "NOTE: fixture schema drift between the two boundaries "
+        f"({', '.join(drift)}) — the changed digests are likely "
+        "environmental (testdata regeneration), not code; recheck "
+        "still applies but read the diff with that cause in mind"
+        if drift
+        else ""
+    )
+    return stale, note
 
 
 def plan_changed_since_boundary(repo: str) -> tuple[list[str], str]:
@@ -178,13 +206,20 @@ def plan_changed_since_boundary(repo: str) -> tuple[list[str], str]:
         ),
         default=0.0,
     )
-    note = ""
+    notes = []
+    drift = _fixture_drift(base, cur)
+    if drift:
+        notes.append(
+            "NOTE: fixture schema drift since the last boundary "
+            f"({', '.join(drift)}) — changed digests are likely "
+            "environmental (testdata regeneration), not code"
+        )
     if newest_src > os.path.getmtime(cur_path):
-        note = (
+        notes.append(
             "WARNING: package source is newer than PLAN_DIGESTS.json — "
             "regenerate with python tools/plan_digest.py before trusting this"
         )
-    return changed_and_new, note
+    return changed_and_new, "\n".join(notes)
 
 
 def main() -> int:
@@ -234,7 +269,10 @@ def main() -> int:
         print(f"\n{note}")
     boundary_changed, bnote = plan_changed_between_boundaries(repo)
     if bnote:
-        print(f"\nboundary-vs-boundary digest diff skipped: {bnote}")
+        if bnote.startswith("NOTE:"):
+            print(f"\n{bnote}")
+        else:
+            print(f"\nboundary-vs-boundary digest diff skipped: {bnote}")
     # boundary-vs-boundary names are mandatory too (r9 blind spot:
     # digests committed in the same snapshot as the edits they record
     # are invisible to the working-tree diff above)
