@@ -815,9 +815,15 @@ def semantic_dedup(
     feats = embs.select(
         F.col(id_col).alias("__id"), as_double(vec_col).alias("__vec")
     )
-    model = KMeans(
-        k=k_clusters, seed=seed, featuresCol="__features", predictionCol="__cell"
-    ).fit(feats.withColumn("__features", array_to_vector("__vec")))
+    from ..ml.fitguard import fit_nonempty
+
+    model = fit_nonempty(
+        KMeans(
+            k=k_clusters, seed=seed, featuresCol="__features", predictionCol="__cell"
+        ),
+        feats.withColumn("__features", array_to_vector("__vec")),
+        "semantic_dedup",
+    )
     centroids = np.vstack([np.asarray(c, dtype="float64") for c in model.clusterCenters()])
     probes = min(nprobe, len(centroids))
 

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import as_double, cosine, dot, l2_norm
+from ..ml.fitguard import fit_nonempty
 
 
 def degenerate_vectors(
@@ -370,7 +371,7 @@ def ivf_topk(
         F.col(id_col), as_double(vec_col).alias("__vec"), F.col("__features")
     )
     km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
-    model = km.fit(feats)
+    model = fit_nonempty(km, feats, "ivf_topk")
 
     # Corpus norms computed once at index-build time (per vector), not
     # per probe pair — at scale this column would be persisted with the
@@ -591,6 +592,11 @@ def pq_encode(
     from collections.abc import Iterator
 
     rows = codebooks.collect()  # m*k tiny rows — the trained model
+    if not rows:
+        raise ValueError(
+            "pq_encode: empty codebooks — PQ training saw zero vectors "
+            "(an upstream filter or source produced no rows)"
+        )
     k = max(r.code for r in rows) + 1
     dsub = len(rows[0].centroid)
     C = np.zeros((m, k, dsub))
@@ -656,6 +662,11 @@ def pq_adc_topk(
     from collections.abc import Iterator
 
     rows = codebooks.collect()
+    if not rows:
+        raise ValueError(
+            "pq_adc_topk: empty codebooks — PQ training saw zero vectors "
+            "(an upstream filter or source produced no rows)"
+        )
     kk = max(r.code for r in rows) + 1
     dsub = len(rows[0].centroid)
     C = np.zeros((m, kk, dsub))
@@ -752,7 +763,7 @@ def ivf_pq_topk(
         F.col(id_col), as_double(vec_col).alias("__vec"), F.col("__features")
     )
     km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
-    model = km.fit(feats)
+    model = fit_nonempty(km, feats, "ivf_pq_topk")
     centers = np.array([list(c) for c in model.clusterCenters()])  # (nlist, d)
 
     centroids = spark.createDataFrame(

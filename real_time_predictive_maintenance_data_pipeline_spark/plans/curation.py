@@ -875,7 +875,9 @@ def ml_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratingCol="rating",
         coldStartStrategy="drop",
     )
-    model = als.fit(ratings)
+    from ..ml.fitguard import fit_nonempty
+
+    model = fit_nonempty(als, ratings, "ml_als_recommend")
     users = ratings.select("user").distinct().orderBy("user").limit(20)
     recs = model.recommendForUserSubset(users, 3)
     return recs.select(
@@ -996,7 +998,9 @@ def ml_survival_aft(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantileProbabilities=[0.5],
         quantilesCol="q",
     )
-    model = aft.fit(feats)
+    from ..ml.fitguard import fit_nonempty
+
+    model = fit_nonempty(aft, feats, "ml_survival_aft")
     pred = model.transform(feats)
     return (
         pred.orderBy("user_id")
@@ -1085,7 +1089,11 @@ def emb_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(as_double("embedding")).alias("features")
     )
-    model = PCA(k=16, inputCol="features", outputCol="proj").fit(e)
+    from ..ml.fitguard import fit_nonempty
+
+    model = fit_nonempty(
+        PCA(k=16, inputCol="features", outputCol="proj"), e, "emb_pca_whitening"
+    )
     proj = model.transform(e).select(
         F.posexplode(vector_to_array("proj")).alias("component", "v")
     )

@@ -2692,8 +2692,9 @@ base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signup FROM f
          WHERE t_signup IS NOT NULL)
 SELECT base.n_signup,
        CAST((SELECT COUNT(*) FROM conv) AS BIGINT) AS n_converted,
-       ROUND((SELECT COUNT(*) FROM conv) * 1.0 / base.n_signup, 4)
-         AS conversion_rate,
+       CASE WHEN base.n_signup > 0
+            THEN ROUND((SELECT COUNT(*) FROM conv) * 1.0 / base.n_signup, 4)
+       END AS conversion_rate,
        CAST((SELECT median(delay_s) FROM conv) AS DOUBLE) AS median_delay_s,
        CAST((SELECT quantile_cont(delay_s, 0.9) FROM conv) AS DOUBLE)
          AS p90_delay_s
@@ -2743,9 +2744,13 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.crossJoin(stats).select(
         "n_signup",
         "n_converted",
-        F.round(F.col("n_converted") / F.col("n_signup"), 4).alias(
-            "conversion_rate"
-        ),
+        # zero signups (a filter that drains the funnel) must yield a
+        # NULL rate, not an ANSI DIVIDE_BY_ZERO that kills the job —
+        # the empty-fixture audit found exactly that crash
+        F.when(
+            F.col("n_signup") > 0,
+            F.round(F.col("n_converted") / F.col("n_signup"), 4),
+        ).alias("conversion_rate"),
         F.col("median_delay_s").cast("double").alias("median_delay_s"),
         F.col("p90_delay_s").cast("double").alias("p90_delay_s"),
     )

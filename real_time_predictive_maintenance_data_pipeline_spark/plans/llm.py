@@ -261,8 +261,12 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via BucketedRandomProjectionLSH (scale path).
     Rows-only; recall vs brute force asserted in tests."""
     e = _embs(spark, sf_dir)
-    qv = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return S.lsh_topk(e, list(qv), k=10)
+    row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    if row is None:
+        # query vector absent (empty/filtered corpus): no neighbors is
+        # the correct result, not a driver-side TypeError
+        return spark.createDataFrame([], "vec_id long, dist double")
+    return S.lsh_topk(e, list(row[0]), k=10)
 
 
 # ---------------------------------------------------------------------------
@@ -515,9 +519,13 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = e.select(
         "vec_id", array_to_vector(as_double("embedding")).alias("__features")
     )
-    model = KMeans(
-        k=8, seed=42, featuresCol="__features", predictionCol="cell"
-    ).fit(feats)
+    from ..ml.fitguard import fit_nonempty
+
+    model = fit_nonempty(
+        KMeans(k=8, seed=42, featuresCol="__features", predictionCol="cell"),
+        feats,
+        "ml_kmeans_embeddings",
+    )
     assigned = model.transform(feats)
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
 

@@ -137,7 +137,12 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "src_binaryfile_ingest",  # last r03
     "rel_merge_upsert",  # last r03
     "rel_scd2_history",  # last r03
-    "telemetry_artifact_score",  # last r03
+    # Mandatory: Spark plan + oracle changed THIS round (r11 empty-
+    # input audit: zero-signup funnel now yields a NULL rate instead of
+    # an ANSI DIVIDE_BY_ZERO job kill; oracle gained the same CASE
+    # guard). Displaces telemetry_artifact_score (r03) to the front of
+    # the r12 aged slice — plan-changed beats oldest-age per policy.
+    "events_time_to_convert",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -359,7 +364,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "events_psi_drift",
     "events_ks_two_sample",
     "rel_benford_digits",
-    "events_time_to_convert",
     "ml_kaplan_meier",
     "src_bucketed_groupby",
     "rel_sql_udf",
@@ -442,6 +446,7 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "telemetry_stream_roundtrip",
     "telemetry_mqtt_roundtrip",
     "telemetry_mqtt_wildcard",
+    "telemetry_artifact_score",
 )
 
 
