@@ -866,3 +866,71 @@ def test_join_explosion_histograms_join_counts_not_rows(spark):
     # the actual-join verification
     scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
     assert len(scans) == 4, plan
+
+
+def _embs(spark):
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    return load_table(spark, SF, "embeddings")
+
+
+def _shuffle_exchange_ids(plan):
+    """Unique shuffle-Exchange node ids in a formatted plan (excludes
+    BroadcastExchange; formatted mode lists each node twice)."""
+    return set(re.findall(r"(?<!Broadcast)Exchange \((\d+)\)", plan))
+
+
+def test_pq_encode_is_map_only(spark):
+    """The PQ docstring's billion-vector claim, pinned: encoding the
+    full corpus against broadcast codebooks must plan ZERO exchanges —
+    scan → prune → mapInPandas, embarrassingly parallel."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    e = _embs(spark)
+    plan = _plan(S.pq_encode(e, S.pq_train_codebooks(e, m=4, k=8), m=4))
+    assert "Exchange" not in plan, "PQ encode must stay map-only"
+    assert "Join" not in plan
+
+
+def test_pq_adc_single_topk_shuffle_no_join(spark):
+    """ADC search's scale shape: the lookup tables ship in the closure
+    (bounded query batch), the code scan is map-side, and the ONLY
+    shuffle is the per-query top-k — with a map-side WindowGroupLimit
+    pruning to k before the exchange, so the shuffle moves at most
+    k rows per (query, partition), never the scored corpus."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    e = _embs(spark)
+    books = S.pq_train_codebooks(e, m=4, k=8)
+    q = e.limit(8).withColumnRenamed("vec_id", "query_id")
+    plan = _plan(S.pq_adc_topk(e, books, q, k=5, m=4))
+    assert "Join" not in plan, "ADC must not join against the corpus"
+    assert len(_shuffle_exchange_ids(plan)) == 1, plan
+    # partial top-k must prune BEFORE the shuffle (rank pushdown)
+    tree = plan.split("\n\n")[0]
+    pre_shuffle = tree[tree.index("Exchange") :]
+    assert "WindowGroupLimit" in pre_shuffle
+
+
+def test_ivf_probe_join_is_broadcast_no_sortmerge(spark):
+    """IVF search must never sort-merge or cartesian the corpus: the
+    centroid table (nlist rows) and the probe table (|queries|×nprobe
+    rows) are both broadcast, so the corpus is touched by one
+    BroadcastHashJoin on cell id and is never re-shuffled for the
+    join."""
+    from real_time_predictive_maintenance_data_pipeline_spark.operators import (
+        similarity as S,
+    )
+
+    e = _embs(spark)
+    q = e.limit(8).withColumnRenamed("vec_id", "query_id")
+    plan = _plan(S.ivf_topk(e, q, k=5, nlist=8, nprobe=3))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probes → corpus, on cell id
