@@ -44,6 +44,32 @@ def test_digest_survives_exprid_drift(spark):
     assert digest(_build(spark)) == a
 
 
+def test_digest_survives_lambda_ordinal_drift(spark):
+    """Higher-order-function lambda variables render with a PER-SESSION
+    ordinal (x_10#917) that counts every lambda constructed earlier in
+    the session — i.e. pure registration order. Found in r11: reordering
+    the registry window tuples flipped 36 transform/aggregate digests
+    with zero plan changes. The same authored lambda query must hash
+    identically after other lambda-using plans are constructed."""
+
+    def build():
+        return spark.range(10).select(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(3)),
+                F.lit(0.0),
+                lambda acc, x: acc + x * 2.0,
+            ).alias("s")
+        )
+
+    a = digest(build())
+    # burn lambda ordinals: construct unrelated lambda-using plans
+    for _ in range(3):
+        spark.range(5).select(
+            F.transform(F.sequence(F.lit(1), F.lit(2)), lambda v: v + 1)
+        ).collect()
+    assert digest(build()) == a
+
+
 def test_digest_sensitive_to_real_plan_change(spark):
     """An actual semantic edit (extra filter, changed constant, new
     column) must change the digest — otherwise the rotation policy

@@ -65,6 +65,14 @@ _NORMALIZERS = (
     (re.compile(r"@[0-9a-fA-F]{6,}"), "@"),
     # LogicalRDD carries per-session RDD identity in some renderings
     (re.compile(r"\bRDD\b[^,\n]*"), "RDD"),
+    # higher-order-function lambda variables render as x_10#917: the
+    # ordinal comes from a PER-SESSION counter, so it tracks how many
+    # lambda-using queries were constructed EARLIER in the session —
+    # i.e. pure registration order. Found in r11: reordering the
+    # registry window tuples flipped 36 transform/aggregate digests
+    # with zero plan changes. Runs after the exprId strip (x_10#917 ->
+    # x_10# -> x_#).
+    (re.compile(r"\b([a-z]+)_\d+#"), r"\1_#"),
 )
 
 
@@ -114,6 +122,20 @@ def generate(spark, names: list[str] | None = None) -> dict[str, str]:
         if (i + 1) % 50 == 0:
             print(f"  {i + 1}/{len(todo)}", file=sys.stderr)
     return out
+
+
+def normalizer_fingerprint() -> str:
+    """Hash of the normalizer set itself, stored under the reserved
+    ``__digest_tool__`` key. The round-11 lesson, part two: adding a
+    normalizer (the lambda-ordinal strip in ``_NORMALIZERS``)
+    re-baselines every
+    digest it touches — 47 names shifted with ZERO plan changes, same
+    mass-shift shape as fixture drift. Recording the tool version lets
+    the window planner refuse to trust a boundary-vs-boundary diff
+    that spans a tool change instead of presenting it as 47
+    independent plan edits."""
+    s = "\n".join(f"{p.pattern} -> {r}" for p, r in _NORMALIZERS)
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
 def fixture_fingerprints(sf_dir: str = SF_DIR) -> dict[str, str]:
@@ -191,6 +213,7 @@ def main() -> int:
         return 1 if (changed or added or removed or bad) else 0
     record = dict(sorted(fresh.items()))
     record["__fixtures__"] = fixture_fingerprints()
+    record["__digest_tool__"] = normalizer_fingerprint()
     with open(OUT, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
         f.write("\n")

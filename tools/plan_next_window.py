@@ -115,6 +115,16 @@ def _digest_diff(base: dict, cur: dict) -> list[str]:
     return changed + new
 
 
+def _tool_changed(base: dict, cur: dict) -> bool:
+    """True when the two PLAN_DIGESTS.json copies were produced by
+    different normalizer sets (``__digest_tool__`` differs, or one
+    predates the record) — digest diffs across a tool change are
+    re-baselines, not plan edits, for every name the new normalizer
+    touches (r11: 47 lambda-using plans shifted with zero code
+    changes when the lambda-ordinal strip was added)."""
+    return (base.get("__digest_tool__") or "") != (cur.get("__digest_tool__") or "")
+
+
 def _fixture_drift(base: dict, cur: dict) -> list[str]:
     """Fixture tables whose recorded schema fingerprint differs between
     two PLAN_DIGESTS.json copies — the r11 attribution signal: a mass
@@ -213,6 +223,13 @@ def plan_changed_since_boundary(repo: str) -> tuple[list[str], str]:
             "NOTE: fixture schema drift since the last boundary "
             f"({', '.join(drift)}) — changed digests are likely "
             "environmental (testdata regeneration), not code"
+        )
+    if _tool_changed(base, cur):
+        notes.append(
+            "NOTE: the digest tool's normalizer set changed since the "
+            "last boundary — changed digests are partly a tool "
+            "re-baseline, not code; hand-check the round's commits for "
+            "the REAL plan changes before packing the window"
         )
     if newest_src > os.path.getmtime(cur_path):
         notes.append(
