@@ -14,19 +14,35 @@ happy path is byte-identical to a bare ``fit``). Found by the round-11
 empty-fixture audit: every catalog query either runs clean on zero-row
 tables or raises this error, pinned by
 ``tests/test_empty_inputs.py``.
+
+``min_rows`` extends the same contract to the NEXT boundary up: a
+frame with fewer rows than the estimator can train on (KMeans dies
+with a bare ArrayIndexOutOfBoundsException when rows < k; PCA's
+covariance needs >= 2 rows). The diagnosis is still failure-path-only
+and bounded — ``df.limit(min_rows).count()`` stops scanning at
+``min_rows`` rows, never counting the full frame. Found by the
+round-11 ONE-row audit (``tests/test_one_row_inputs.py``).
 """
 
 from __future__ import annotations
 
 
-def fit_nonempty(estimator, df, what: str):
-    """``estimator.fit(df)`` with a clear error when ``df`` is empty."""
+def fit_nonempty(estimator, df, what: str, min_rows: int = 1):
+    """``estimator.fit(df)`` with a clear error when ``df`` has fewer
+    than ``min_rows`` rows (default: empty)."""
     try:
         return estimator.fit(df)
     except Exception as exc:
-        if df.isEmpty():
+        found = df.limit(min_rows).count()
+        if found == 0:
             raise ValueError(
                 f"{what}: cannot fit on an empty input frame — an "
                 "upstream filter or source produced zero rows"
+            ) from exc
+        if found < min_rows:
+            raise ValueError(
+                f"{what}: cannot fit on {found} row(s) — this estimator "
+                f"needs at least {min_rows} training rows (e.g. one per "
+                "cluster/component); an upstream filter left too few"
             ) from exc
         raise

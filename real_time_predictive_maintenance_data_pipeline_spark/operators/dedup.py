@@ -812,7 +812,12 @@ def semantic_dedup(
 
     from ..functions.vectors import as_double
 
-    feats = embs.select(
+    # Null vectors can be neither clustered nor cosine-compared: they
+    # crash the KMeans fit (and the numpy assignment after it), so they
+    # are excluded here with a pushable predicate — a document without
+    # an embedding is never a semantic duplicate of anything (same
+    # policy as every ANN entry point in operators/similarity.py).
+    feats = embs.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__id"), as_double(vec_col).alias("__vec")
     )
     from ..ml.fitguard import fit_nonempty
@@ -823,6 +828,7 @@ def semantic_dedup(
         ),
         feats.withColumn("__features", array_to_vector("__vec")),
         "semantic_dedup",
+        min_rows=k_clusters,
     )
     centroids = np.vstack([np.asarray(c, dtype="float64") for c in model.clusterCenters()])
     probes = min(nprobe, len(centroids))

@@ -371,7 +371,7 @@ def ivf_topk(
         F.col(id_col), as_double(vec_col).alias("__vec"), F.col("__features")
     )
     km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
-    model = fit_nonempty(km, feats, "ivf_topk")
+    model = fit_nonempty(km, feats, "ivf_topk", min_rows=nlist)
 
     # Corpus norms computed once at index-build time (per vector), not
     # per probe pair — at scale this column would be persisted with the
@@ -479,7 +479,7 @@ def ivf_dead_cells(
         F.col(id_col), F.col("__features")
     )
     km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
-    model = km.fit(feats)
+    model = fit_nonempty(km, feats, "ivf_dead_cells", min_rows=nlist)
     dead = [
         i
         for i, c in enumerate(model.clusterCenters())
@@ -763,7 +763,7 @@ def ivf_pq_topk(
         F.col(id_col), as_double(vec_col).alias("__vec"), F.col("__features")
     )
     km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
-    model = fit_nonempty(km, feats, "ivf_pq_topk")
+    model = fit_nonempty(km, feats, "ivf_pq_topk", min_rows=nlist)
     centers = np.array([list(c) for c in model.clusterCenters()])  # (nlist, d)
 
     centroids = spark.createDataFrame(

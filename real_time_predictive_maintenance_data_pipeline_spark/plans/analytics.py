@@ -1379,7 +1379,9 @@ agg AS (
   FROM ranked
 )
 SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
-       (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) AS auc
+       CASE WHEN n_pos * n_neg > 0
+            THEN (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+       END AS auc
 FROM agg
 """,
     tags=("analytics", "ml-eval"),
@@ -1416,9 +1418,10 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("n_pos").cast("bigint").alias("n_pos"),
         F.col("n_neg").cast("bigint").alias("n_neg"),
-        (
+        F.when(
+            F.col("n_pos") * F.col("n_neg") > 0,
             (F.col("pos_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos") * F.col("n_neg"))
+            / (F.col("n_pos") * F.col("n_neg")),
         ).alias("auc"),
     )
 
@@ -1441,7 +1444,8 @@ ov AS (SELECT SUM(y) * 1.0 / COUNT(*) AS base_rate FROM tiled)
 SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(y) AS BIGINT) AS n_pos,
        SUM(y) * 1.0 / COUNT(*) AS response_rate,
-       ROUND(SUM(y) * 1.0 / COUNT(*) / o.base_rate, 4) AS lift
+       CASE WHEN o.base_rate > 0
+            THEN ROUND(SUM(y) * 1.0 / COUNT(*) / o.base_rate, 4) END AS lift
 FROM tiled, ov o GROUP BY decile, o.base_rate
 """,
     tags=("analytics", "ml-eval"),
@@ -1473,7 +1477,9 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("y").cast("bigint").alias("n_pos"),
             rate.alias("response_rate"),
-            F.round(rate / F.col("base_rate"), 4).alias("lift"),
+            F.when(
+                F.col("base_rate") > 0, F.round(rate / F.col("base_rate"), 4)
+            ).alias("lift"),
         )
         .drop("base_rate")
     )
@@ -1507,7 +1513,9 @@ ties AS (
   SELECT CAST(SUM(pos_n * neg_n) AS BIGINT) AS tied FROM hist
 )
 SELECT t.n_pos, t.n_neg, t.n_bins,
-       (a.conc + ti.tied / 2.0) / (t.n_pos * 1.0 * t.n_neg) AS auc
+       CASE WHEN t.n_pos * t.n_neg > 0
+            THEN (a.conc + ti.tied / 2.0) / (t.n_pos * 1.0 * t.n_neg)
+       END AS auc
 FROM tot t, above a, ties ti
 """,
     tags=("analytics", "ml-eval"),
@@ -1565,9 +1573,10 @@ def ml_roc_auc_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pos",
             "n_neg",
             "n_bins",
-            (
+            F.when(
+                F.col("n_pos") * F.col("n_neg") > 0,
                 (F.col("conc") + F.col("tied") / 2.0)
-                / (F.col("n_pos") * 1.0 * F.col("n_neg"))
+                / (F.col("n_pos") * 1.0 * F.col("n_neg")),
             ).alias("auc"),
         )
     )
@@ -1590,7 +1599,8 @@ hist AS (
 ov AS (SELECT SUM(n_pos) * 1.0 / SUM(n) AS base_rate FROM hist)
 SELECT bucket, n, n_pos,
        n_pos * 1.0 / n AS response_rate,
-       ROUND(n_pos * 1.0 / n / o.base_rate, 4) AS lift
+       CASE WHEN o.base_rate > 0
+            THEN ROUND(n_pos * 1.0 / n / o.base_rate, 4) END AS lift
 FROM hist, ov o
 """,
     tags=("analytics", "ml-eval"),
@@ -1627,7 +1637,9 @@ def ml_lift_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n").alias("n"),
         F.col("b.n_pos").alias("n_pos"),
         rate.alias("response_rate"),
-        F.round(rate / F.col("base_rate"), 4).alias("lift"),
+        F.when(
+            F.col("base_rate") > 0, F.round(rate / F.col("base_rate"), 4)
+        ).alias("lift"),
     )
 
 
@@ -1643,9 +1655,12 @@ SELECT CAST(SUM(y * yhat) AS BIGINT) AS tp,
        CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
        CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
        CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn,
-       SUM(y * yhat) * 1.0 / SUM(yhat) AS precision_,
-       SUM(y * yhat) * 1.0 / SUM(y) AS recall_,
-       2.0 * SUM(y * yhat) / (SUM(yhat) + SUM(y)) AS f1
+       CASE WHEN SUM(yhat) > 0
+            THEN SUM(y * yhat) * 1.0 / SUM(yhat) END AS precision_,
+       CASE WHEN SUM(y) > 0
+            THEN SUM(y * yhat) * 1.0 / SUM(y) END AS recall_,
+       CASE WHEN SUM(yhat) + SUM(y) > 0
+            THEN 2.0 * SUM(y * yhat) / (SUM(yhat) + SUM(y)) END AS f1
 FROM scored
 """,
     tags=("analytics", "ml-eval"),
@@ -1672,9 +1687,12 @@ def ml_confusion_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.cast("bigint").alias("fp"),
         fn.cast("bigint").alias("fn"),
         tn.cast("bigint").alias("tn"),
-        (tp * 1.0 / F.sum("yhat")).alias("precision_"),
-        (tp * 1.0 / F.sum("y")).alias("recall_"),
-        (2.0 * tp / (F.sum("yhat") + F.sum("y"))).alias("f1"),
+        F.when(F.sum("yhat") > 0, tp * 1.0 / F.sum("yhat")).alias("precision_"),
+        F.when(F.sum("y") > 0, tp * 1.0 / F.sum("y")).alias("recall_"),
+        F.when(
+            F.sum("yhat") + F.sum("y") > 0,
+            2.0 * tp / (F.sum("yhat") + F.sum("y")),
+        ).alias("f1"),
     )
 
 
@@ -1699,10 +1717,14 @@ SELECT event_type,
          AS dcg10,
        ROUND(SUM(CASE WHEN ideal_pos <= 10 THEN rel / log2(ideal_pos + 1.0)
                 ELSE 0 END), 4) AS idcg10,
-       ROUND(SUM(CASE WHEN pos <= 10 THEN rel / log2(pos + 1.0) ELSE 0 END)
-             / SUM(CASE WHEN ideal_pos <= 10
-                        THEN rel / log2(ideal_pos + 1.0) ELSE 0 END), 4)
-         AS ndcg10
+       CASE WHEN SUM(CASE WHEN ideal_pos <= 10
+                          THEN rel / log2(ideal_pos + 1.0) ELSE 0 END) > 0
+            THEN ROUND(SUM(CASE WHEN pos <= 10
+                               THEN rel / log2(pos + 1.0) ELSE 0 END)
+                       / SUM(CASE WHEN ideal_pos <= 10
+                                  THEN rel / log2(ideal_pos + 1.0)
+                             ELSE 0 END), 4)
+       END AS ndcg10
 FROM ranked GROUP BY event_type
 """,
     tags=("analytics", "ml-eval"),
@@ -1751,7 +1773,9 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("event_type").agg(
         F.round(dcg, 4).alias("dcg10"),
         F.round(idcg, 4).alias("idcg10"),
-        F.round(dcg / idcg, 4).alias("ndcg10"),
+        # A group whose ideal top-10 carries zero relevance has no
+        # defined NDCG — NULL, not an ANSI DIVIDE_BY_ZERO job kill.
+        F.when(idcg > 0, F.round(dcg / idcg, 4)).alias("ndcg10"),
     )
 
 
@@ -2022,13 +2046,22 @@ def rel_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rel_geo_harmonic_means",
     oracle="""
-WITH q AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x FROM lineitem)
+WITH q AS (
+  SELECT l_returnflag,
+         CASE WHEN l_quantity > 0 THEN CAST(l_quantity AS BIGINT) END AS x
+  FROM lineitem
+)
 SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(exp(list_reduce(list_prepend(0.0, list(ln(x) ORDER BY ln(x), x)),
-                             (a, b) -> a + b) / COUNT(*)), 4) AS geo_mean,
-       ROUND(COUNT(*) / list_reduce(list_prepend(0.0,
-                                                 list(1.0 / x ORDER BY 1.0 / x, x)),
-                                    (a, b) -> a + b), 4) AS harmonic_mean
+       CASE WHEN COUNT(x) > 0 THEN
+         ROUND(exp(list_reduce(list_prepend(0.0,
+                     list(ln(x) ORDER BY ln(x), x) FILTER (x IS NOT NULL)),
+                   (a, b) -> a + b) / COUNT(x)), 4)
+       END AS geo_mean,
+       CASE WHEN COUNT(x) > 0 THEN
+         ROUND(COUNT(x) / list_reduce(list_prepend(0.0,
+                 list(1.0 / x ORDER BY 1.0 / x, x) FILTER (x IS NOT NULL)),
+               (a, b) -> a + b), 4)
+       END AS harmonic_mean
 FROM q GROUP BY l_returnflag
 """,
     tags=("analytics", "statistics"),
@@ -2047,16 +2080,26 @@ def rel_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.timeutil import ordered_fold_sum
 
     li = _t(spark, sf_dir, "lineitem")
+    # ln and 1/x are undefined at x <= 0 and on nulls: both means run
+    # over the POSITIVE observations only (collect_list drops the NULL
+    # the CASE leaves behind; the oracle's FILTER mirrors it — DuckDB
+    # list() keeps nulls, Spark collect_list does not). n stays the
+    # raw group count; an all-invalid group yields NULL means, never
+    # an ANSI DIVIDE_BY_ZERO.
     q = li.select(
-        "l_returnflag", F.col("l_quantity").cast("bigint").alias("x")
+        "l_returnflag",
+        F.when(F.col("l_quantity") > 0, F.col("l_quantity").cast("bigint")).alias(
+            "x"
+        ),
     )
     ln_sum = ordered_fold_sum(F.collect_list(F.log(F.col("x").cast("double"))))
     inv_sum = ordered_fold_sum(F.collect_list(1.0 / F.col("x")))
     n = F.count(F.lit(1))
+    nv = F.count("x")
     return q.groupBy("l_returnflag").agg(
         n.cast("bigint").alias("n"),
-        F.round(F.exp(ln_sum / n), 4).alias("geo_mean"),
-        F.round(n / inv_sum, 4).alias("harmonic_mean"),
+        F.when(nv > 0, F.round(F.exp(ln_sum / nv), 4)).alias("geo_mean"),
+        F.when(nv > 0, F.round(nv / inv_sum, 4)).alias("harmonic_mean"),
     )
 
 
@@ -2420,8 +2463,9 @@ SELECT event_type,
          AS hits_at_10,
        SUM(CASE WHEN pos <= 10 THEN relevant ELSE 0 END) / 10.0
          AS precision_at_10,
-       SUM(CASE WHEN pos <= 10 THEN relevant ELSE 0 END) * 1.0
-         / SUM(relevant) AS recall_at_10
+       CASE WHEN SUM(relevant) > 0
+            THEN SUM(CASE WHEN pos <= 10 THEN relevant ELSE 0 END) * 1.0
+                 / SUM(relevant) END AS recall_at_10
 FROM ranked GROUP BY event_type
 """,
     tags=("analytics", "ml-eval"),
@@ -2453,7 +2497,9 @@ def ml_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("event_type").agg(
         hits.cast("bigint").alias("hits_at_10"),
         (hits / 10.0).alias("precision_at_10"),
-        (hits * 1.0 / F.sum("relevant")).alias("recall_at_10"),
+        F.when(
+            F.sum("relevant") > 0, hits * 1.0 / F.sum("relevant")
+        ).alias("recall_at_10"),
     )
 
 
@@ -2930,9 +2976,11 @@ v AS (
   FROM d GROUP BY dim
 ),
 r AS (
-  SELECT dim, (ss - s * s / n) / (n - 1) AS variance,
-         ROW_NUMBER() OVER (ORDER BY (ss - s * s / n) / (n - 1) DESC, dim)
-           AS rk
+  SELECT dim,
+         CASE WHEN n > 1 THEN (ss - s * s / n) / (n - 1) END AS variance,
+         ROW_NUMBER() OVER (
+           ORDER BY CASE WHEN n > 1 THEN (ss - s * s / n) / (n - 1) END DESC,
+                    dim) AS rk
   FROM v
 )
 SELECT CAST(dim AS BIGINT) AS dim, variance, CAST(rk AS BIGINT) AS rk
@@ -2964,7 +3012,10 @@ def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered_fold_sum(F.collect_list("x")).alias("s"),
         ordered_fold_sum(F.collect_list(F.col("x") * F.col("x"))).alias("ss"),
     )
-    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1),
+    )
     r = v.select(
         F.col("dim").cast("bigint").alias("dim"),
         var.alias("variance"),
@@ -2998,7 +3049,8 @@ pooled AS (
   FROM per_user
 ),
 theta AS (
-  SELECT (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS th,
+  SELECT CASE WHEN n * sxx - sx * sx <> 0
+              THEN (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) END AS th,
          sx * 1.0 / n AS mean_x
   FROM pooled
 ),
@@ -3056,10 +3108,11 @@ def rel_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     theta = pooled.select(
-        (
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0,
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
             * 1.0
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
         ).alias("th"),
         (F.col("sx") * 1.0 / F.col("n")).alias("mean_x"),
     )
@@ -3140,18 +3193,22 @@ WITH s AS (
          CAST(SUM(ROUND(value * 100)) AS BIGINT) AS sc,
          CAST(SUM(ROUND(value * 100) * ROUND(value * 100)) AS BIGINT) AS scc
   FROM events GROUP BY event_type
+),
+v AS (
+  SELECT event_type, n, sc,
+         CASE WHEN n > 1
+              THEN ((scc * 1.0 / n) - (sc * 1.0 / n) * (sc * 1.0 / n))
+                   * n / (n - 1) / 10000.0 END AS variance
+  FROM s
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
        sc * 1.0 / n / 100.0 AS mean_value,
-       ((scc * 1.0 / n) - (sc * 1.0 / n) * (sc * 1.0 / n)) * n / (n - 1)
-         / 10000.0 AS variance,
-       2.8 * sqrt(2.0 * (((scc * 1.0 / n) - (sc * 1.0 / n) * (sc * 1.0 / n))
-                         * n / (n - 1) / 10000.0) / n)
-         AS mde_abs,
-       2.8 * sqrt(2.0 * (((scc * 1.0 / n) - (sc * 1.0 / n) * (sc * 1.0 / n))
-                         * n / (n - 1) / 10000.0) / n)
-         / (sc * 1.0 / n / 100.0) AS mde_rel
-FROM s
+       variance,
+       2.8 * sqrt(2.0 * variance / n) AS mde_abs,
+       CASE WHEN sc <> 0
+            THEN 2.8 * sqrt(2.0 * variance / n) / (sc * 1.0 / n / 100.0)
+       END AS mde_rel
+FROM v
 """,
     tags=("analytics", "experiment", "statistics"),
 )
@@ -3181,7 +3238,9 @@ def rel_experiment_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     m_c = F.col("sc") * 1.0 / n
-    var = ((F.col("scc") * 1.0 / n) - m_c * m_c) * n / (n - 1) / 10000.0
+    var = F.when(
+        n > 1, ((F.col("scc") * 1.0 / n) - m_c * m_c) * n / (n - 1) / 10000.0
+    )
     mean = F.col("sc") * 1.0 / n / 100.0
     mde = 2.8 * F.sqrt(2.0 * var / n)
     return s.select(
@@ -3190,7 +3249,7 @@ def rel_experiment_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_value"),
         var.alias("variance"),
         mde.alias("mde_abs"),
-        (mde / mean).alias("mde_rel"),
+        F.when(F.col("sc") != 0, mde / mean).alias("mde_rel"),
     )
 
 

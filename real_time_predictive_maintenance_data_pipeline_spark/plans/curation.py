@@ -245,7 +245,10 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return 1.0
             return round(len(zlib.compress(raw, 6)) / len(raw), 6)
 
-        return texts.map(one)
+        # na_action="ignore" passes nulls through as nulls — a missing
+        # document has no compression ratio, and t.encode(None) would
+        # kill the Arrow worker.
+        return texts.map(one, na_action="ignore")
 
     d = _docs(spark, sf_dir)
     return d.select(
@@ -923,7 +926,12 @@ def ml_survival_aft(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(
+        # A row with no machine id or no timestamp cannot be placed on
+        # any machine's timeline; a null label/feature row would kill
+        # the AFT solver. Pushable scan predicates.
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     # Point-in-time features: every per-machine aggregate below is
     # restricted to the rows a model trained "as of" the label time
     # could have seen — strictly before the failure for observed
@@ -1086,13 +1094,22 @@ def emb_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.vectors import as_double
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(as_double("embedding")).alias("features")
+    # Null embeddings crash the covariance pass deep inside MLlib;
+    # exclude them with a pushable predicate (ANN entry-point policy).
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(
+            "vec_id", array_to_vector(as_double("embedding")).alias("features")
+        )
     )
     from ..ml.fitguard import fit_nonempty
 
     model = fit_nonempty(
-        PCA(k=16, inputCol="features", outputCol="proj"), e, "emb_pca_whitening"
+        PCA(k=16, inputCol="features", outputCol="proj"),
+        e,
+        "emb_pca_whitening",
+        min_rows=2,  # RowMatrix.computeCovariance requires > 1 row
     )
     proj = model.transform(e).select(
         F.posexplode(vector_to_array("proj")).alias("component", "v")

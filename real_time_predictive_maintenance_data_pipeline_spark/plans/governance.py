@@ -258,16 +258,22 @@ WITH s AS (
 w AS (
   SELECT event_type, n_a, n_b,
          sca / n_a / 100 AS mean_a, scb / n_b / 100 AS mean_b,
-         (sca2 - sca * sca / n_a) / (n_a - 1) / 10000 AS var_a,
-         (scb2 - scb * scb / n_b) / (n_b - 1) / 10000 AS var_b
+         CASE WHEN n_a > 1
+              THEN (sca2 - sca * sca / n_a) / (n_a - 1) / 10000 END AS var_a,
+         CASE WHEN n_b > 1
+              THEN (scb2 - scb * scb / n_b) / (n_b - 1) / 10000 END AS var_b
   FROM s
 )
 SELECT event_type, n_a, n_b,
        ROUND(mean_a, 4) AS mean_a, ROUND(mean_b, 4) AS mean_b,
-       ROUND((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
-       ROUND(pow(var_a / n_a + var_b / n_b, 2)
-             / (pow(var_a / n_a, 2) / (n_a - 1)
-                + pow(var_b / n_b, 2) / (n_b - 1)), 4) AS welch_df
+       CASE WHEN var_a / n_a + var_b / n_b > 0
+            THEN ROUND((mean_a - mean_b)
+                       / sqrt(var_a / n_a + var_b / n_b), 4) END AS t_stat,
+       CASE WHEN var_a / n_a + var_b / n_b > 0
+            THEN ROUND(pow(var_a / n_a + var_b / n_b, 2)
+                       / (pow(var_a / n_a, 2) / (n_a - 1)
+                          + pow(var_b / n_b, 2) / (n_b - 1)), 4)
+       END AS welch_df
 FROM w
 """,
     tags=("analytics", "stats"),
@@ -301,8 +307,14 @@ def rel_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_a, n_b = F.col("n_a"), F.col("n_b")
     mean_a = F.col("sca") / n_a / 100
     mean_b = F.col("scb") / n_b / 100
-    var_a = (F.col("sca2") - F.col("sca") * F.col("sca") / n_a) / (n_a - 1) / 10000
-    var_b = (F.col("scb2") - F.col("scb") * F.col("scb") / n_b) / (n_b - 1) / 10000
+    var_a = F.when(
+        n_a > 1,
+        (F.col("sca2") - F.col("sca") * F.col("sca") / n_a) / (n_a - 1) / 10000,
+    )
+    var_b = F.when(
+        n_b > 1,
+        (F.col("scb2") - F.col("scb") * F.col("scb") / n_b) / (n_b - 1) / 10000,
+    )
     se2 = var_a / n_a + var_b / n_b
     return s.select(
         "event_type",
@@ -310,14 +322,19 @@ def rel_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round(mean_a, 4).alias("mean_a"),
         F.round(mean_b, 4).alias("mean_b"),
-        F.round((mean_a - mean_b) / F.sqrt(se2), 4).alias("t_stat"),
-        F.round(
-            F.pow(se2, 2)
-            / (
-                F.pow(var_a / n_a, 2) / (n_a - 1)
-                + F.pow(var_b / n_b, 2) / (n_b - 1)
+        F.when(
+            se2 > 0, F.round((mean_a - mean_b) / F.sqrt(se2), 4)
+        ).alias("t_stat"),
+        F.when(
+            se2 > 0,
+            F.round(
+                F.pow(se2, 2)
+                / (
+                    F.pow(var_a / n_a, 2) / (n_a - 1)
+                    + F.pow(var_b / n_b, 2) / (n_b - 1)
+                ),
+                4,
             ),
-            4,
         ).alias("welch_df"),
     )
 
@@ -2572,7 +2589,8 @@ cum AS (
 )
 SELECT event_type,
        ta AS n_a, tb AS n_b,
-       ROUND(MAX(ABS(ca * 1.0 / ta - cb * 1.0 / tb)), 4) AS ks_d
+       ROUND(MAX(CASE WHEN ta > 0 AND tb > 0
+                      THEN ABS(ca * 1.0 / ta - cb * 1.0 / tb) END), 4) AS ks_d
 FROM cum GROUP BY event_type, ta, tb
 """,
     tags=("analytics", "stats"),
@@ -2616,8 +2634,9 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.groupBy("event_type", F.col("ta").alias("n_a"), F.col("tb").alias("n_b")).agg(
         F.round(
             F.max(
-                F.abs(
-                    F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")
+                F.when(
+                    (F.col("ta") > 0) & (F.col("tb") > 0),
+                    F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")),
                 )
             ),
             4,

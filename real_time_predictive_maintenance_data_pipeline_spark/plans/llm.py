@@ -516,7 +516,10 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import as_double
 
     e = _embs(spark, sf_dir)
-    feats = e.select(
+    # Null embeddings cannot be clustered and crash the fit deep inside
+    # MLlib; exclude them with a pushable predicate (same policy as the
+    # ANN entry points in operators/similarity.py).
+    feats = e.filter(F.col("embedding").isNotNull()).select(
         "vec_id", array_to_vector(as_double("embedding")).alias("__features")
     )
     from ..ml.fitguard import fit_nonempty
@@ -525,6 +528,7 @@ def ml_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         KMeans(k=8, seed=42, featuresCol="__features", predictionCol="cell"),
         feats,
         "ml_kmeans_embeddings",
+        min_rows=8,
     )
     assigned = model.transform(feats)
     return assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))

@@ -78,18 +78,64 @@ _REGISTRY: dict[str, Query] = {}
 _ROTATED_FOR_ROUND = 11
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # ROUND-11 STEADY-STATE WINDOW (r10 produced no rotation — this
-    # window also serves the skipped r10 rotation). Mandatory first:
+    # ROUND-11 STEADY-STATE WINDOW. Standing mandatories first:
     # rel_heavy_hitters / ts_ewma_last Spark plans changed in r9
     # (null/NaN exclusion, operators/skew.py:81 /
     # operators/timeseries.py:197) but their last driver rows are r04
     # and PLAN_DIGESTS.json was first committed alongside those edits,
-    # so the digest diff cannot flag them (r9/r10 VERDICT item).
+    # so the digest diff cannot flag them (r9/r10 VERDICT item);
+    # events_time_to_convert's plan + oracle changed in the r11 zero-
+    # row audit (NULL rate instead of an ANSI DIVIDE_BY_ZERO on an
+    # empty funnel).
     "rel_heavy_hitters",
     "ts_ewma_last",
-    # DRIVER-SCALE RE-RUN, NOT A REGRESSION: least-recently-checked
-    # rotation per the r8+ steady-state policy (the whole remaining
-    # r03 block) via tools/plan_next_window.py.
+    "events_time_to_convert",
+    # Mandatory: Spark plans + oracles changed THIS round (r11 ONE-row
+    # audit, tests/test_one_row_inputs.py): single-class AUC/lift, n=1
+    # variance/theta/MDE, one-sided KS, and the confusion-matrix rates
+    # now emit NULL (CASE-guarded on BOTH sides) instead of an ANSI
+    # DIVIDE_BY_ZERO job kill. Hash-green re-swept at sf0.01 + sf0.1.
+    "ml_roc_auc",
+    "ml_roc_auc_hist",
+    "ml_lift_deciles",
+    "ml_lift_bucketed",
+    "ml_confusion_threshold",
+    "ml_precision_at_k",
+    "emb_dim_variance_topk",
+    "rel_cuped_adjustment",
+    "rel_experiment_mde",
+    "rel_ab_ttest",
+    "events_ks_two_sample",
+    # Mandatory: behavior changed THIS round (r11 NULL-injection audit,
+    # tests/test_null_inputs.py): null embeddings excluded from the
+    # KMeans/PCA fits (pushable isNotNull — ANN entry-point policy),
+    # null machine-id/ts rows excluded from the AFT labels, NDCG and
+    # the geo/harmonic means CASE-guarded against all-null groups
+    # (means now run over positive observations only, both sides),
+    # null text handled in the zlib pandas UDF and the splitter UDTF.
+    # sem_dedup / doc_compression_ratio / rel_python_udtf's changes
+    # live in UDF bodies or eager fits the analyzed-plan digest cannot
+    # see (digest-blind-spot lesson) — hand-added.
+    "ml_ndcg_at_k",
+    "rel_geo_harmonic_means",
+    "ml_kmeans_embeddings",
+    "emb_pca_whitening",
+    "ml_survival_aft",
+    "sem_dedup",
+    "doc_compression_ratio",
+    "rel_python_udtf",
+    # DRIVER-SCALE RE-RUN, NOT A REGRESSION: the oldest aged slice
+    # (least-recently-checked, last driver rows r03) that still fits
+    # after the 22 mandatories. The 18 aged names the mandatories
+    # displaced (rel_string_agg, rel_arg_minmax, rel_corr_covar,
+    # rel_unpivot, rel_histogram, rel_try_arith, rel_explode,
+    # rel_latest_by_key, rel_grouped_median_pandas,
+    # rel_interval_join_banded, rel_rolling_zscore, rel_skew_kurtosis,
+    # rel_variant_semistructured, rel_lateral_topk, src_xml_roundtrip,
+    # src_binaryfile_ingest, rel_merge_upsert, rel_scd2_history) go to
+    # the front of the r12 aged slice with telemetry_artifact_score
+    # (displaced earlier this round by events_time_to_convert) —
+    # plan-changed beats oldest-age per policy.
     "emb_normalize",  # last r03
     "doc_keep_decision",  # last r03
     "doc_length_buckets",  # last r03
@@ -118,31 +164,6 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "rel_rollup_reuse",  # last r03
     "ts_gap_fill_hourly",  # last r03
     "rel_null_funcs",  # last r03
-    "rel_string_agg",  # last r03
-    "rel_arg_minmax",  # last r03
-    "rel_corr_covar",  # last r03
-    "rel_unpivot",  # last r03
-    "rel_histogram",  # last r03
-    "rel_try_arith",  # last r03
-    "rel_explode",  # last r03
-    "rel_latest_by_key",  # last r03
-    "rel_grouped_median_pandas",  # last r03
-    "rel_interval_join_banded",  # last r03
-    "rel_rolling_zscore",  # last r03
-    "rel_skew_kurtosis",  # last r03
-    "rel_variant_semistructured",  # last r03
-    "rel_lateral_topk",  # last r03
-    "src_xml_roundtrip",  # last r03
-    "rel_python_udtf",  # last r03
-    "src_binaryfile_ingest",  # last r03
-    "rel_merge_upsert",  # last r03
-    "rel_scd2_history",  # last r03
-    # Mandatory: Spark plan + oracle changed THIS round (r11 empty-
-    # input audit: zero-signup funnel now yields a NULL rate instead of
-    # an ANSI DIVIDE_BY_ZERO job kill; oracle gained the same CASE
-    # guard). Displaces telemetry_artifact_score (r03) to the front of
-    # the r12 aged slice — plan-changed beats oldest-age per policy.
-    "events_time_to_convert",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -193,7 +214,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "sim_pq_adc_topk",
     "sim_ivf_pq_topk",
     "dedup_clusters",
-    "sem_dedup",
     "mm_feature_extract",
     "mm_resize",
     "mm_phash_neardup",
@@ -254,19 +274,12 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "doc_ttr",
     "doc_hapax_ratio",
     "doc_word_len_profile",
-    "ml_roc_auc",
-    "ml_lift_deciles",
-    "ml_roc_auc_hist",
-    "ml_lift_bucketed",
-    "ml_confusion_threshold",
-    "ml_ndcg_at_k",
     "rel_pivot_multi_agg",
     "rel_collect_sorted_string",
     "rel_word_positions",
     "rel_reorder_gaps",
     "rel_date_spine_fill",
     "rel_weighted_avg_price",
-    "rel_geo_harmonic_means",
     "rel_self_excluding_avg",
     "graph_degree_histogram",
     "graph_jaccard_pairs",
@@ -274,7 +287,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "emb_simhash_bits",
     "doc_shingle_uniqueness",
     "ml_brier_calibration",
-    "ml_precision_at_k",
     "rel_json_props_stats",
     "rel_cohort_ltv",
     "events_cumulative_users",
@@ -284,10 +296,7 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "events_hourly_heatmap",
     "rel_order_linecount_dist",
     "rel_grouping_id",
-    "emb_dim_variance_topk",
-    "rel_cuped_adjustment",
     "rel_srm_check",
-    "rel_experiment_mde",
     "rel_bootstrap_ci",
     "rel_skew_report",
     "rel_join_explosion_estimate",
@@ -300,7 +309,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "doc_chunk_dedup",
     "doc_span_dedup",
     "doc_char_entropy",
-    "doc_compression_ratio",
     "doc_bigram_lm",
     "doc_curation_funnel",
     "doc_bm25_search",
@@ -309,9 +317,7 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "ts_interpolate_linear",
     "ts_cusum_changepoint",
     "ml_als_recommend",
-    "ml_survival_aft",
     "rel_incremental_agg_refresh",
-    "emb_pca_whitening",
     "events_markov_transitions",
     "events_top_paths",
     "ts_seasonal_hour_profile",
@@ -331,7 +337,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "doc_curriculum_order",
     "doc_token_budget_select",
     "rel_k_anonymity",
-    "rel_ab_ttest",
     "rel_chi_square",
     "rel_delete_where_rewrite",
     "emb_matryoshka_truncate",
@@ -362,7 +367,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "ml_isotonic_calibration",
     "ml_cv_model_selection",
     "events_psi_drift",
-    "events_ks_two_sample",
     "rel_benford_digits",
     "ml_kaplan_meier",
     "src_bucketed_groupby",
@@ -381,7 +385,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "doc_token_regex",
     "doc_punct_ratio",
     "doc_top_terms",
-    "ml_kmeans_embeddings",
     "doc_stratified_sample",
     "doc_bigrams",
     "doc_decontaminate",
@@ -447,6 +450,24 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "telemetry_mqtt_roundtrip",
     "telemetry_mqtt_wildcard",
     "telemetry_artifact_score",
+    "rel_string_agg",
+    "rel_arg_minmax",
+    "rel_corr_covar",
+    "rel_unpivot",
+    "rel_histogram",
+    "rel_try_arith",
+    "rel_explode",
+    "rel_latest_by_key",
+    "rel_grouped_median_pandas",
+    "rel_interval_join_banded",
+    "rel_rolling_zscore",
+    "rel_skew_kurtosis",
+    "rel_variant_semistructured",
+    "rel_lateral_topk",
+    "src_xml_roundtrip",
+    "src_binaryfile_ingest",
+    "rel_merge_upsert",
+    "rel_scd2_history",
 )
 
 

@@ -3392,6 +3392,8 @@ def rel_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="word: string, wlen: int")
     class SplitWords:
         def eval(self, text: str):
+            if text is None:
+                return  # no words — matches SQL UNNEST(string_split(NULL))
             for w in text.split(" "):
                 yield w, len(w)
 
