@@ -106,6 +106,13 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "rel_experiment_mde",
     "rel_ab_ttest",
     "events_ks_two_sample",
+    # Mandatory: plan + oracle changed THIS round (r11 CONSTANT-input
+    # audit, tests/test_constant_inputs.py): Pearson r reassembled from
+    # covar_pop/stddev_pop behind a zero-variance guard — the builtin
+    # corr divides by sqrt(varx*vary) unconditionally, an ANSI job kill
+    # on constant columns. Swaps with rel_null_funcs (newest aged fill)
+    # to hold the window at 50.
+    "rel_corr_covar",
     # Mandatory: behavior changed THIS round (r11 NULL-injection audit,
     # tests/test_null_inputs.py): null embeddings excluded from the
     # KMeans/PCA fits (pushable isNotNull — ANN entry-point policy),
@@ -126,8 +133,8 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "rel_python_udtf",
     # DRIVER-SCALE RE-RUN, NOT A REGRESSION: the oldest aged slice
     # (least-recently-checked, last driver rows r03) that still fits
-    # after the 22 mandatories. The 18 aged names the mandatories
-    # displaced (rel_string_agg, rel_arg_minmax, rel_corr_covar,
+    # after the 23 mandatories. The 18 aged names the mandatories
+    # displaced (rel_string_agg, rel_arg_minmax, rel_null_funcs,
     # rel_unpivot, rel_histogram, rel_try_arith, rel_explode,
     # rel_latest_by_key, rel_grouped_median_pandas,
     # rel_interval_join_banded, rel_rolling_zscore, rel_skew_kurtosis,
@@ -163,7 +170,6 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "rel_profile_columns",  # last r03
     "rel_rollup_reuse",  # last r03
     "ts_gap_fill_hourly",  # last r03
-    "rel_null_funcs",  # last r03
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -452,7 +458,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "telemetry_artifact_score",
     "rel_string_agg",
     "rel_arg_minmax",
-    "rel_corr_covar",
     "rel_unpivot",
     "rel_histogram",
     "rel_try_arith",
@@ -468,6 +473,7 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "src_binaryfile_ingest",
     "rel_merge_upsert",
     "rel_scd2_history",
+    "rel_null_funcs",
 )
 
 

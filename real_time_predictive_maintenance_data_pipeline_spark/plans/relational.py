@@ -2107,7 +2107,11 @@ def rel_arg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_corr_covar",
     oracle="""
 SELECT l_returnflag,
-       ROUND(CORR(l_extendedprice, l_quantity), 4)       AS price_qty_corr,
+       CASE WHEN STDDEV_POP(l_extendedprice) > 0 AND STDDEV_POP(l_quantity) > 0
+            THEN ROUND(COVAR_POP(l_extendedprice, l_quantity)
+                       / (STDDEV_POP(l_extendedprice)
+                          * STDDEV_POP(l_quantity)), 4)
+       END AS price_qty_corr,
        ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS price_qty_covar,
        ROUND(COVAR_POP(l_extendedprice, l_discount), 4)  AS price_disc_covar_pop
 FROM lineitem GROUP BY l_returnflag
@@ -2117,10 +2121,24 @@ FROM lineitem GROUP BY l_returnflag
 def rel_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistical aggregates (corr / covar_samp / covar_pop)
     — single-pass map-side-partial built-ins (Welford-style merge), no
-    extra shuffle beyond the groupBy."""
+    extra shuffle beyond the groupBy. Pearson r is undefined when
+    either side has zero variance, and the BUILTIN corr cannot be
+    guarded: its final evaluation divides by sqrt(varx*vary)
+    unconditionally, an ANSI DIVIDE_BY_ZERO job kill on a constant
+    column that a wrapping CASE evaluates too late to stop (the r11
+    constant-input audit). r is therefore assembled from the safe
+    builtins — covar_pop / (stddev_pop * stddev_pop), the identical
+    formula and op sequence on both engines — with the zero-variance
+    guard emitting NULL. Still one aggregation pass: the extra
+    partials merge in the same hash aggregate."""
     l = _t(spark, sf_dir, "lineitem")
+    sx = F.stddev_pop("l_extendedprice")
+    sy = F.stddev_pop("l_quantity")
     return l.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.when(
+            (sx > 0) & (sy > 0),
+            F.round(F.covar_pop("l_extendedprice", "l_quantity") / (sx * sy), 4),
+        ).alias("price_qty_corr"),
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
             "price_qty_covar"
         ),
