@@ -1,0 +1,84 @@
+"""Boundary validation for non-finite measures — the batch twin of the
+streaming PERMISSIVE-parse quarantine.
+
+Why this exists: the engine runs Spark 4's default ANSI mode, where a
+single NaN or ±Inf reaching a ``cast(bigint)`` is a job-killing
+CAST_OVERFLOW — and the exact-integer-cents convention
+(``ROUND(x * 100)`` then cast) that makes the catalog's float parity
+bit-stable puts such a cast downstream of nearly every measure column.
+The r11 NaN/Inf audit measured the blast radius: ~50 of 314 catalog
+queries die if one non-finite double reaches them, and MLlib rejects
+non-finite vectors outright ("Vector values MUST NOT be NaN or
+Infinity").
+
+The 100 TB answer is NOT a defensive guard inside every query — that
+is 300 queries' worth of redundant predicates for a property of the
+DATA, not of any one computation. It is the same answer the streaming
+path already implements for malformed JSON (PERMISSIVE parse +
+quarantine prefix, reference parity O24): validate ONCE at the lake
+boundary, route violating rows to a quarantine output, and let every
+downstream query assume finite measures. ``finite_split`` is that
+boundary operator; ``events_finite_quarantine`` in
+``plans/governance.py`` is its catalog entry, and
+``tests/test_naninf_inputs.py`` pins the contract end-to-end: after
+the split, EVERY catalog query completes on a fixture poisoned with
+NaN/±Inf in every double column.
+
+Scale: both outputs are plain filters over the input — pushable
+predicates, no shuffle, no UDF; the split costs one scan each side
+(or nothing extra when only the clean side is consumed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_INF = float("inf")
+
+
+def _col_nonfinite(c: str) -> Column:
+    """True when the scalar double column holds NaN or ±Inf; NULL rows
+    are NOT flagged (a missing measure is the null-handling contract's
+    business — see tests/test_null_inputs.py — not a poison value)."""
+    col = F.col(c)
+    return F.coalesce(F.isnan(col) | (F.abs(col) >= _INF), F.lit(False))
+
+
+def _array_nonfinite(c: str) -> Column:
+    """True when any element of the float/double array column is NaN or
+    ±Inf; NULL arrays (and NULL elements) are not flagged."""
+    bad = F.exists(
+        F.col(c).cast("array<double>"),
+        lambda x: F.isnan(x) | (F.abs(x) >= _INF),
+    )
+    return F.coalesce(bad, F.lit(False))
+
+
+def nonfinite_pred(cols: tuple[str, ...], array_cols: tuple[str, ...] = ()) -> Column:
+    """OR of the per-column non-finite flags — True exactly for rows the
+    split quarantines."""
+    pred = F.lit(False)
+    for c in cols:
+        pred = pred | _col_nonfinite(c)
+    for c in array_cols:
+        pred = pred | _array_nonfinite(c)
+    return pred
+
+
+def finite_split(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    array_cols: tuple[str, ...] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Split ``df`` into (clean, quarantined) on measure finiteness.
+
+    ``clean`` holds every row whose listed scalar columns and
+    float-array columns contain no NaN/±Inf (NULLs pass — they are
+    legal missing values, handled per-query); ``quarantined`` holds
+    the exact complement, ready to be written to a quarantine prefix
+    for inspection, mirroring the streaming path's malformed-JSON
+    split at ``streaming/pipeline.py``.
+    """
+    bad = nonfinite_pred(cols, array_cols)
+    return df.filter(~bad), df.filter(bad)

@@ -2693,6 +2693,53 @@ def rel_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_finite_quarantine",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN value IS NOT NULL AND isnan(value)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+       CAST(SUM(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                          AND isinf(value)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_inf,
+       CAST(SUM(CASE WHEN value IS NULL OR isfinite(value)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM events
+""",
+    tags=("audit", "quality"),
+)
+def events_finite_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-finite-measure boundary audit over the events stream: how
+    many rows a ``finite_split`` at the lake boundary would quarantine
+    (NaN / ±Inf readings) vs pass clean (finite or NULL). Under the
+    engine's default ANSI mode a single NaN reaching the exact-cents
+    cast is a job-killing CAST_OVERFLOW in ~50 downstream catalog
+    queries (measured by the r11 NaN/Inf audit), so this split is the
+    documented ingestion step for dirty numeric feeds — the batch twin
+    of the streaming PERMISSIVE-parse quarantine (reference parity
+    O24, lambda_function.py's malformed-message drop). Operator:
+    ``operators/quarantine.finite_split``; end-to-end contract (split
+    makes the WHOLE catalog safe on poisoned fixtures) pinned in
+    ``tests/test_naninf_inputs.py``.
+
+    Scale: one aggregate scan; the disposition predicates are plain
+    column expressions (no UDF, no shuffle beyond the single-row agg).
+    """
+    from ..operators.quarantine import nonfinite_pred
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    is_nan = v.isNotNull() & F.isnan(v)
+    is_inf = v.isNotNull() & ~F.isnan(v) & (F.abs(v) >= float("inf"))
+    clean = ~nonfinite_pred(("value",))
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(is_nan.cast("int")).cast("bigint").alias("n_nan"),
+        F.sum(is_inf.cast("int")).cast("bigint").alias("n_inf"),
+        F.sum(clean.cast("int")).cast("bigint").alias("n_clean"),
+    )
+
+
+@register(
     "events_time_to_convert",
     oracle="""
 WITH f AS (

@@ -113,6 +113,17 @@ _RECHECK_FIRST: tuple[str, ...] = (
     # on constant columns. Swaps with rel_null_funcs (newest aged fill)
     # to hold the window at 50.
     "rel_corr_covar",
+    # Mandatory: NaN/Inf boundary work THIS round (r11 NaN/Inf audit,
+    # tests/test_naninf_inputs.py): events_finite_quarantine is NEW —
+    # the finite_split boundary operator's catalog entry (ANSI
+    # CAST_OVERFLOW blast radius ~50 queries without it);
+    # rel_observe_metrics' plan + oracle changed — an ANSI error inside
+    # an observe metric is swallowed by the listener and hangs the
+    # driver forever in observation.get, so price_cents now sums
+    # finite prices only (both sides). Swap with rel_rollup_reuse and
+    # ts_gap_fill_hourly (newest aged fill) to hold the window at 50.
+    "events_finite_quarantine",
+    "rel_observe_metrics",
     # Mandatory: behavior changed THIS round (r11 NULL-injection audit,
     # tests/test_null_inputs.py): null embeddings excluded from the
     # KMeans/PCA fits (pushable isNotNull — ANN entry-point policy),
@@ -133,8 +144,9 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "rel_python_udtf",
     # DRIVER-SCALE RE-RUN, NOT A REGRESSION: the oldest aged slice
     # (least-recently-checked, last driver rows r03) that still fits
-    # after the 23 mandatories. The 18 aged names the mandatories
-    # displaced (rel_string_agg, rel_arg_minmax, rel_null_funcs,
+    # after the 25 mandatories. The 20 aged names the mandatories
+    # displaced (rel_rollup_reuse, ts_gap_fill_hourly,
+    # rel_string_agg, rel_arg_minmax, rel_null_funcs,
     # rel_unpivot, rel_histogram, rel_try_arith, rel_explode,
     # rel_latest_by_key, rel_grouped_median_pandas,
     # rel_interval_join_banded, rel_rolling_zscore, rel_skew_kurtosis,
@@ -168,8 +180,6 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "rel_grouped_regression",  # last r03
     "rel_map_funcs",  # last r03
     "rel_profile_columns",  # last r03
-    "rel_rollup_reuse",  # last r03
-    "ts_gap_fill_hourly",  # last r03
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -448,7 +458,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "src_bucketed_join",
     "ts_resample_ohlc",
     "rel_count_distinct_multi",
-    "rel_observe_metrics",
     "rel_zorder_key",
     "src_compaction",
     "rel_session_window_builtin",
@@ -474,6 +483,8 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_merge_upsert",
     "rel_scd2_history",
     "rel_null_funcs",
+    "rel_rollup_reuse",
+    "ts_gap_fill_hourly",
 )
 
 

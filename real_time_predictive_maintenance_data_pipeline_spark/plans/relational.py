@@ -3908,7 +3908,9 @@ def rel_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_observe_metrics",
     oracle="""
 SELECT COUNT(*) AS n_rows,
-       CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT) AS price_cents,
+       CAST(SUM(CASE WHEN isfinite(l_extendedprice)
+                     THEN ROUND(l_extendedprice * 100) END) AS BIGINT)
+         AS price_cents,
        CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_discounted
 FROM lineitem
@@ -3926,15 +3928,25 @@ def rel_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     The driver-side ``observation.get`` is metric retrieval (a few
     scalars), not a data collect; the observed job here is a count.
     At 100 TB the observe pass costs nothing extra — accumulators
-    piggyback the existing task results."""
+    piggyback the existing task results.
+
+    The metric expressions MUST be total: an ANSI error inside an
+    observe metric (e.g. cast of a NaN/Inf sum to bigint) is swallowed
+    by the query-execution listener, so the job "succeeds" while the
+    observation is never fulfilled and ``observation.get`` blocks the
+    DRIVER forever — a hang, not a crash (found by the r11 NaN/Inf
+    audit). price_cents therefore sums finite prices only, on both
+    sides."""
     from pyspark.sql import Observation
 
     l = _t(spark, sf_dir, "lineitem")
     obs = Observation("lineitem_profile")
+    price = F.col("l_extendedprice")
+    finite = ~F.isnan(price) & (F.abs(price) < F.lit(float("inf")))
     observed = l.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias(
+        F.sum(F.when(finite, F.round(price * 100))).cast("bigint").alias(
             "price_cents"
         ),
         F.sum((F.col("l_discount") > 0.05).cast("int")).cast("bigint").alias(

@@ -1,0 +1,158 @@
+"""NaN/±Inf measures — the boundary-validation contract.
+
+Fifth degenerate-input audit (zero rows, one row, nulls, constants,
+and now NON-FINITE DOUBLES). Unlike the other four, the contract here
+is NOT "every query survives raw poison": under default ANSI mode a
+NaN reaching the exact-integer-cents cast is a CAST_OVERFLOW job kill
+in ~50 catalog queries, and MLlib rejects non-finite vectors outright.
+Guarding 300 queries against a property of the DATA would bury every
+plan in redundant predicates; the engine's answer — same as its
+streaming PERMISSIVE-parse quarantine for malformed JSON — is to
+validate ONCE at the lake boundary with
+``operators/quarantine.finite_split`` and let everything downstream
+assume finite measures.
+
+Pinned here:
+
+1. ``finite_split`` semantics: exact complement split; NULLs pass as
+   clean (missing is the null contract's business, poison is this
+   one's); array columns flag any non-finite element.
+2. The poison is real: a representative cents-cast query DIES with
+   CAST_OVERFLOW on the raw poisoned fixture (if this ever starts
+   passing, ANSI semantics changed and the policy should be revisited).
+3. The recipe works END-TO-END: after one ``finite_split`` per table
+   at the boundary, EVERY catalog query completes on the poisoned
+   fixture (or raises the crisp fitguard error).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_predictive_maintenance_data_pipeline_spark.operators.quarantine import (
+    finite_split,
+)
+from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
+    TABLES,
+    load_table,
+)
+
+from .conftest import SF_SMOKE
+
+SPECIALS = (float("nan"), float("inf"), float("-inf"))
+
+
+@pytest.fixture(scope="module")
+def poisoned_sf_dir(tmp_path_factory):
+    """Every double column (and every float-array column) gets NaN,
+    +Inf, -Inf sprinkled on every 10th row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("sf_naninf")
+    for f in os.listdir(SF_SMOKE):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(SF_SMOKE, f))
+        n = t.num_rows
+        cols = []
+        for i, field in enumerate(t.schema):
+            col = t.column(i).combine_chunks()
+            if pa.types.is_float64(field.type) and n:
+                vals = col.to_pylist()
+                for j in range(0, n, 10):
+                    vals[j] = SPECIALS[(j // 10) % 3]
+                col = pa.array(vals, type=field.type)
+            elif (
+                pa.types.is_list(field.type)
+                and pa.types.is_floating(field.type.value_type)
+                and n
+            ):
+                vals = col.to_pylist()
+                for j in range(0, n, 10):
+                    if vals[j]:
+                        vals[j] = list(vals[j])
+                        vals[j][0] = SPECIALS[(j // 10) % 3]
+                col = pa.array(vals, type=field.type)
+            cols.append(col)
+        pq.write_table(pa.table(cols, schema=t.schema), str(d / f))
+    return str(d)
+
+
+def _measure_cols(df):
+    """All scalar-double and float-array columns — the generic
+    boundary-validation surface, no per-table hardcoding."""
+    from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+    scalars, arrays = [], []
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, DoubleType):
+            scalars.append(fld.name)
+        elif isinstance(fld.dataType, ArrayType) and isinstance(
+            fld.dataType.elementType, (DoubleType, FloatType)
+        ):
+            arrays.append(fld.name)
+    return tuple(scalars), tuple(arrays)
+
+
+@pytest.fixture(scope="module")
+def cleaned_sf_dir(spark, poisoned_sf_dir, tmp_path_factory):
+    """The documented recipe: one finite_split per table at the
+    boundary, clean side written back as the lake."""
+    d = tmp_path_factory.mktemp("sf_naninf_clean")
+    for name in TABLES:
+        df = load_table(spark, poisoned_sf_dir, name)
+        scalars, arrays = _measure_cols(df)
+        clean, _bad = finite_split(df, scalars, arrays)
+        clean.write.mode("overwrite").parquet(str(d / f"{name}.parquet"))
+    return str(d)
+
+
+def test_finite_split_is_exact_complement(spark):
+    rows = [
+        (1, 1.0, [0.1, 0.2]),
+        (2, float("nan"), [0.1, 0.2]),
+        (3, float("inf"), None),
+        (4, None, [0.1, None]),
+        (5, 5.0, [float("-inf"), 0.2]),
+        (6, 6.0, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v double, e array<double>")
+    clean, bad = finite_split(df, ("v",), ("e",))
+    assert sorted(r.id for r in clean.collect()) == [1, 4, 6]
+    assert sorted(r.id for r in bad.collect()) == [2, 3, 5]
+
+
+def test_raw_poison_still_kills_a_cents_cast(spark, poisoned_sf_dir):
+    """Documents WHY the boundary split exists: ANSI cast of a NaN sum
+    is a job kill, not a NaN result. If this xfail-shaped pin ever
+    passes, ANSI semantics changed under us."""
+    q = all_queries()["rel_weighted_avg_price"]
+    with pytest.raises(Exception, match="CAST_OVERFLOW|ArithmeticException"):
+        q.spark(spark, poisoned_sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+
+@pytest.mark.slow
+def test_every_query_survives_after_boundary_split(spark, cleaned_sf_dir):
+    bad = {}
+    for name, q in all_queries().items():
+        if "eager-io" in q.tags:
+            continue  # wire-transport demos; no table input to poison
+        try:
+            spark.catalog.clearCache()
+            df = q.spark(spark, cleaned_sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except ValueError as exc:
+            msg = str(exc)
+            if "zero rows" in msg or "needs at least" in msg:
+                continue  # crisp estimator contract (fitguard)
+            bad[name] = f"ValueError: {msg[:160]}"
+        except Exception as exc:  # noqa: BLE001 — the audit's whole point
+            bad[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
+    assert not bad, f"boundary split did not make the catalog safe: {bad}"
