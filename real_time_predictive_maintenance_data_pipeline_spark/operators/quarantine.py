@@ -55,14 +55,26 @@ def _array_nonfinite(c: str) -> Column:
     return F.coalesce(bad, F.lit(False))
 
 
-def nonfinite_pred(cols: tuple[str, ...], array_cols: tuple[str, ...] = ()) -> Column:
+def nonfinite_pred(
+    cols: tuple[str, ...],
+    array_cols: tuple[str, ...] = (),
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> Column:
     """OR of the per-column non-finite flags — True exactly for rows the
-    split quarantines."""
+    split quarantines. ``bounds`` optionally adds a plausibility range
+    per scalar column: a FINITE 1e300 reading poisons the downstream
+    exact-cents ``cast(bigint)`` exactly like Inf (ANSI CAST_OVERFLOW
+    is about range, not just finiteness), so a boundary validator that
+    knows the sensor's physical range should reject outside it. NULLs
+    are never flagged by a bound."""
     pred = F.lit(False)
     for c in cols:
         pred = pred | _col_nonfinite(c)
     for c in array_cols:
         pred = pred | _array_nonfinite(c)
+    for c, (lo, hi) in (bounds or {}).items():
+        col = F.col(c)
+        pred = pred | F.coalesce((col < lo) | (col > hi), F.lit(False))
     return pred
 
 
@@ -70,15 +82,17 @@ def finite_split(
     df: DataFrame,
     cols: tuple[str, ...],
     array_cols: tuple[str, ...] = (),
+    bounds: dict[str, tuple[float, float]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``df`` into (clean, quarantined) on measure finiteness.
 
     ``clean`` holds every row whose listed scalar columns and
-    float-array columns contain no NaN/±Inf (NULLs pass — they are
-    legal missing values, handled per-query); ``quarantined`` holds
-    the exact complement, ready to be written to a quarantine prefix
-    for inspection, mirroring the streaming path's malformed-JSON
-    split at ``streaming/pipeline.py``.
+    float-array columns contain no NaN/±Inf — and, when ``bounds``
+    gives a column a plausibility range, no out-of-range value (NULLs
+    pass everywhere — they are legal missing values, handled
+    per-query); ``quarantined`` holds the exact complement, ready to
+    be written to a quarantine prefix for inspection, mirroring the
+    streaming path's malformed-JSON split at ``streaming/pipeline.py``.
     """
-    bad = nonfinite_pred(cols, array_cols)
+    bad = nonfinite_pred(cols, array_cols, bounds)
     return df.filter(~bad), df.filter(bad)

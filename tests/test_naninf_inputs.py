@@ -127,6 +127,17 @@ def test_finite_split_is_exact_complement(spark):
     assert sorted(r.id for r in bad.collect()) == [2, 3, 5]
 
 
+def test_finite_split_bounds_reject_implausible_magnitudes(spark):
+    """A FINITE 1e300 poisons the exact-cents cast(bigint) exactly like
+    Inf — CAST_OVERFLOW is about range, not finiteness — so a boundary
+    validator that knows the sensor's range must reject outside it."""
+    rows = [(1, 42.0), (2, 1e300), (3, -1e300), (4, None), (5, 99.9)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    clean, bad = finite_split(df, ("v",), bounds={"v": (-1e6, 1e6)})
+    assert sorted(r.id for r in clean.collect()) == [1, 4, 5]
+    assert sorted(r.id for r in bad.collect()) == [2, 3]
+
+
 def test_raw_poison_still_kills_a_cents_cast(spark, poisoned_sf_dir):
     """Documents WHY the boundary split exists: ANSI cast of a NaN sum
     is a job kill, not a NaN result. If this xfail-shaped pin ever
