@@ -192,6 +192,7 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.9,
     bands: int = 4,
     rows_per_band: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate Jaccard near-dup pairs via banded MinHash LSH
     (shingle → minhash → band → bucket-join → exact verify).
@@ -209,6 +210,19 @@ def minhash_lsh_pairs(
     Scale: candidate generation is linear (explode b rows/doc, shuffle
     on well-distributed (band, bucket) keys); the only quadratic term
     is within identical buckets — i.e. actual near-dup clusters.
+    Byte-IDENTICAL documents are collapsed to one representative before
+    banding (below), so the quadratic term needs NEAR-identical
+    distinct documents. A boilerplate-heavy corpus can still produce a
+    mega-cluster (10M near-identical pages => 10^14 candidate pairs —
+    fatal at 100 TB): ``max_bucket`` opts into the standard LSH
+    mitigation of skipping (band, bucket) groups larger than the cap.
+    Recall degrades gracefully — a doc in one skipped bucket still
+    pairs through its other ``bands-1`` buckets, and members of a true
+    mega-cluster keep their exact-dup pairs — while the candidate
+    count is bounded by ``max_bucket``² per bucket. Default None
+    preserves exact pre-cap output (and the catalog query's oracle
+    parity).
+
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounded.
     """
     k = bands * rows_per_band
@@ -308,6 +322,19 @@ def minhash_lsh_pairs(
     sigs = d.select(
         "__id", F.posexplode(buckets).alias("__band", "__bucket")
     ).persist()
+    if max_bucket is not None:
+        # Hot-bucket skip: count rows per (band, bucket) — 24-byte rows,
+        # partial-aggregated map-side — and drop over-cap buckets from
+        # BOTH sides of the candidate self-join. The count frame is
+        # near-distinct and joins back on the same shuffle key the
+        # self-join needs anyway.
+        sz = sigs.groupBy("__band", "__bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        sigs = sigs.join(
+            sz.filter(F.col("__bn") <= max_bucket).drop("__bn"),
+            ["__band", "__bucket"],
+        )
     a = sigs.alias("a")
     b_ = sigs.alias("b")
     # A pair colliding in m bands appears m times here; dedup BEFORE

@@ -430,3 +430,45 @@ def test_ngram_jaccard_null_text_never_pairs(spark):
     pairs = D.ngram_jaccard_pairs(df, block_col="lang", threshold=0.5).collect()
     got = {(r.doc_a, r.doc_b, r.jaccard) for r in pairs}
     assert got == {("a", "b", 1.0)}  # identical real docs pair; nulls never
+
+
+def test_minhash_max_bucket_caps_hot_clusters(spark):
+    """The opt-in hot-bucket skip (``max_bucket``): a boilerplate-style
+    cluster of NEAR-identical but DISTINCT documents floods every band
+    bucket (the exact-dup collapse cannot merge them), which is the
+    one quadratic term in the LSH plan — 10M such docs at 100 TB means
+    10^14 candidate pairs. With the cap: output is a SUBSET of the
+    uncapped pairs (precision stays exact — verification is unchanged),
+    exact-duplicate pairs survive (they never enter the bucket join),
+    and the hot cluster's pair count collapses from quadratic to
+    bounded."""
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = []
+    # 40 near-identical distinct docs: one token differs per doc
+    # (J = 59/61 ≈ 0.967 for every pair — a true near-dup mega-cluster).
+    for i in range(40):
+        rows.append((i, base + f" extra{i}"))
+    # one exact-dup group (collapsed before banding; immune to the cap)
+    for i in range(40, 44):
+        rows.append((i, "alpha beta gamma delta epsilon zeta"))
+    # unrelated singletons
+    for i in range(44, 60):
+        rows.append((i, " ".join(f"u{i}_{j}" for j in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    uncapped = _pair_set(D.minhash_lsh_pairs(docs, jaccard_threshold=0.9))
+    capped = _pair_set(
+        D.minhash_lsh_pairs(docs, jaccard_threshold=0.9, max_bucket=5)
+    )
+    exact_pairs = {
+        (a, b) for a in range(40, 44) for b in range(40, 44) if a < b
+    }
+    # uncapped finds the mega-cluster quadratically
+    mega_uncapped = {p for p in uncapped if p[0] < 40 and p[1] < 40}
+    assert len(mega_uncapped) > 100  # ~40*39/2 at this similarity
+    # capped output is a strict subset with the quadratic term bounded
+    assert capped <= uncapped
+    mega_capped = {p for p in capped if p[0] < 40 and p[1] < 40}
+    assert len(mega_capped) < len(mega_uncapped)
+    # exact-dup pairs never enter the bucket join — cap cannot drop them
+    assert exact_pairs <= capped
