@@ -52,6 +52,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.9,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard similarity pairs within a blocking key.
 
@@ -74,6 +75,16 @@ def ngram_jaccard_pairs(
     The same size-ratio prune also runs as a cheap int residual
     predicate inside the join, skipping the expensive array
     intersection for cross-neighbor-bucket pairs that can't qualify.
+
+    ``max_bucket`` (opt-in, same mitigation as ``minhash_lsh_pairs``)
+    skips (block, length-bucket) groups with more than that many
+    DISTINCT-token-set representatives: a boilerplate mega-cluster of
+    near-identical distinct documents makes the per-group quadratic
+    term fatal at scale. Unlike LSH there is no other band to recover
+    through, so recall inside a skipped group drops to the exact-dup
+    pairs (which never enter the join); every other group is exact as
+    before. Default None preserves exact pre-cap output.
+
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, 4-dp rounded.
     """
     # Tokens are hashed to 64-bit longs before the pair join:
@@ -140,10 +151,21 @@ def ngram_jaccard_pairs(
         # math — size_prune alone handles t=1 exactly
         bucket = F.lit(0)
     d = d.withColumn("__bk", bucket.cast("long"))
-    a = d.withColumn(
+    dj = d
+    if max_bucket is not None:
+        # Hot-group skip: representative counts per (block, bucket) are
+        # a near-distinct partial-agg frame joined back on the join's
+        # own shuffle key; over-cap groups leave BOTH join sides (their
+        # exact-dup within-pairs below are untouched).
+        sz = d.groupBy("__blk", "__bk").agg(F.count(F.lit(1)).alias("__gn"))
+        dj = d.join(
+            sz.filter(F.col("__gn") <= max_bucket).drop("__gn"),
+            ["__blk", "__bk"],
+        )
+    a = dj.withColumn(
         "__pk", F.explode(F.array(F.col("__bk") - 1, F.col("__bk"), F.col("__bk") + 1))
     ).alias("a")
-    b = d.alias("b")
+    b = dj.alias("b")
     size_prune = (
         F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
         / F.greatest(F.col("a.__n"), F.col("b.__n"))
@@ -500,7 +522,9 @@ def simhash_banded_pairs(
     return banded_hamming_pairs(sigs, max_hamming=max_hamming)
 
 
-def banded_hamming_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def banded_hamming_pairs(
+    sigs: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
     """Near-dup pairs among 64-bit signatures via 16-bit chunk banding.
 
     Input: (__id, __sig: long). Pigeonhole: Hamming ≤ 3 ⇒ at least one
@@ -508,7 +532,13 @@ def banded_hamming_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     an equi-join on (chunk_index, chunk_value) — recall 1.0 for
     ``max_hamming ≤ 3``, probabilistic above. Shared by text SimHash and
     multimodal perceptual-hash dedup; scale properties as documented on
-    ``simhash_banded_pairs``. Returns (doc_a, doc_b, hamming)."""
+    ``simhash_banded_pairs``. ``max_bucket`` (opt-in, same mitigation
+    as ``minhash_lsh_pairs``) skips (chunk, value) buckets with more
+    than that many distinct signatures — a near-identical mega-cluster
+    floods a chunk bucket quadratically; a signature in a skipped
+    bucket still pairs through its other three chunks, and
+    identical-signature pairs never enter the band join. Default None
+    preserves exact pre-cap output. Returns (doc_a, doc_b, hamming)."""
     # IDENTICAL-SIGNATURE COLLAPSE (same argument as the exact-dup
     # collapse in minhash_lsh_pairs): exact duplicates share a
     # signature, collide in every chunk, and would push m·(m-1)/2 pairs
@@ -544,6 +574,14 @@ def banded_hamming_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("__chunk", "__val"),
     )
+    if max_bucket is not None:
+        sz = chunks.groupBy("__chunk", "__val").agg(
+            F.count(F.lit(1)).alias("__bn")
+        )
+        chunks = chunks.join(
+            sz.filter(F.col("__bn") <= max_bucket).drop("__bn"),
+            ["__chunk", "__val"],
+        )
     a = chunks.alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig")))

@@ -472,3 +472,48 @@ def test_minhash_max_bucket_caps_hot_clusters(spark):
     assert len(mega_capped) < len(mega_uncapped)
     # exact-dup pairs never enter the bucket join — cap cannot drop them
     assert exact_pairs <= capped
+
+
+def test_ngram_jaccard_max_bucket_caps_hot_groups(spark):
+    """Same cap on the blocked-jaccard path: over-cap (block, bucket)
+    groups leave the pair join; exact-dup pairs survive; output with
+    the cap is a strict subset."""
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [(i, "en", base + f" extra{i}") for i in range(30)]
+    rows += [(i, "en", "alpha beta gamma delta") for i in range(30, 34)]
+    rows += [
+        (i, "de", " ".join(f"u{i}_{j}" for j in range(30)))
+        for i in range(34, 44)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    uncapped = _pair_set(D.ngram_jaccard_pairs(docs, threshold=0.9))
+    capped = _pair_set(
+        D.ngram_jaccard_pairs(docs, threshold=0.9, max_bucket=5)
+    )
+    exact_pairs = {
+        (a, b) for a in range(30, 34) for b in range(30, 34) if a < b
+    }
+    mega_uncapped = {p for p in uncapped if p[0] < 30 and p[1] < 30}
+    assert len(mega_uncapped) > 100
+    assert capped <= uncapped
+    assert not {p for p in capped if p[0] < 30 and p[1] < 30}
+    assert exact_pairs <= capped
+
+
+def test_banded_hamming_max_bucket_caps_hot_buckets(spark):
+    """Same cap on the 16-bit-chunk band join: a signature in a skipped
+    hot bucket still pairs through its other three chunks; duplicate
+    signatures (collapsed pre-join) are immune."""
+    # 20 signatures sharing chunk0 == 0x0001 (hot bucket) but differing
+    # high bits far beyond hamming 3 -> the hot bucket is pure noise.
+    rows = [(i, (i << 32) | 0x0001) for i in range(20)]
+    # a true near-dup pair differing in 1 bit, sharing three quiet chunks
+    rows += [(100, 0x7777000000020000), (101, 0x7777000000020001)]
+    # an identical-signature group (collapse path)
+    rows += [(200, 0x12345678), (201, 0x12345678)]
+    sigs = spark.createDataFrame(rows, "__id bigint, __sig long")
+    capped = D.banded_hamming_pairs(sigs, max_hamming=3, max_bucket=5)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (100, 101) in got  # quiet chunks still pair it
+    assert (200, 201) in got  # identical signatures immune to the cap
+    assert not {p for p in got if p[0] < 20}  # hot-bucket noise skipped
