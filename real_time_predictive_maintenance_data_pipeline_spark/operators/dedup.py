@@ -748,6 +748,7 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.9,
     max_iters: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup dedup: LSH pairs → connected components →
     keeper per cluster (what a training-data pipeline actually keeps).
@@ -762,11 +763,19 @@ def near_dup_clusters(
     list — the standard large-graph CC pattern (no driver-side graph).
     The convergence check is a count() per round: acceptable because
     rounds are few and the check is a cheap aggregate.
+    ``max_bucket`` passes through to ``minhash_lsh_pairs``' hot-bucket
+    cap — with it a skipped mega-cluster fragments into sub-clusters
+    joined only by surviving-band edges, the accepted trade at
+    boilerplate scale.
     Returns (doc_id, cluster_id, is_keeper) for EVERY input doc —
     singleton docs are their own cluster and keeper.
     """
     pairs = minhash_lsh_pairs(
-        df, text_col=text_col, id_col=id_col, jaccard_threshold=jaccard_threshold
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
     ).select("doc_a", "doc_b")
     labels = min_label_components(
         pairs,
