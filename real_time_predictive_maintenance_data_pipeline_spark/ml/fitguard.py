@@ -40,9 +40,16 @@ def fit_nonempty(estimator, df, what: str, min_rows: int = 1):
                 "upstream filter or source produced zero rows"
             ) from exc
         if found < min_rows:
+            # The row count is a DIAGNOSIS, not a proven cause: any
+            # failure on a small frame lands here (the r11 ADVICE
+            # note — a dimension mismatch on a 1-row frame would be
+            # relabeled). The original exception stays chained via
+            # ``from exc``, and the message says which it is.
             raise ValueError(
-                f"{what}: cannot fit on {found} row(s) — this estimator "
-                f"needs at least {min_rows} training rows (e.g. one per "
-                "cluster/component); an upstream filter left too few"
+                f"{what}: fit failed and the input has only {found} "
+                f"row(s) — this estimator needs at least {min_rows} "
+                "training rows (e.g. one per cluster/component), so an "
+                "upstream filter leaving too few is the likely cause; "
+                f"the original error is chained below ({exc!r:.120})"
             ) from exc
         raise

@@ -71,8 +71,30 @@ _NORMALIZERS = (
     # i.e. pure registration order. Found in r11: reordering the
     # registry window tuples flipped 36 transform/aggregate digests
     # with zero plan changes. Runs after the exprId strip (x_10#917 ->
-    # x_10# -> x_#).
-    (re.compile(r"\b([a-z]+)_\d+#"), r"\1_#"),
+    # x_10# -> x_#). Anchored to [xyz] (r11 ADVICE): PySpark IGNORES
+    # the Python lambda's argument names and always renders the
+    # canonical UnresolvedNamedLambdaVariable stems x/y/z (verified on
+    # transform/aggregate/filter in this container), so any broader
+    # pattern only risks hiding a REAL rename of a user column like
+    # top_10 -> top_20 from the digest diff.
+    (re.compile(r"\b([xyz])_\d+#"), r"\1_#"),
+    # CTE relation / recursion ids are a per-session counter too
+    # (CTERelationDef 2 / CTERelationRef 2 / UnionLoop 2 /
+    # UnionLoopRef 2) — same registration-order instability as the
+    # lambda ordinals, found in r12 when the rotation flipped
+    # rel_window_ignore_nulls / rel_recursive_cte digests with zero
+    # code changes.
+    (re.compile(r"\b(CTERelationDef|CTERelationRef|UnionLoop|UnionLoopRef) \d+"), r"\1 "),
+    # object-encoder lambda variables (Dataset plans under MLlib object
+    # APIs, e.g. ALS recommendForAllUsers) render a per-session variable
+    # id: lambdavariable(MapObject, ObjectType(class ...), true, 43) —
+    # same counter class as the two above (r12).
+    (
+        re.compile(
+            r"(lambdavariable\(\w+, ObjectType\([^)]*\), (?:true|false)), \d+\)"
+        ),
+        r"\1)",
+    ),
 )
 
 

@@ -77,12 +77,22 @@ def _boundary_shas(repo: str, limit: int = 2) -> list[str]:
     driver's "round N: verdict/advice/correctness/bench" AND its
     "round N: end-of-round snapshot (...)" — a round that stalled before
     the verdict commit still has a usable snapshot boundary."""
+    # --grep matches commit BODIES too (r11 ADVICE): a non-boundary
+    # commit quoting a "round N: verdict..." line in its body would be
+    # misidentified. Over-fetch, then keep only lines whose SUBJECT
+    # (already in the %s output) re-matches the boundary pattern.
     out = subprocess.run(
-        ["git", "log", "--format=%H %s", f"-{limit}", "--grep",
+        ["git", "log", "--format=%H %s", "--grep",
          "^round [0-9]*: \\(verdict\\|end-of-round\\)"],
         cwd=repo, capture_output=True, text=True, check=True,
     ).stdout.splitlines()
-    return [line.split()[0] for line in out if line.strip()]
+    pat = re.compile(r"^round \d+: (verdict|end-of-round)")
+    shas = []
+    for line in out:
+        parts = line.split(maxsplit=1)
+        if len(parts) == 2 and pat.match(parts[1]):
+            shas.append(parts[0])
+    return shas[:limit]
 
 
 def _boundary_round(repo: str, sha: str) -> int:
@@ -166,16 +176,36 @@ def plan_changed_between_boundaries(repo: str) -> tuple[list[str], str]:
     rnd = _boundary_round(repo, shas[0])
     last, _failed = last_checked_rounds(repo)
     stale = [n for n in _digest_diff(base, cur) if last.get(n, -1) < rnd]
+    notes = []
     drift = _fixture_drift(base, cur)
-    note = (
-        "NOTE: fixture schema drift between the two boundaries "
-        f"({', '.join(drift)}) — the changed digests are likely "
-        "environmental (testdata regeneration), not code; recheck "
-        "still applies but read the diff with that cause in mind"
-        if drift
-        else ""
-    )
-    return stale, note
+    if drift:
+        notes.append(
+            "NOTE: fixture schema drift between the two boundaries "
+            f"({', '.join(drift)}) — the changed digests are likely "
+            "environmental (testdata regeneration), not code; recheck "
+            "still applies but read the diff with that cause in mind"
+        )
+    if stale and _tool_changed(base, cur):
+        # The r12 trap the r11 verdict warned about: the digest tool's
+        # normalizer set changed between the two boundaries, so the
+        # newer boundary's file is a mass RE-BASELINE for every plan
+        # the new normalizer touches — NOT evidence those plans were
+        # edited. Real edits in that span were (per policy) already
+        # hand-front-loaded into that round's window and are filtered
+        # out above by the fresh-evidence check; the remainder here is
+        # re-baseline noise. Demote to an informational listing so a
+        # human can still eyeball it, but do not pack the window with
+        # it.
+        notes.append(
+            "NOTE: the digest tool's normalizer set changed between "
+            f"the last two boundaries — the {len(stale)} "
+            "boundary-vs-boundary digest diffs below are a tool "
+            "RE-BASELINE, not plan edits, and are NOT packed as "
+            "mandatory rechecks (hand-check that round's commits if "
+            "in doubt):\n    " + ", ".join(stale)
+        )
+        stale = []
+    return stale, "\n".join(notes)
 
 
 def plan_changed_since_boundary(repo: str) -> tuple[list[str], str]:
