@@ -27,13 +27,12 @@ Pinned here:
 
 from __future__ import annotations
 
-import os
-
 import pytest
 from pyspark.sql import functions as F
 
 from real_time_predictive_maintenance_data_pipeline_spark.operators.quarantine import (
     finite_split,
+    measure_columns,
 )
 from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
 from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import (
@@ -42,74 +41,72 @@ from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import 
 )
 
 from .conftest import SF_SMOKE
-
-SPECIALS = (float("nan"), float("inf"), float("-inf"))
+from .poison import poison_tables
 
 
 @pytest.fixture(scope="module")
 def poisoned_sf_dir(tmp_path_factory):
     """Every double column (and every float-array column) gets NaN,
-    +Inf, -Inf sprinkled on every 10th row."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    +Inf, -Inf sprinkled on every 10th row (shared recipe in
+    tests/poison.py — also used by the observe-totality contract)."""
     d = tmp_path_factory.mktemp("sf_naninf")
-    for f in os.listdir(SF_SMOKE):
-        if not f.endswith(".parquet"):
-            continue
-        t = pq.read_table(os.path.join(SF_SMOKE, f))
-        n = t.num_rows
-        cols = []
-        for i, field in enumerate(t.schema):
-            col = t.column(i).combine_chunks()
-            if pa.types.is_float64(field.type) and n:
-                vals = col.to_pylist()
-                for j in range(0, n, 10):
-                    vals[j] = SPECIALS[(j // 10) % 3]
-                col = pa.array(vals, type=field.type)
-            elif (
-                pa.types.is_list(field.type)
-                and pa.types.is_floating(field.type.value_type)
-                and n
-            ):
-                vals = col.to_pylist()
-                for j in range(0, n, 10):
-                    if vals[j]:
-                        vals[j] = list(vals[j])
-                        vals[j][0] = SPECIALS[(j // 10) % 3]
-                col = pa.array(vals, type=field.type)
-            cols.append(col)
-        pq.write_table(pa.table(cols, schema=t.schema), str(d / f))
+    poison_tables(SF_SMOKE, str(d))
     return str(d)
-
-
-def _measure_cols(df):
-    """All scalar-double and float-array columns — the generic
-    boundary-validation surface, no per-table hardcoding."""
-    from pyspark.sql.types import ArrayType, DoubleType, FloatType
-
-    scalars, arrays = [], []
-    for fld in df.schema.fields:
-        if isinstance(fld.dataType, DoubleType):
-            scalars.append(fld.name)
-        elif isinstance(fld.dataType, ArrayType) and isinstance(
-            fld.dataType.elementType, (DoubleType, FloatType)
-        ):
-            arrays.append(fld.name)
-    return tuple(scalars), tuple(arrays)
 
 
 @pytest.fixture(scope="module")
 def cleaned_sf_dir(spark, poisoned_sf_dir, tmp_path_factory):
     """The documented recipe: one finite_split per table at the
-    boundary, clean side written back as the lake."""
+    boundary, clean side written back as the lake. The measure surface
+    comes from ``operators/quarantine.measure_columns`` — the SAME
+    derivation the catalog's boundary entries use — so this audit and
+    the driver-checked ``lake_finite_quarantine`` watch one surface."""
     d = tmp_path_factory.mktemp("sf_naninf_clean")
     for name in TABLES:
         df = load_table(spark, poisoned_sf_dir, name)
-        scalars, arrays = _measure_cols(df)
+        scalars, arrays = measure_columns(df)
         clean, _bad = finite_split(df, scalars, arrays)
         clean.write.mode("overwrite").parquet(str(d / f"{name}.parquet"))
     return str(d)
+
+
+def test_lake_boundary_covers_every_measure_table(spark):
+    """The catalog's whole-lake boundary entry must watch EXACTLY the
+    fixture tables that carry measure columns — a new double/float
+    column appearing in a table outside ``LAKE_MEASURE_TABLES`` (or a
+    listed table losing its measures) reds this before the oracle SQL
+    silently drifts from the Spark side."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.governance import (
+        LAKE_MEASURE_TABLES,
+    )
+
+    with_measures = set()
+    for name in TABLES:
+        scalars, arrays = measure_columns(load_table(spark, SF_SMOKE, name))
+        if scalars or arrays:
+            with_measures.add(name)
+    assert with_measures == set(LAKE_MEASURE_TABLES), (
+        "fixture measure surface drifted — update LAKE_MEASURE_TABLES "
+        "AND the lake_finite_quarantine oracle SQL in lockstep "
+        f"(live: {sorted(with_measures)})"
+    )
+
+
+def test_lake_finite_quarantine_counts_poison(spark, poisoned_sf_dir):
+    """On the poisoned fixture the boundary entry must actually flag
+    rows: every listed table reports n_quarantined > 0 (each has >= 10
+    rows, so the every-10th-row poison hits it) and the disposition
+    partitions the table (n_clean + n_quarantined == n_rows)."""
+    q = all_queries()["lake_finite_quarantine"]
+    rows = {r.table_name: r for r in q.spark(spark, poisoned_sf_dir).collect()}
+    from real_time_predictive_maintenance_data_pipeline_spark.plans.governance import (
+        LAKE_MEASURE_TABLES,
+    )
+
+    assert set(rows) == set(LAKE_MEASURE_TABLES)
+    for name, r in rows.items():
+        assert r.n_quarantined > 0, f"{name}: poison not flagged"
+        assert r.n_clean + r.n_quarantined == r.n_rows, name
 
 
 def test_finite_split_is_exact_complement(spark):
