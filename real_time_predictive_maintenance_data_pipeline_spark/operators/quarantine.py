@@ -78,6 +78,28 @@ def nonfinite_pred(
     return pred
 
 
+def measure_columns(df: DataFrame) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """(scalar-double columns, float/double-array columns) of ``df`` —
+    the generic boundary-validation surface, derived from the schema so
+    no per-table hardcoding drifts when fixtures evolve. This is THE
+    definition of "measure column" shared by the catalog's boundary
+    entries (``events_finite_quarantine`` / ``lake_finite_quarantine``
+    in ``plans/governance.py``) and the NaN/Inf audit
+    (``tests/test_naninf_inputs.py``), so the audit provably cleans the
+    same surface the catalog validates."""
+    from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+    scalars, arrays = [], []
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, DoubleType):
+            scalars.append(fld.name)
+        elif isinstance(fld.dataType, ArrayType) and isinstance(
+            fld.dataType.elementType, (DoubleType, FloatType)
+        ):
+            arrays.append(fld.name)
+    return tuple(scalars), tuple(arrays)
+
+
 def finite_split(
     df: DataFrame,
     cols: tuple[str, ...],

@@ -2739,6 +2739,127 @@ def events_finite_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Every fixture table carrying measure columns (scalar doubles or
+# float arrays) TODAY. Hardcoded in lockstep with the oracle SQL below
+# — the UNION ALL branches can't be derived at runtime — and pinned by
+# tests/test_naninf_inputs.py::test_lake_boundary_covers_every_measure_table,
+# which reds the suite if a fixture table grows a measure column this
+# list (and the oracle) doesn't cover.
+LAKE_MEASURE_TABLES = (
+    "customer",
+    "embeddings",
+    "events",
+    "lineitem",
+    "orders",
+    "part",
+    "supplier",
+)
+
+
+@register(
+    "lake_finite_quarantine",
+    oracle="""
+SELECT table_name, n_rows, n_quarantined,
+       n_rows - n_quarantined AS n_clean
+FROM (
+  SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN c_acctbal IS NOT NULL
+                                 AND NOT isfinite(c_acctbal)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_quarantined
+  FROM customer
+  UNION ALL
+  SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN COALESCE(len(list_filter(embedding,
+                  e -> e IS NOT NULL AND NOT isfinite(e))) > 0, FALSE)
+                THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM embeddings
+  UNION ALL
+  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN value IS NOT NULL
+                                 AND NOT isfinite(value)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN
+              (l_quantity IS NOT NULL AND NOT isfinite(l_quantity))
+           OR (l_extendedprice IS NOT NULL
+               AND NOT isfinite(l_extendedprice))
+           OR (l_discount IS NOT NULL AND NOT isfinite(l_discount))
+           OR (l_tax IS NOT NULL AND NOT isfinite(l_tax))
+                THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                 AND NOT isfinite(o_totalprice)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'part', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN p_retailprice IS NOT NULL
+                                 AND NOT isfinite(p_retailprice)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM part
+  UNION ALL
+  SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN s_acctbal IS NOT NULL
+                                 AND NOT isfinite(s_acctbal)
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM supplier
+)
+ORDER BY table_name
+""",
+    tags=("audit", "quality"),
+)
+def lake_finite_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-lake non-finite boundary audit: per table, how many rows a
+    ``finite_split`` at ingestion would quarantine vs pass clean —
+    driver evidence that the boundary contract holds for EVERY table
+    with measure columns, not just ``events``
+    (``events_finite_quarantine``; the r11 verdict's residual: the
+    other six tables relied on suite tests alone).
+
+    The measure surface per table is DERIVED from the schema
+    (``operators/quarantine.measure_columns`` — scalar doubles +
+    float/double arrays), the same derivation the NaN/Inf audit uses to
+    clean its poisoned fixture, so "the audit's recipe makes the
+    catalog safe" and "the catalog's boundary entry watches that
+    surface" are the same statement. ``LAKE_MEASURE_TABLES`` is pinned
+    against the live fixtures by the audit suite.
+
+    Scale: seven independent single-row aggregate scans (the
+    disposition predicate is a plain pushable column expression — no
+    UDF, no join), unioned driver-side; each scan parallelizes over its
+    own table's partitions, so the whole audit is one wave of map-side
+    aggregates at any corpus size.
+    """
+    from functools import reduce
+
+    from ..operators.quarantine import measure_columns, nonfinite_pred
+
+    frames = []
+    for name in LAKE_MEASURE_TABLES:
+        df = _t(spark, sf_dir, name)
+        scalars, arrays = measure_columns(df)
+        bad = nonfinite_pred(scalars, arrays)
+        frames.append(
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.coalesce(F.sum(bad.cast("int")), F.lit(0))
+                .cast("bigint")
+                .alias("n_quarantined"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_quarantined",
+                (F.col("n_rows") - F.col("n_quarantined")).alias("n_clean"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames).orderBy("table_name")
+
+
 @register(
     "events_time_to_convert",
     oracle="""
