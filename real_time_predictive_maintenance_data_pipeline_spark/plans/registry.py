@@ -75,111 +75,74 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 11
+_ROTATED_FOR_ROUND = 12
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # ROUND-11 STEADY-STATE WINDOW. Standing mandatories first:
-    # rel_heavy_hitters / ts_ewma_last Spark plans changed in r9
-    # (null/NaN exclusion, operators/skew.py:81 /
-    # operators/timeseries.py:197) but their last driver rows are r04
-    # and PLAN_DIGESTS.json was first committed alongside those edits,
-    # so the digest diff cannot flag them (r9/r10 VERDICT item);
-    # events_time_to_convert's plan + oracle changed in the r11 zero-
-    # row audit (NULL rate instead of an ANSI DIVIDE_BY_ZERO on an
-    # empty funnel).
-    "rel_heavy_hitters",
-    "ts_ewma_last",
-    "events_time_to_convert",
-    # Mandatory: Spark plans + oracles changed THIS round (r11 ONE-row
-    # audit, tests/test_one_row_inputs.py): single-class AUC/lift, n=1
-    # variance/theta/MDE, one-sided KS, and the confusion-matrix rates
-    # now emit NULL (CASE-guarded on BOTH sides) instead of an ANSI
-    # DIVIDE_BY_ZERO job kill. Hash-green re-swept at sf0.01 + sf0.1.
-    "ml_roc_auc",
-    "ml_roc_auc_hist",
-    "ml_lift_deciles",
-    "ml_lift_bucketed",
-    "ml_confusion_threshold",
-    "ml_precision_at_k",
-    "emb_dim_variance_topk",
-    "rel_cuped_adjustment",
-    "rel_experiment_mde",
-    "rel_ab_ttest",
-    "events_ks_two_sample",
-    # Mandatory: plan + oracle changed THIS round (r11 CONSTANT-input
-    # audit, tests/test_constant_inputs.py): Pearson r reassembled from
-    # covar_pop/stddev_pop behind a zero-variance guard — the builtin
-    # corr divides by sqrt(varx*vary) unconditionally, an ANSI job kill
-    # on constant columns. Swaps with rel_null_funcs (newest aged fill)
-    # to hold the window at 50.
-    "rel_corr_covar",
-    # Mandatory: NaN/Inf boundary work THIS round (r11 NaN/Inf audit,
-    # tests/test_naninf_inputs.py): events_finite_quarantine is NEW —
-    # the finite_split boundary operator's catalog entry (ANSI
-    # CAST_OVERFLOW blast radius ~50 queries without it);
-    # rel_observe_metrics' plan + oracle changed — an ANSI error inside
-    # an observe metric is swallowed by the listener and hangs the
-    # driver forever in observation.get, so price_cents now sums
-    # finite prices only (both sides). Swap with rel_rollup_reuse and
-    # ts_gap_fill_hourly (newest aged fill) to hold the window at 50.
-    "events_finite_quarantine",
-    "rel_observe_metrics",
-    # Mandatory: behavior changed THIS round (r11 NULL-injection audit,
-    # tests/test_null_inputs.py): null embeddings excluded from the
-    # KMeans/PCA fits (pushable isNotNull — ANN entry-point policy),
-    # null machine-id/ts rows excluded from the AFT labels, NDCG and
-    # the geo/harmonic means CASE-guarded against all-null groups
-    # (means now run over positive observations only, both sides),
-    # null text handled in the zlib pandas UDF and the splitter UDTF.
-    # sem_dedup / doc_compression_ratio / rel_python_udtf's changes
-    # live in UDF bodies or eager fits the analyzed-plan digest cannot
-    # see (digest-blind-spot lesson) — hand-added.
-    "ml_ndcg_at_k",
-    "rel_geo_harmonic_means",
-    "ml_kmeans_embeddings",
-    "emb_pca_whitening",
-    "ml_survival_aft",
-    "sem_dedup",
-    "doc_compression_ratio",
-    "rel_python_udtf",
-    # DRIVER-SCALE RE-RUN, NOT A REGRESSION: the oldest aged slice
-    # (least-recently-checked, last driver rows r03) that still fits
-    # after the 25 mandatories. The 20 aged names the mandatories
-    # displaced (rel_rollup_reuse, ts_gap_fill_hourly,
-    # rel_string_agg, rel_arg_minmax, rel_null_funcs,
-    # rel_unpivot, rel_histogram, rel_try_arith, rel_explode,
-    # rel_latest_by_key, rel_grouped_median_pandas,
-    # rel_interval_join_banded, rel_rolling_zscore, rel_skew_kurtosis,
-    # rel_variant_semistructured, rel_lateral_topk, src_xml_roundtrip,
-    # src_binaryfile_ingest, rel_merge_upsert, rel_scd2_history) go to
-    # the front of the r12 aged slice with telemetry_artifact_score
-    # (displaced earlier this round by events_time_to_convert) —
-    # plan-changed beats oldest-age per policy.
-    "emb_normalize",  # last r03
-    "doc_keep_decision",  # last r03
-    "doc_length_buckets",  # last r03
-    "doc_pack_sequences",  # last r03
-    "doc_unigram_logprob",  # last r03
-    "doc_tfidf_top_terms",  # last r03
-    "emb_dim_stats",  # last r03
-    "emb_centroid_outliers",  # last r03
-    "rel_string_funcs",  # last r03
-    "rel_date_funcs",  # last r03
-    "rel_case_when",  # last r03
-    "rel_json_funcs",  # last r03
-    "rel_null_safe_eq",  # last r03
-    "rel_events_hourly",  # last r03
-    "rel_sessionize",  # last r03
-    "rel_distinct_rows",  # last r03
-    "rel_array_funcs",  # last r03
-    "rel_percentiles",  # last r03
-    "rel_exists_subquery",  # last r03
-    "rel_not_in_subquery",  # last r03
-    "rel_interval_arith",  # last r03
-    "rel_levenshtein",  # last r03
-    "rel_grouped_regression",  # last r03
-    "rel_map_funcs",  # last r03
-    "rel_profile_columns",  # last r03
+    # ROUND-12 STEADY-STATE WINDOW (tools/plan_next_window.py proposal,
+    # r11-verdict plan). Mandatories first:
+    # - lake_finite_quarantine is NEW this round: the whole-lake
+    #   non-finite boundary audit (one row per measure-bearing table),
+    #   closing the r11 residual that documents/embeddings/TPC-H tables
+    #   had the finite_split contract in tests only.
+    # - ts_holt_linear's digest re-baselined when the lambda-ordinal
+    #   normalizer was anchored to [xyz] (r11 ADVICE fix) — its plan
+    #   carries a real <stem>_<digits> column the broad pattern used to
+    #   strip; recheck is cheap insurance, not a regression signal.
+    # The other 44 boundary-vs-boundary digest diffs are the r11
+    # normalizer re-baseline (annotated by the planner since this
+    # round) and are deliberately NOT packed.
+    # Then the aged fill: the 21 displaced-in-r11 names (last r03) the
+    # r11 verdict required front-loaded, then the oldest r04 block.
+    "lake_finite_quarantine",
+    "ts_holt_linear",
+    "rel_rollup_reuse",
+    "ts_gap_fill_hourly",
+    "rel_null_funcs",
+    "rel_string_agg",
+    "rel_arg_minmax",
+    "rel_unpivot",
+    "rel_histogram",
+    "rel_try_arith",
+    "rel_explode",
+    "rel_latest_by_key",
+    "rel_grouped_median_pandas",
+    "rel_interval_join_banded",
+    "rel_rolling_zscore",
+    "rel_skew_kurtosis",
+    "rel_variant_semistructured",
+    "rel_lateral_topk",
+    "src_xml_roundtrip",
+    "src_binaryfile_ingest",
+    "rel_merge_upsert",
+    "rel_scd2_history",
+    "telemetry_artifact_score",
+    "doc_chunk_dedup",
+    "doc_span_dedup",
+    "doc_char_entropy",
+    "doc_bigram_lm",
+    "doc_curation_funnel",
+    "doc_bm25_search",
+    "ts_interpolate_linear",
+    "ts_cusum_changepoint",
+    "rel_incremental_agg_refresh",
+    "events_markov_transitions",
+    "events_top_paths",
+    "ts_seasonal_hour_profile",
+    "events_rolling_active_users",
+    "rel_pareto_cumshare",
+    "ts_stl_decompose",
+    "ts_mtbf_stats",
+    "rel_regexp_funcs",
+    "rel_window_ignore_nulls",
+    "rel_changelog_apply",
+    "rel_dq_expectations",
+    "src_dynamic_overwrite",
+    "src_schema_evolution",
+    "src_csv_quarantine",
+    "graph_triangle_count",
+    "doc_domain_mix_weights",
+    "doc_ngram_novelty",
+    "emb_coreset_per_label",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -216,10 +179,60 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 _DRIVER_VERIFIED: tuple[str, ...] = (
-    # Cumulative r01-r10 green names (zero failures across ten
-    # rounds), MINUS the 50 names rotated into the r11 recheck window
+    # Cumulative r01-r11 green names (zero failures across eleven
+    # rounds), MINUS the 50 names rotated into the r12 recheck window
     # above. Under the steady-state policy this list tracks
     # "not in the current recheck window".
+    "rel_heavy_hitters",
+    "ts_ewma_last",
+    "events_time_to_convert",
+    "ml_roc_auc",
+    "ml_roc_auc_hist",
+    "ml_lift_deciles",
+    "ml_lift_bucketed",
+    "ml_confusion_threshold",
+    "ml_precision_at_k",
+    "emb_dim_variance_topk",
+    "rel_cuped_adjustment",
+    "rel_experiment_mde",
+    "rel_ab_ttest",
+    "events_ks_two_sample",
+    "rel_corr_covar",
+    "events_finite_quarantine",
+    "rel_observe_metrics",
+    "ml_ndcg_at_k",
+    "rel_geo_harmonic_means",
+    "ml_kmeans_embeddings",
+    "emb_pca_whitening",
+    "ml_survival_aft",
+    "sem_dedup",
+    "doc_compression_ratio",
+    "rel_python_udtf",
+    "emb_normalize",
+    "doc_keep_decision",
+    "doc_length_buckets",
+    "doc_pack_sequences",
+    "doc_unigram_logprob",
+    "doc_tfidf_top_terms",
+    "emb_dim_stats",
+    "emb_centroid_outliers",
+    "rel_string_funcs",
+    "rel_date_funcs",
+    "rel_case_when",
+    "rel_json_funcs",
+    "rel_null_safe_eq",
+    "rel_events_hourly",
+    "rel_sessionize",
+    "rel_distinct_rows",
+    "rel_array_funcs",
+    "rel_percentiles",
+    "rel_exists_subquery",
+    "rel_not_in_subquery",
+    "rel_interval_arith",
+    "rel_levenshtein",
+    "rel_grouped_regression",
+    "rel_map_funcs",
+    "rel_profile_columns",
     "dedup_embedding_pairs",
     "sim_topk_bruteforce",
     "sim_knn_batch",
@@ -322,33 +335,9 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_proportions_ztest",
     "events_error_rate_wilson",
     "ts_week_over_week",
-    "doc_chunk_dedup",
-    "doc_span_dedup",
-    "doc_char_entropy",
-    "doc_bigram_lm",
-    "doc_curation_funnel",
-    "doc_bm25_search",
     "doc_bpe_vocab",
     "ml_quality_classifier",
-    "ts_interpolate_linear",
-    "ts_cusum_changepoint",
     "ml_als_recommend",
-    "rel_incremental_agg_refresh",
-    "events_markov_transitions",
-    "events_top_paths",
-    "ts_seasonal_hour_profile",
-    "events_rolling_active_users",
-    "rel_pareto_cumshare",
-    "ts_stl_decompose",
-    "ts_mtbf_stats",
-    "rel_regexp_funcs",
-    "rel_window_ignore_nulls",
-    "rel_changelog_apply",
-    "rel_dq_expectations",
-    "src_dynamic_overwrite",
-    "src_schema_evolution",
-    "src_csv_quarantine",
-    "graph_triangle_count",
     "doc_normalize_text",
     "doc_curriculum_order",
     "doc_token_budget_select",
@@ -371,7 +360,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_sql_pipe",
     "rel_transpose",
     "rel_cms_freq_estimate",
-    "ts_holt_linear",
     "rel_weighted_median",
     "rel_spatial_grid_join",
     "rel_record_linkage",
@@ -412,10 +400,7 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "doc_winnow",
     "mm_audio_rms",
     "dedup_simhash_banded",
-    "doc_domain_mix_weights",
-    "doc_ngram_novelty",
     "doc_dsir_importance",
-    "emb_coreset_per_label",
     "doc_vocab_growth",
     "doc_stable_sample",
     "doc_dup_pagerank",
@@ -464,27 +449,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "telemetry_stream_roundtrip",
     "telemetry_mqtt_roundtrip",
     "telemetry_mqtt_wildcard",
-    "telemetry_artifact_score",
-    "rel_string_agg",
-    "rel_arg_minmax",
-    "rel_unpivot",
-    "rel_histogram",
-    "rel_try_arith",
-    "rel_explode",
-    "rel_latest_by_key",
-    "rel_grouped_median_pandas",
-    "rel_interval_join_banded",
-    "rel_rolling_zscore",
-    "rel_skew_kurtosis",
-    "rel_variant_semistructured",
-    "rel_lateral_topk",
-    "src_xml_roundtrip",
-    "src_binaryfile_ingest",
-    "rel_merge_upsert",
-    "rel_scd2_history",
-    "rel_null_funcs",
-    "rel_rollup_reuse",
-    "ts_gap_fill_hourly",
 )
 
 
