@@ -59,6 +59,7 @@ def nonfinite_pred(
     cols: tuple[str, ...],
     array_cols: tuple[str, ...] = (),
     bounds: dict[str, tuple[float, float]] | None = None,
+    ts_bounds: dict[str, tuple[str, str]] | None = None,
 ) -> Column:
     """OR of the per-column non-finite flags — True exactly for rows the
     split quarantines. ``bounds`` optionally adds a plausibility range
@@ -66,7 +67,19 @@ def nonfinite_pred(
     exact-cents ``cast(bigint)`` exactly like Inf (ANSI CAST_OVERFLOW
     is about range, not just finiteness), so a boundary validator that
     knows the sensor's physical range should reject outside it. NULLs
-    are never flagged by a bound."""
+    are never flagged by a bound.
+
+    ``ts_bounds`` is the TEMPORAL twin (r12 extreme-timestamp audit,
+    ``tests/test_ts_inputs.py``): {column: (lo, hi)} with ISO-string
+    endpoints, flagging timestamps outside the closed-open [lo, hi)
+    plausibility window. Two measured reasons a corrupt timestamp is
+    poison, not just noise: (a) a year-1900 or year-9999 row turns any
+    gap-bounded generator (hourly gap-fill / interpolation
+    ``sequence`` explodes) into a ~70M-row-per-key job that never
+    finishes; (b) anything past 2262-04-11 overflows Arrow's
+    nanosecond range, so EVERY pandas-UDF path fed the column dies
+    with ArrowInvalid. The literals are cast to the column's own type
+    (TIMESTAMP vs TIMESTAMP_NTZ both work)."""
     pred = F.lit(False)
     for c in cols:
         pred = pred | _col_nonfinite(c)
@@ -75,6 +88,14 @@ def nonfinite_pred(
     for c, (lo, hi) in (bounds or {}).items():
         col = F.col(c)
         pred = pred | F.coalesce((col < lo) | (col > hi), F.lit(False))
+    for c, (lo, hi) in (ts_bounds or {}).items():
+        col = F.col(c)
+        # ISO-string literals: Catalyst coerces the STRING side of a
+        # binary comparison to the timestamp column's own type, so one
+        # spelling works for TIMESTAMP and TIMESTAMP_NTZ columns alike
+        pred = pred | F.coalesce(
+            (col < F.lit(lo)) | (col >= F.lit(hi)), F.lit(False)
+        )
     return pred
 
 
@@ -100,21 +121,37 @@ def measure_columns(df: DataFrame) -> tuple[tuple[str, ...], tuple[str, ...]]:
     return tuple(scalars), tuple(arrays)
 
 
+def temporal_columns(df: DataFrame) -> tuple[str, ...]:
+    """Timestamp(-NTZ) columns of ``df`` — the temporal
+    boundary-validation surface, schema-derived like
+    ``measure_columns``. Shared by ``lake_temporal_quarantine`` and the
+    extreme-timestamp audit (``tests/test_ts_inputs.py``)."""
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    return tuple(
+        fld.name
+        for fld in df.schema.fields
+        if isinstance(fld.dataType, (TimestampType, TimestampNTZType))
+    )
+
+
 def finite_split(
     df: DataFrame,
     cols: tuple[str, ...],
     array_cols: tuple[str, ...] = (),
     bounds: dict[str, tuple[float, float]] | None = None,
+    ts_bounds: dict[str, tuple[str, str]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``df`` into (clean, quarantined) on measure finiteness.
 
     ``clean`` holds every row whose listed scalar columns and
     float-array columns contain no NaN/±Inf — and, when ``bounds``
-    gives a column a plausibility range, no out-of-range value (NULLs
-    pass everywhere — they are legal missing values, handled
-    per-query); ``quarantined`` holds the exact complement, ready to
-    be written to a quarantine prefix for inspection, mirroring the
-    streaming path's malformed-JSON split at ``streaming/pipeline.py``.
+    (numeric) or ``ts_bounds`` (temporal, ISO strings, [lo, hi)) gives
+    a column a plausibility range, no out-of-range value (NULLs pass
+    everywhere — they are legal missing values, handled per-query);
+    ``quarantined`` holds the exact complement, ready to be written to
+    a quarantine prefix for inspection, mirroring the streaming path's
+    malformed-JSON split at ``streaming/pipeline.py``.
     """
-    bad = nonfinite_pred(cols, array_cols, bounds)
+    bad = nonfinite_pred(cols, array_cols, bounds, ts_bounds)
     return df.filter(~bad), df.filter(bad)

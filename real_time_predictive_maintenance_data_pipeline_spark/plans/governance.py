@@ -2860,6 +2860,100 @@ def lake_finite_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionByName, frames).orderBy("table_name")
 
 
+# Every fixture table carrying timestamp columns TODAY — hardcoded in
+# lockstep with the oracle SQL below (same contract as
+# LAKE_MEASURE_TABLES) and pinned against the live fixtures by
+# tests/test_ts_inputs.py.
+LAKE_TEMPORAL_TABLES = ("events", "lineitem", "orders")
+
+# The lake's temporal plausibility window, [lo, hi). Chosen to contain
+# every legitimate fixture timestamp (TPC-H dates are 1992-1998, events
+# are contemporary) while excluding the two measured poison classes: a
+# pre-window timestamp makes gap-bounded generators (hourly
+# gap-fill/interpolation sequences) explode into ~70M-row jobs, and
+# anything past Arrow's ns range (2262-04-11) kills every pandas-UDF
+# path fed the column with ArrowInvalid.
+PLAUSIBLE_TS_WINDOW = ("1970-01-01 00:00:00", "2100-01-01 00:00:00")
+
+
+@register(
+    "lake_temporal_quarantine",
+    oracle="""
+SELECT table_name, n_rows, n_quarantined,
+       n_rows - n_quarantined AS n_clean
+FROM (
+  SELECT 'events' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN ts IS NOT NULL
+                AND (ts < TIMESTAMP '1970-01-01'
+                     OR ts >= TIMESTAMP '2100-01-01')
+                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_quarantined
+  FROM events
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NOT NULL
+                AND (l_shipdate < TIMESTAMP '1970-01-01'
+                     OR l_shipdate >= TIMESTAMP '2100-01-01')
+                THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN o_orderdate IS NOT NULL
+                AND (o_orderdate < TIMESTAMP '1970-01-01'
+                     OR o_orderdate >= TIMESTAMP '2100-01-01')
+                THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM orders
+)
+ORDER BY table_name
+""",
+    tags=("audit", "quality"),
+)
+def lake_temporal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal twin of ``lake_finite_quarantine``: per table, how many
+    rows a timestamp-plausibility ``finite_split`` at ingestion would
+    quarantine (timestamps outside ``PLAUSIBLE_TS_WINDOW``) vs pass
+    clean. A corrupt timestamp is POISON, not noise (r12
+    extreme-timestamp audit, ``tests/test_ts_inputs.py``): a year-1900
+    or year-9999 row turns every gap-bounded generator downstream
+    (hourly gap-fill, linear interpolation — their ``sequence``
+    explodes span the full range) into a job that never finishes, and
+    anything past Arrow's nanosecond ceiling (2262-04-11) kills every
+    ``pandas_udf``/``applyInPandas`` path fed the column with
+    ArrowInvalid. Validating once at the boundary keeps 300 downstream
+    queries free of per-query range guards — the same argument as the
+    non-finite split.
+
+    Temporal surface is schema-derived
+    (``operators/quarantine.temporal_columns``); the table list is
+    pinned against live fixtures by the audit suite. Scale: three
+    single-row aggregate scans over pushable range predicates.
+    """
+    from functools import reduce
+
+    from ..operators.quarantine import nonfinite_pred, temporal_columns
+
+    lo, hi = PLAUSIBLE_TS_WINDOW
+    frames = []
+    for name in LAKE_TEMPORAL_TABLES:
+        df = _t(spark, sf_dir, name)
+        bad = nonfinite_pred(
+            (), ts_bounds={c: (lo, hi) for c in temporal_columns(df)}
+        )
+        frames.append(
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.coalesce(F.sum(bad.cast("int")), F.lit(0))
+                .cast("bigint")
+                .alias("n_quarantined"),
+            ).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_quarantined",
+                (F.col("n_rows") - F.col("n_quarantined")).alias("n_clean"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames).orderBy("table_name")
+
+
 @register(
     "events_time_to_convert",
     oracle="""

@@ -91,9 +91,14 @@ _RECHECK_FIRST: tuple[str, ...] = (
     # The other 44 boundary-vs-boundary digest diffs are the r11
     # normalizer re-baseline (annotated by the planner since this
     # round) and are deliberately NOT packed.
+    # - lake_temporal_quarantine is NEW (added mid-r12): the temporal
+    #   plausibility boundary entry from the extreme-timestamp audit
+    #   (tests/test_ts_inputs.py). Displaces emb_coreset_per_label
+    #   (newest aged fill) to hold the window at 50.
     # Then the aged fill: the 21 displaced-in-r11 names (last r03) the
     # r11 verdict required front-loaded, then the oldest r04 block.
     "lake_finite_quarantine",
+    "lake_temporal_quarantine",
     "ts_holt_linear",
     "rel_rollup_reuse",
     "ts_gap_fill_hourly",
@@ -142,7 +147,6 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "graph_triangle_count",
     "doc_domain_mix_weights",
     "doc_ngram_novelty",
-    "emb_coreset_per_label",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -179,6 +183,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 _DRIVER_VERIFIED: tuple[str, ...] = (
+    "emb_coreset_per_label",
     # Cumulative r01-r11 green names (zero failures across eleven
     # rounds), MINUS the 50 names rotated into the r12 recheck window
     # above. Under the steady-state policy this list tracks
