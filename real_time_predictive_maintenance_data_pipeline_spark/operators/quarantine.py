@@ -60,6 +60,7 @@ def nonfinite_pred(
     array_cols: tuple[str, ...] = (),
     bounds: dict[str, tuple[float, float]] | None = None,
     ts_bounds: dict[str, tuple[str, str]] | None = None,
+    array_dims: dict[str, int] | None = None,
 ) -> Column:
     """OR of the per-column non-finite flags — True exactly for rows the
     split quarantines. ``bounds`` optionally adds a plausibility range
@@ -79,7 +80,16 @@ def nonfinite_pred(
     finishes; (b) anything past 2262-04-11 overflows Arrow's
     nanosecond range, so EVERY pandas-UDF path fed the column dies
     with ArrowInvalid. The literals are cast to the column's own type
-    (TIMESTAMP vs TIMESTAMP_NTZ both work)."""
+    (TIMESTAMP vs TIMESTAMP_NTZ both work).
+
+    ``array_dims`` is the DIMENSION leg (r12 ragged-embedding audit,
+    ``tests/test_ragged_inputs.py``): {column: expected_length},
+    flagging non-null arrays whose size differs — a truncated, empty,
+    or over-long vector among fixed-dim embeddings kills MLlib fits
+    and transforms deep in Scala (KMeans/PCA/LSH dimension mismatch),
+    breaks PQ's numpy reshape, and silently corrupts any zip_with dot
+    product that happens to tolerate it. NULL arrays pass (missing is
+    the null contract's business)."""
     pred = F.lit(False)
     for c in cols:
         pred = pred | _col_nonfinite(c)
@@ -95,6 +105,10 @@ def nonfinite_pred(
         # spelling works for TIMESTAMP and TIMESTAMP_NTZ columns alike
         pred = pred | F.coalesce(
             (col < F.lit(lo)) | (col >= F.lit(hi)), F.lit(False)
+        )
+    for c, dim in (array_dims or {}).items():
+        pred = pred | F.coalesce(
+            F.size(F.col(c)) != F.lit(int(dim)), F.lit(False)
         )
     return pred
 
@@ -141,17 +155,19 @@ def finite_split(
     array_cols: tuple[str, ...] = (),
     bounds: dict[str, tuple[float, float]] | None = None,
     ts_bounds: dict[str, tuple[str, str]] | None = None,
+    array_dims: dict[str, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``df`` into (clean, quarantined) on measure finiteness.
 
     ``clean`` holds every row whose listed scalar columns and
     float-array columns contain no NaN/±Inf — and, when ``bounds``
-    (numeric) or ``ts_bounds`` (temporal, ISO strings, [lo, hi)) gives
-    a column a plausibility range, no out-of-range value (NULLs pass
-    everywhere — they are legal missing values, handled per-query);
-    ``quarantined`` holds the exact complement, ready to be written to
-    a quarantine prefix for inspection, mirroring the streaming path's
-    malformed-JSON split at ``streaming/pipeline.py``.
+    (numeric), ``ts_bounds`` (temporal, ISO strings, [lo, hi)), or
+    ``array_dims`` (fixed vector length) gives a column a plausibility
+    contract, no violating value (NULLs pass everywhere — they are
+    legal missing values, handled per-query); ``quarantined`` holds
+    the exact complement, ready to be written to a quarantine prefix
+    for inspection, mirroring the streaming path's malformed-JSON
+    split at ``streaming/pipeline.py``.
     """
-    bad = nonfinite_pred(cols, array_cols, bounds, ts_bounds)
+    bad = nonfinite_pred(cols, array_cols, bounds, ts_bounds, array_dims)
     return df.filter(~bad), df.filter(bad)

@@ -2860,6 +2860,61 @@ def lake_finite_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionByName, frames).orderBy("table_name")
 
 
+# The embedding model's output dimension — a DATA contract, not a
+# schema property (array<float> carries no length). The fixture's
+# modal size is pinned against this by tests/test_ragged_inputs.py;
+# a new embedding model means changing this constant AND the oracle
+# below together.
+EMBEDDING_DIM = 64
+
+
+@register(
+    "lake_dim_quarantine",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN embedding IS NOT NULL
+                               AND len(embedding) <> 64
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_quarantined,
+       CAST(COUNT(*) AS BIGINT)
+         - CAST(COALESCE(SUM(CASE WHEN embedding IS NOT NULL
+                                   AND len(embedding) <> 64
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_clean
+FROM embeddings
+""",
+    tags=("audit", "quality"),
+)
+def lake_dim_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension leg of the lake boundary: how many embedding rows a
+    ``finite_split(array_dims={'embedding': EMBEDDING_DIM})`` would
+    quarantine (vector length != the model's output dim; NULLs pass)
+    vs keep. A ragged vector is poison, not noise (r12 ragged-embedding
+    audit, ``tests/test_ragged_inputs.py``): 7 of the 16
+    embedding-family catalog queries die on it — MLlib KMeans/PCA/LSH
+    reject mismatched dims deep in Scala, PQ's numpy reshape throws,
+    matryoshka truncation asserts — and the zip_with dot products that
+    DO tolerate it return silently wrong similarities, which is worse.
+    One length check at ingestion keeps the whole ANN/ML family free of
+    per-query dim guards. Scale: one aggregate scan; ``size(col)`` is a
+    header read, no element traversal.
+    """
+    from ..operators.quarantine import nonfinite_pred
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bad = nonfinite_pred((), array_dims={"embedding": EMBEDDING_DIM})
+    return emb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum(bad.cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_quarantined"),
+    ).select(
+        "n_rows",
+        "n_quarantined",
+        (F.col("n_rows") - F.col("n_quarantined")).alias("n_clean"),
+    )
+
+
 # Every fixture table carrying timestamp columns TODAY — hardcoded in
 # lockstep with the oracle SQL below (same contract as
 # LAKE_MEASURE_TABLES) and pinned against the live fixtures by

@@ -95,10 +95,14 @@ _RECHECK_FIRST: tuple[str, ...] = (
     #   plausibility boundary entry from the extreme-timestamp audit
     #   (tests/test_ts_inputs.py). Displaces emb_coreset_per_label
     #   (newest aged fill) to hold the window at 50.
+    # - lake_dim_quarantine is NEW (added mid-r12): the dimension leg
+    #   from the ragged-embedding audit (tests/test_ragged_inputs.py).
+    #   Displaces doc_ngram_novelty (newest aged fill).
     # Then the aged fill: the 21 displaced-in-r11 names (last r03) the
     # r11 verdict required front-loaded, then the oldest r04 block.
     "lake_finite_quarantine",
     "lake_temporal_quarantine",
+    "lake_dim_quarantine",
     "ts_holt_linear",
     "rel_rollup_reuse",
     "ts_gap_fill_hourly",
@@ -146,7 +150,6 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "src_csv_quarantine",
     "graph_triangle_count",
     "doc_domain_mix_weights",
-    "doc_ngram_novelty",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -184,6 +187,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 
 _DRIVER_VERIFIED: tuple[str, ...] = (
     "emb_coreset_per_label",
+    "doc_ngram_novelty",
     # Cumulative r01-r11 green names (zero failures across eleven
     # rounds), MINUS the 50 names rotated into the r12 recheck window
     # above. Under the steady-state policy this list tracks
