@@ -63,6 +63,25 @@ def test_business_review_example_end_to_end():
 
 
 @pytest.mark.slow
+def test_validate_lake_example_end_to_end(tmp_path):
+    """The three-leg lake boundary (non-finite / temporal / dim) as the
+    user runs it: poison the fixture, validate, assert the disposition
+    report catches it and the clean lake is written."""
+    from .poison import poison_tables
+
+    dirty = str(tmp_path / "dirty")
+    poison_tables("/root/testdata/sf0.001", dirty)
+    p = _run("validate_lake.py", dirty, str(tmp_path / "out"))
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "validated lake written:" in p.stdout
+    total = [
+        line for line in p.stdout.splitlines()
+        if line.startswith("quarantined total:")
+    ][0]
+    assert int(total.split(":")[1]) > 0, p.stdout
+
+
+@pytest.mark.slow
 def test_mqtt_pipeline_example_end_to_end():
     """The full wire pipeline with mutual TLS: mint dev certs, train,
     publish over MQTT 3.1.1 QoS-1, bridge to spool, score, alert."""
