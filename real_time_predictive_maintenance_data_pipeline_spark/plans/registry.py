@@ -75,81 +75,73 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 12
+_ROTATED_FOR_ROUND = 13
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # ROUND-12 STEADY-STATE WINDOW (tools/plan_next_window.py proposal,
-    # r11-verdict plan). Mandatories first:
-    # - lake_finite_quarantine is NEW this round: the whole-lake
-    #   non-finite boundary audit (one row per measure-bearing table),
-    #   closing the r11 residual that documents/embeddings/TPC-H tables
-    #   had the finite_split contract in tests only.
-    # - ts_holt_linear's digest re-baselined when the lambda-ordinal
-    #   normalizer was anchored to [xyz] (r11 ADVICE fix) — its plan
-    #   carries a real <stem>_<digits> column the broad pattern used to
-    #   strip; recheck is cheap insurance, not a regression signal.
-    # The other 44 boundary-vs-boundary digest diffs are the r11
-    # normalizer re-baseline (annotated by the planner since this
-    # round) and are deliberately NOT packed.
-    # - lake_temporal_quarantine is NEW (added mid-r12): the temporal
-    #   plausibility boundary entry from the extreme-timestamp audit
-    #   (tests/test_ts_inputs.py). Displaces emb_coreset_per_label
-    #   (newest aged fill) to hold the window at 50.
-    # - lake_dim_quarantine is NEW (added mid-r12): the dimension leg
-    #   from the ragged-embedding audit (tests/test_ragged_inputs.py).
-    #   Displaces doc_ngram_novelty (newest aged fill).
-    # Then the aged fill: the 21 displaced-in-r11 names (last r03) the
-    # r11 verdict required front-loaded, then the oldest r04 block.
-    "lake_finite_quarantine",
-    "lake_temporal_quarantine",
-    "lake_dim_quarantine",
-    "ts_holt_linear",
-    "rel_rollup_reuse",
-    "ts_gap_fill_hourly",
-    "rel_null_funcs",
-    "rel_string_agg",
-    "rel_arg_minmax",
-    "rel_unpivot",
-    "rel_histogram",
-    "rel_try_arith",
-    "rel_explode",
-    "rel_latest_by_key",
-    "rel_grouped_median_pandas",
-    "rel_interval_join_banded",
-    "rel_rolling_zscore",
-    "rel_skew_kurtosis",
-    "rel_variant_semistructured",
-    "rel_lateral_topk",
-    "src_xml_roundtrip",
-    "src_binaryfile_ingest",
-    "rel_merge_upsert",
-    "rel_scd2_history",
-    "telemetry_artifact_score",
-    "doc_chunk_dedup",
-    "doc_span_dedup",
-    "doc_char_entropy",
-    "doc_bigram_lm",
-    "doc_curation_funnel",
-    "doc_bm25_search",
-    "ts_interpolate_linear",
-    "ts_cusum_changepoint",
-    "rel_incremental_agg_refresh",
-    "events_markov_transitions",
-    "events_top_paths",
-    "ts_seasonal_hour_profile",
-    "events_rolling_active_users",
-    "rel_pareto_cumshare",
-    "ts_stl_decompose",
-    "ts_mtbf_stats",
-    "rel_regexp_funcs",
-    "rel_window_ignore_nulls",
-    "rel_changelog_apply",
-    "rel_dq_expectations",
-    "src_dynamic_overwrite",
-    "src_schema_evolution",
-    "src_csv_quarantine",
-    "graph_triangle_count",
-    "doc_domain_mix_weights",
+    # ROUND-13 STEADY-STATE WINDOW (tools/plan_next_window.py proposal
+    # regenerated at round start; digests byte-identical to the r12
+    # boundary — zero plan changes pending, so no mandatory plan-change
+    # rechecks this round). Composition per the r12 verdict plan:
+    # - doc_ngram_novelty / emb_coreset_per_label: the two aged names
+    #   displaced mid-r12 by the new lake_temporal/lake_dim boundary
+    #   entries (hand-front-loaded per policy).
+    # - then the remaining r04 block (doc_vocab_growth .. 
+    #   rel_session_window_builtin) and the oldest r05 slice.
+    # The planner's 2 annotated boundary-vs-boundary diffs
+    # (ml_als_recommend, rel_recursive_cte) are the r12 digest-tool
+    # re-baseline (CTE/UnionLoop/object-encoder counter normalizers),
+    # NOT plan edits — verified by regenerating digests pre-edit this
+    # round: working tree vs r12 boundary was byte-identical.
+    "doc_ngram_novelty",
+    "emb_coreset_per_label",
+    "doc_vocab_growth",
+    "doc_stable_sample",
+    "rel_agg_bool_bit",
+    "events_retention_cohorts",
+    "events_funnel_steps",
+    "events_mad_outliers",
+    "rel_mode_per_group",
+    "src_bucketed_join",
+    "ts_resample_ohlc",
+    "rel_count_distinct_multi",
+    "rel_zorder_key",
+    "src_compaction",
+    "rel_session_window_builtin",
+    "doc_normalize_text",
+    "doc_curriculum_order",
+    "doc_token_budget_select",
+    "rel_k_anonymity",
+    "rel_chi_square",
+    "rel_delete_where_rewrite",
+    "emb_matryoshka_truncate",
+    "emb_recall_eval",
+    "dedup_incremental_batch",
+    "events_activity_streaks",
+    "rel_basket_pairs_lift",
+    "doc_zipf_slope",
+    "doc_langid_confusion",
+    "doc_blocklist_filter",
+    "doc_chunk_sliding",
+    "doc_dataset_card",
+    "events_state_spans",
+    "mm_bytes_arrow",
+    "rel_sql_pipe",
+    "rel_transpose",
+    "rel_cms_freq_estimate",
+    "rel_weighted_median",
+    "rel_spatial_grid_join",
+    "rel_record_linkage",
+    "events_last_touch_attribution",
+    "rel_capped_running_balance",
+    "rel_fifo_allocation",
+    "rel_equidepth_histogram",
+    "rel_snapshot_diff",
+    "events_psi_drift",
+    "rel_benford_digits",
+    "ml_kaplan_meier",
+    "src_bucketed_groupby",
+    "rel_sql_udf",
+    "rel_parameterized_sql",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -186,111 +178,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 _DRIVER_VERIFIED: tuple[str, ...] = (
-    "emb_coreset_per_label",
-    "doc_ngram_novelty",
-    # Cumulative r01-r11 green names (zero failures across eleven
-    # rounds), MINUS the 50 names rotated into the r12 recheck window
+    # Cumulative r01-r12 green names (zero failures across twelve
+    # rounds), MINUS the 50 names rotated into the r13 recheck window
     # above. Under the steady-state policy this list tracks
     # "not in the current recheck window".
-    "rel_heavy_hitters",
-    "ts_ewma_last",
-    "events_time_to_convert",
-    "ml_roc_auc",
-    "ml_roc_auc_hist",
-    "ml_lift_deciles",
-    "ml_lift_bucketed",
-    "ml_confusion_threshold",
-    "ml_precision_at_k",
-    "emb_dim_variance_topk",
-    "rel_cuped_adjustment",
-    "rel_experiment_mde",
-    "rel_ab_ttest",
-    "events_ks_two_sample",
-    "rel_corr_covar",
-    "events_finite_quarantine",
-    "rel_observe_metrics",
-    "ml_ndcg_at_k",
-    "rel_geo_harmonic_means",
-    "ml_kmeans_embeddings",
-    "emb_pca_whitening",
-    "ml_survival_aft",
-    "sem_dedup",
-    "doc_compression_ratio",
-    "rel_python_udtf",
-    "emb_normalize",
-    "doc_keep_decision",
-    "doc_length_buckets",
-    "doc_pack_sequences",
-    "doc_unigram_logprob",
-    "doc_tfidf_top_terms",
-    "emb_dim_stats",
-    "emb_centroid_outliers",
-    "rel_string_funcs",
-    "rel_date_funcs",
-    "rel_case_when",
-    "rel_json_funcs",
-    "rel_null_safe_eq",
-    "rel_events_hourly",
-    "rel_sessionize",
-    "rel_distinct_rows",
-    "rel_array_funcs",
-    "rel_percentiles",
-    "rel_exists_subquery",
-    "rel_not_in_subquery",
-    "rel_interval_arith",
-    "rel_levenshtein",
-    "rel_grouped_regression",
-    "rel_map_funcs",
-    "rel_profile_columns",
-    "dedup_embedding_pairs",
-    "sim_topk_bruteforce",
-    "sim_knn_batch",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_hard_negatives",
-    "emb_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_ivf_pq_topk",
-    "dedup_clusters",
-    "mm_feature_extract",
-    "mm_resize",
-    "mm_phash_neardup",
-    "q10_returned_items",
-    "q18_large_orders",
-    "rel_except_all",
-    "rel_intersect_all",
-    "src_csv_roundtrip",
-    "src_partitioned_pruned",
-    "src_json_roundtrip",
-    "rel_sql_api",
-    "rel_salted_join",
-    "rel_window_distribution",
-    "rel_window_range_frame",
-    "q14_promo_revenue",
-    "q19_disjunctive",
-    "src_orc_roundtrip",
-    "q7_nation_volume",
-    "q13_customer_distribution",
-    "q17_small_quantity",
-    "rel_join_right",
-    "src_text_roundtrip",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "q22_global_sales_opportunity",
-    "q2_best_supplier",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q20_heavy_suppliers",
-    "q21_sole_returner",
-    "q8_market_share",
-    "rel_recursive_cte",
-    "telemetry_historical_stats",
-    "telemetry_score_500k",
-    "telemetry_scored_alerts",
-    "telemetry_train_metrics",
-    "telemetry_pysource_stats",
     "rel_rfm_segmentation",
     "rel_abc_classification",
     "rel_abc_prefix2",
@@ -312,12 +203,19 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "doc_ttr",
     "doc_hapax_ratio",
     "doc_word_len_profile",
+    "ml_roc_auc",
+    "ml_lift_deciles",
+    "ml_roc_auc_hist",
+    "ml_lift_bucketed",
+    "ml_confusion_threshold",
+    "ml_ndcg_at_k",
     "rel_pivot_multi_agg",
     "rel_collect_sorted_string",
     "rel_word_positions",
     "rel_reorder_gaps",
     "rel_date_spine_fill",
     "rel_weighted_avg_price",
+    "rel_geo_harmonic_means",
     "rel_self_excluding_avg",
     "graph_degree_histogram",
     "graph_jaccard_pairs",
@@ -325,6 +223,7 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "emb_simhash_bits",
     "doc_shingle_uniqueness",
     "ml_brier_calibration",
+    "ml_precision_at_k",
     "rel_json_props_stats",
     "rel_cohort_ltv",
     "events_cumulative_users",
@@ -334,7 +233,10 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "events_hourly_heatmap",
     "rel_order_linecount_dist",
     "rel_grouping_id",
+    "emb_dim_variance_topk",
+    "rel_cuped_adjustment",
     "rel_srm_check",
+    "rel_experiment_mde",
     "rel_bootstrap_ci",
     "rel_skew_report",
     "rel_join_explosion_estimate",
@@ -344,47 +246,48 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_proportions_ztest",
     "events_error_rate_wilson",
     "ts_week_over_week",
+    "doc_chunk_dedup",
+    "doc_span_dedup",
+    "doc_char_entropy",
+    "doc_compression_ratio",
+    "doc_bigram_lm",
+    "doc_curation_funnel",
+    "doc_bm25_search",
     "doc_bpe_vocab",
+    "sem_dedup",
     "ml_quality_classifier",
+    "ts_interpolate_linear",
+    "ts_cusum_changepoint",
     "ml_als_recommend",
-    "doc_normalize_text",
-    "doc_curriculum_order",
-    "doc_token_budget_select",
-    "rel_k_anonymity",
-    "rel_chi_square",
-    "rel_delete_where_rewrite",
-    "emb_matryoshka_truncate",
-    "emb_recall_eval",
-    "dedup_incremental_batch",
+    "ml_survival_aft",
+    "rel_incremental_agg_refresh",
+    "emb_pca_whitening",
+    "events_markov_transitions",
+    "events_top_paths",
+    "ts_seasonal_hour_profile",
+    "events_rolling_active_users",
+    "rel_pareto_cumshare",
+    "ts_stl_decompose",
+    "ts_mtbf_stats",
+    "rel_regexp_funcs",
+    "rel_window_ignore_nulls",
+    "rel_changelog_apply",
+    "rel_dq_expectations",
+    "src_dynamic_overwrite",
+    "src_schema_evolution",
+    "src_csv_quarantine",
+    "graph_triangle_count",
+    "rel_ab_ttest",
     "doc_bpe_encode",
-    "events_activity_streaks",
-    "rel_basket_pairs_lift",
-    "doc_zipf_slope",
-    "doc_langid_confusion",
-    "doc_blocklist_filter",
-    "doc_chunk_sliding",
-    "doc_dataset_card",
-    "events_state_spans",
-    "mm_bytes_arrow",
-    "rel_sql_pipe",
-    "rel_transpose",
-    "rel_cms_freq_estimate",
-    "rel_weighted_median",
-    "rel_spatial_grid_join",
-    "rel_record_linkage",
-    "events_last_touch_attribution",
-    "rel_capped_running_balance",
-    "rel_fifo_allocation",
-    "rel_equidepth_histogram",
-    "rel_snapshot_diff",
+    "ts_holt_linear",
     "ml_isotonic_calibration",
     "ml_cv_model_selection",
-    "events_psi_drift",
-    "rel_benford_digits",
-    "ml_kaplan_meier",
-    "src_bucketed_groupby",
-    "rel_sql_udf",
-    "rel_parameterized_sql",
+    "events_ks_two_sample",
+    "events_finite_quarantine",
+    "lake_finite_quarantine",
+    "lake_dim_quarantine",
+    "lake_temporal_quarantine",
+    "events_time_to_convert",
     "doc_token_stats",
     "doc_quality",
     "doc_langid",
@@ -393,11 +296,20 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_pairs",
+    "sim_topk_bruteforce",
+    "sim_knn_batch",
+    "sim_ann_lsh",
     "mm_binary_stats",
+    "mm_feature_extract",
+    "sim_ivf_topk",
+    "mm_resize",
     "mm_frame_sample",
     "doc_token_regex",
     "doc_punct_ratio",
+    "dedup_clusters",
     "doc_top_terms",
+    "ml_kmeans_embeddings",
     "doc_stratified_sample",
     "doc_bigrams",
     "doc_decontaminate",
@@ -408,10 +320,22 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "emb_label_centroids",
     "doc_winnow",
     "mm_audio_rms",
+    "emb_normalize",
+    "sim_hard_negatives",
+    "doc_keep_decision",
+    "doc_length_buckets",
+    "doc_pack_sequences",
+    "doc_unigram_logprob",
     "dedup_simhash_banded",
+    "doc_tfidf_top_terms",
+    "emb_dim_stats",
+    "emb_centroid_outliers",
+    "doc_domain_mix_weights",
     "doc_dsir_importance",
-    "doc_vocab_growth",
-    "doc_stable_sample",
+    "mm_phash_neardup",
+    "emb_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_ivf_pq_topk",
     "doc_dup_pagerank",
     "q1_pricing_summary",
     "rel_agg_stats",
@@ -439,25 +363,93 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_union",
     "rel_intersect",
     "rel_except",
+    "rel_string_funcs",
+    "rel_date_funcs",
+    "rel_case_when",
+    "rel_json_funcs",
+    "rel_null_safe_eq",
+    "rel_events_hourly",
+    "rel_sessionize",
     "rel_asof_join",
+    "rel_distinct_rows",
     "rel_approx_distinct",
     "rel_approx_quantile",
     "q6_forecast_revenue",
-    "rel_agg_bool_bit",
+    "q10_returned_items",
+    "q18_large_orders",
+    "rel_array_funcs",
+    "rel_percentiles",
+    "rel_except_all",
+    "rel_intersect_all",
+    "src_csv_roundtrip",
+    "src_partitioned_pruned",
+    "src_json_roundtrip",
+    "rel_exists_subquery",
+    "rel_not_in_subquery",
+    "rel_sql_api",
+    "rel_salted_join",
+    "rel_window_distribution",
+    "rel_window_range_frame",
+    "rel_interval_arith",
+    "rel_levenshtein",
+    "rel_grouped_regression",
+    "rel_map_funcs",
+    "q14_promo_revenue",
+    "q19_disjunctive",
+    "src_orc_roundtrip",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "rel_profile_columns",
+    "rel_rollup_reuse",
+    "ts_gap_fill_hourly",
+    "rel_null_funcs",
+    "rel_string_agg",
+    "rel_arg_minmax",
+    "rel_corr_covar",
+    "rel_unpivot",
+    "rel_histogram",
+    "rel_try_arith",
+    "rel_join_right",
+    "rel_explode",
+    "rel_latest_by_key",
+    "src_text_roundtrip",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q22_global_sales_opportunity",
+    "rel_grouped_median_pandas",
+    "rel_interval_join_banded",
+    "rel_rolling_zscore",
+    "rel_skew_kurtosis",
+    "q2_best_supplier",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_heavy_suppliers",
+    "q21_sole_returner",
+    "rel_variant_semistructured",
+    "q8_market_share",
+    "rel_recursive_cte",
     "rel_hll_partial_merge",
-    "events_retention_cohorts",
-    "events_funnel_steps",
-    "events_mad_outliers",
-    "rel_mode_per_group",
-    "src_bucketed_join",
-    "ts_resample_ohlc",
-    "rel_count_distinct_multi",
-    "rel_zorder_key",
-    "src_compaction",
-    "rel_session_window_builtin",
+    "rel_lateral_topk",
+    "src_xml_roundtrip",
+    "rel_python_udtf",
+    "src_binaryfile_ingest",
+    "rel_merge_upsert",
+    "rel_scd2_history",
+    "rel_observe_metrics",
+    "rel_heavy_hitters",
+    "ts_ewma_last",
+    "telemetry_historical_stats",
     "telemetry_stream_roundtrip",
     "telemetry_mqtt_roundtrip",
     "telemetry_mqtt_wildcard",
+    "telemetry_score_500k",
+    "telemetry_scored_alerts",
+    "telemetry_train_metrics",
+    "telemetry_artifact_score",
+    "telemetry_pysource_stats",
 )
 
 
