@@ -45,6 +45,22 @@ LAKE_TRIGGER = "300 seconds"
 GOOD_PREFIX = "telemetry"  # phase3-kinesis-s3.yaml:84
 ERROR_PREFIX = "telemetry_errors"  # phase3-kinesis-s3.yaml:85
 
+#: Physical plausibility envelope for the telemetry measures — the
+#: STREAMING twin of the batch lake boundary's ``bounds`` leg
+#: (operators/quarantine.py). The simulator's own range is temp
+#: 65-85 °C / vib 1.2-5 mm/s (sources/generator.py:30-33,114-115);
+#: the envelope is deliberately generous (any physically possible
+#: industrial sensor reading passes) because the boundary's job is to
+#: reject POISON — NaN, ±Inf (JSON ``1e999`` parses to Infinity), or a
+#: 1e300 that overflows the downstream exact-cents cast and MLlib's
+#: finite-vector requirement — not to pre-empt the alerting model.
+#: Vibration's 0 lower bound is reference parity (O20 clip,
+#: generate_historical_data.py via sources/generator.py:128).
+TELEMETRY_BOUNDS: dict[str, tuple[float, float]] = {
+    "temperature": (-100.0, 500.0),
+    "vibration": (0.0, 1000.0),
+}
+
 
 def parse_telemetry(raw: DataFrame, value_col: str = "value") -> DataFrame:
     """O24: PERMISSIVE JSON parse of the wire payload into typed columns.
@@ -69,13 +85,41 @@ def parse_telemetry(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+def quarantine_split(
+    parsed: DataFrame,
+    bounds: dict[str, tuple[float, float]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """O15/O24: (good, quarantine) pair. Good rows drop the ``_corrupt``
-    marker; quarantined rows carry the original payload only — the
-    engine's version of Firehose's ``telemetry_errors/`` prefix."""
-    good = parsed.filter(F.col("_corrupt").isNull()).drop("_corrupt")
-    bad = parsed.filter(F.col("_corrupt").isNotNull()).select(
-        F.col("_corrupt").alias("value")
+    marker; quarantined rows carry the offending payload as ``value`` —
+    the engine's version of Firehose's ``telemetry_errors/`` prefix.
+
+    Since r13 the split enforces the SAME contract as the batch lake
+    boundary (``operators/quarantine.nonfinite_pred``): a payload that
+    PARSES but carries a non-finite measure (JSON ``1e999`` →
+    +Infinity) or one outside the plausibility envelope
+    (``TELEMETRY_BOUNDS`` by default; pass ``bounds={}`` to disable)
+    is quarantined too — reference parity with
+    realtime_inference.py:101-114, which drops invalid readings, and
+    the only thing standing between a parsed +Inf and a killed MLlib
+    scoring micro-batch ("Vector values MUST NOT be NaN or Infinity").
+    Measure-invalid rows are re-serialized via ``to_json`` so the
+    quarantine sink sees one string column either way. Both outputs
+    stay plain filters — stateless, no shuffle."""
+    from ..operators.quarantine import nonfinite_pred
+
+    if bounds is None:
+        bounds = TELEMETRY_BOUNDS
+    bad_measure = nonfinite_pred(("temperature", "vibration"), bounds=bounds)
+    good = parsed.filter(F.col("_corrupt").isNull() & ~bad_measure).drop(
+        "_corrupt"
+    )
+    bad = parsed.filter(F.col("_corrupt").isNotNull() | bad_measure).select(
+        F.coalesce(
+            F.col("_corrupt"),
+            F.to_json(
+                F.struct("machineId", "temperature", "vibration", "timestamp")
+            ),
+        ).alias("value")
     )
     return good, bad
 

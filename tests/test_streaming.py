@@ -99,6 +99,72 @@ def test_parse_and_quarantine_split(spark, payload_dir, tmp_path):
     assert not any(v.startswith('{"machineId":"NC_') and "oops" not in v for v in bad_rows)
 
 
+def test_measure_quarantine_keeps_scoring_alive(spark, tmp_path):
+    """r13 streaming lake-boundary leg (r12 verdict item 3): a payload
+    that PARSES but carries a non-finite measure (JSON ``1e999`` →
+    +Inf, ``NaN`` via Jackson's non-numeric numbers) or an implausible
+    finite reading (1e300 would CAST_OVERFLOW downstream; negative
+    vibration violates the O20 clip) must land in the quarantine sink —
+    and the MLlib scoring stream over ``good`` must stay alive (MLlib
+    rejects non-finite vectors, so pre-r13 these rows killed the
+    micro-batch)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.functions.telemetry import (
+        to_payload_json,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rows = (
+        stream_telemetry_batch(spark, n=50)
+        .select(
+            to_payload_json(
+                F.col("machineId"),
+                F.col("temperature"),
+                F.col("vibration"),
+                F.col("timestamp"),
+            ).alias("v")
+        )
+        .collect()
+    )
+    t = 1700000000
+    poison = [
+        '{"machineId":"P_INF","temperature":1e999,"vibration":1.3,"timestamp":%d}' % t,
+        '{"machineId":"P_NAN","temperature":68.0,"vibration":NaN,"timestamp":%d}' % t,
+        '{"machineId":"P_BIG","temperature":1e300,"vibration":1.3,"timestamp":%d}' % t,
+        '{"machineId":"P_NEG","temperature":68.0,"vibration":-5.0,"timestamp":%d}' % t,
+    ]
+    (d / "good.json").write_text("\n".join(r.v for r in rows))
+    (d / "poison.json").write_text("\n".join(poison))
+
+    model = train(historical_telemetry(spark))
+    raw = _read_lines(spark, str(d))
+    good, bad = quarantine_split(parse_telemetry(raw))
+
+    # The scoring query consumes the SAME good stream the poison source
+    # feeds; if any poison row leaked past the split, model.transform
+    # raises ("Vector values MUST NOT be NaN or Infinity") and the
+    # awaitTermination assert inside _drain_to_memory goes red.
+    alerts = scored_alert_stream(model, good)
+    _drain_to_memory(alerts, "t_mq_alerts")
+    _drain_to_memory(bad, "t_mq_bad")
+
+    assert spark.table("t_mq_alerts").count() == 50
+    assert not [
+        r.machineId
+        for r in spark.table("t_mq_alerts").collect()
+        if r.machineId.startswith("P_")
+    ]
+    bad_vals = [r.value for r in spark.table("t_mq_bad").collect()]
+    assert len(bad_vals) == 4
+    # Measure-invalid rows are re-serialized (to_json) — every poison
+    # machineId must be present and addressable in the quarantine sink.
+    for mid in ("P_INF", "P_NAN", "P_BIG", "P_NEG"):
+        assert any(mid in v for v in bad_vals), mid
+    # NaN may parse to NaN (non-finite leg) or null (parse leg)
+    # depending on the JSON reader's non-numeric handling — either way
+    # it must quarantine, which the count above already proves.
+
+
 def test_scored_alert_stream(spark, payload_dir):
     model = train(historical_telemetry(spark))
     raw = _read_lines(spark, payload_dir)
