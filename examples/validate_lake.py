@@ -85,22 +85,28 @@ def main() -> None:
             .when(legs["temporal"], F.lit("temporal"))
             .when(legs["dim"], F.lit("dim"))
         )
-        tagged = df.withColumn("_reason", reason)
-        clean = tagged.filter(F.col("_reason").isNull()).drop("_reason")
-        bad = tagged.filter(F.col("_reason").isNotNull())
-        clean.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "lake", f"{name}.parquet")
-        )
+        # ONE pass over the source (r12 ADVICE): persist the tagged
+        # frame so the clean/quarantine writes share a single scan,
+        # then derive every report number from the WRITTEN outputs —
+        # parquet counts are footer reads, so nothing rescans the
+        # (possibly remote) source.
+        tagged = df.withColumn("_reason", reason).persist()
+        lake_path = os.path.join(out_dir, "lake", f"{name}.parquet")
+        quar_path = os.path.join(out_dir, "quarantine", f"{name}.parquet")
+        tagged.filter(F.col("_reason").isNull()).drop("_reason").write.mode(
+            "overwrite"
+        ).parquet(lake_path)
         # quarantined rows keep their reason tag for triage
-        bad.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "quarantine", f"{name}.parquet")
-        )
+        tagged.filter(F.col("_reason").isNotNull()).write.mode(
+            "overwrite"
+        ).parquet(quar_path)
+        tagged.unpersist()
         counts = {
             r["_reason"]: r["count"]
-            for r in bad.groupBy("_reason").count().collect()
+            for r in spark.read.parquet(quar_path).groupBy("_reason").count().collect()
         }
-        n = df.count()
         n_bad = sum(counts.values())
+        n = spark.read.parquet(lake_path).count() + n_bad
         total_bad += n_bad
         print(
             f"{name:<12} {n:>8} {n - n_bad:>8} "

@@ -126,7 +126,13 @@ def measure_columns(df: DataFrame) -> tuple[tuple[str, ...], tuple[str, ...]]:
 
     scalars, arrays = [], []
     for fld in df.schema.fields:
-        if isinstance(fld.dataType, DoubleType):
+        # FloatType scalars are part of the surface too (r12 ADVICE):
+        # no fixture carries one today, but a float32 measure column
+        # would hit the same downstream NaN/Inf hazards as a double,
+        # and this function is THE shared definition — excluding
+        # float32 here would silently shrink the boundary with no test
+        # going red. isnan/abs work on floats unchanged.
+        if isinstance(fld.dataType, (DoubleType, FloatType)):
             scalars.append(fld.name)
         elif isinstance(fld.dataType, ArrayType) and isinstance(
             fld.dataType.elementType, (DoubleType, FloatType)

@@ -63,6 +63,19 @@ EXTREME_TS = (
     datetime.datetime(2263, 1, 1),
 )
 
+#: ns-representable poison (r12 ADVICE): Arrow timestamp[ns] only spans
+#: 1677-09-21..2262-04-11, so writing year-9999 back through an
+#: ns-typed fixture column would raise ArrowInvalid at FIXTURE-BUILD
+#: time (the audit would error instead of test). These stay outside any
+#: plausible window while fitting ns. Live fixtures are timestamp[us]
+#: today; this guards the next fixture regeneration (events.ts WAS
+#: timestamp[ns] before the 2026-08-14 driver regen — FIXTURES.md).
+EXTREME_TS_NS = (
+    datetime.datetime(1900, 1, 1),
+    datetime.datetime(2262, 4, 1),
+    datetime.datetime(2260, 1, 1),
+)
+
 
 @pytest.fixture(scope="module")
 def extreme_ts_sf_dir(tmp_path_factory):
@@ -87,9 +100,12 @@ def extreme_ts_sf_dir(tmp_path_factory):
         for idx, fld in enumerate(t.schema):
             col = t.column(idx)
             if fld.name in ts_fields:
+                poison = (
+                    EXTREME_TS_NS if fld.type.unit == "ns" else EXTREME_TS
+                )
                 vals = col.to_pylist()
                 for j in range(0, t.num_rows, 50):
-                    vals[j] = EXTREME_TS[(j // 50) % len(EXTREME_TS)]
+                    vals[j] = poison[(j // 50) % len(poison)]
                 col = pa.array(vals, type=fld.type)
             cols.append(col)
         pq.write_table(pa.table(cols, schema=t.schema), str(d / f))

@@ -151,6 +151,44 @@ def _fixture_drift(base: dict, cur: dict) -> list[str]:
     )
 
 
+def _edited_in_span(repo: str, sha_new: str, sha_old: str, names: list[str]) -> list[str]:
+    """Subset of ``names`` whose registering plans/ file changed between
+    the two boundary commits (r12 ADVICE): when a digest-tool change
+    demotes ALL boundary-vs-boundary diffs to a re-baseline note, a
+    plan genuinely edited in that span that was NOT hand-front-loaded
+    per policy would silently drop out of the recheck window. A name is
+    'edited in span' when some plans/-package file that changed between
+    the boundaries contains its string literal at the new boundary —
+    a deliberately coarse over-approximation (false positives just get
+    re-checked; false negatives are what we're closing)."""
+    pkg = "real_time_predictive_maintenance_data_pipeline_spark"
+    try:
+        changed_files = subprocess.run(
+            ["git", "diff", "--name-only", sha_old, sha_new, "--", f"{pkg}/plans"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout.split()
+    except subprocess.CalledProcessError:
+        return []
+    # registry.py is window BOOKKEEPING — it lists every catalog name
+    # and is edited every round by rotation, so matching literals in it
+    # would keep ALL demoted names packed (measured: the r12 tuple
+    # rewrite alone re-flagged both r12 re-baseline names).
+    changed_files = [f for f in changed_files if not f.endswith("/registry.py")]
+    kept: set[str] = set()
+    for f in changed_files:
+        try:
+            blob = subprocess.run(
+                ["git", "show", f"{sha_new}:{f}"],
+                cwd=repo, capture_output=True, text=True, check=True,
+            ).stdout
+        except subprocess.CalledProcessError:
+            continue  # file deleted at the new boundary
+        for n in names:
+            if f'"{n}"' in blob or f"'{n}'" in blob:
+                kept.add(n)
+    return sorted(kept)
+
+
 def plan_changed_between_boundaries(repo: str) -> tuple[list[str], str]:
     """Names whose committed digest differs between the LAST TWO round
     boundaries. This is the structural fix for the r9 blind spot: when
@@ -192,19 +230,29 @@ def plan_changed_between_boundaries(repo: str) -> tuple[list[str], str]:
         # the new normalizer touches — NOT evidence those plans were
         # edited. Real edits in that span were (per policy) already
         # hand-front-loaded into that round's window and are filtered
-        # out above by the fresh-evidence check; the remainder here is
-        # re-baseline noise. Demote to an informational listing so a
-        # human can still eyeball it, but do not pack the window with
-        # it.
-        notes.append(
-            "NOTE: the digest tool's normalizer set changed between "
-            f"the last two boundaries — the {len(stale)} "
-            "boundary-vs-boundary digest diffs below are a tool "
-            "RE-BASELINE, not plan edits, and are NOT packed as "
-            "mandatory rechecks (hand-check that round's commits if "
-            "in doubt):\n    " + ", ".join(stale)
-        )
-        stale = []
+        # out above by the fresh-evidence check — but policy can be
+        # forgotten (r12 ADVICE), so names whose registering plans/
+        # file ALSO changed in the same commit span stay packed; only
+        # the remainder is demoted to an informational listing.
+        edited = _edited_in_span(repo, shas[0], shas[1], stale)
+        demoted = [n for n in stale if n not in edited]
+        if edited:
+            notes.append(
+                "NOTE: digest tool changed between boundaries, but "
+                f"these {len(edited)} names' plans/ files were edited "
+                "in the same span — kept as mandatory rechecks: "
+                + ", ".join(edited)
+            )
+        if demoted:
+            notes.append(
+                "NOTE: the digest tool's normalizer set changed between "
+                f"the last two boundaries — the {len(demoted)} "
+                "boundary-vs-boundary digest diffs below are a tool "
+                "RE-BASELINE, not plan edits, and are NOT packed as "
+                "mandatory rechecks (hand-check that round's commits if "
+                "in doubt):\n    " + ", ".join(demoted)
+            )
+        stale = edited
     return stale, "\n".join(notes)
 
 
