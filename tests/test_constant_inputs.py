@@ -28,8 +28,7 @@ import os
 
 import pytest
 
-from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
-
+from .audit_walk import ESTIMATOR_CRISP_OK, walk_catalog
 from .conftest import SF_SMOKE
 
 # Measure columns flattened to one constant (7 / 7.0 — away from zero
@@ -73,19 +72,6 @@ def const_sf_dir(tmp_path_factory):
 
 @pytest.mark.slow
 def test_every_query_survives_constant_measures(spark, const_sf_dir):
-    bad = {}
-    for name, q in all_queries().items():
-        if "eager-io" in q.tags:
-            continue  # wire-transport demos; no table input to flatten
-        try:
-            spark.catalog.clearCache()
-            df = q.spark(spark, const_sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except ValueError as exc:
-            msg = str(exc)
-            if "zero rows" in msg or "needs at least" in msg:
-                continue  # crisp estimator contract (fitguard)
-            bad[name] = f"ValueError: {msg[:160]}"
-        except Exception as exc:  # noqa: BLE001 — the audit's whole point
-            bad[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
+    crisp, bad = walk_catalog(spark, const_sf_dir)
     assert not bad, f"not constant-input safe: {bad}"
+    assert crisp <= ESTIMATOR_CRISP_OK, f"unexpected crisp failures: {crisp}"

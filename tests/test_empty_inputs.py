@@ -25,8 +25,7 @@ import os
 
 import pytest
 
-from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
-
+from .audit_walk import walk_catalog
 from .conftest import SF_SMOKE
 
 # Training on an empty corpus is undefined by contract; these must fail
@@ -61,21 +60,7 @@ def empty_sf_dir(tmp_path_factory):
 
 @pytest.mark.slow
 def test_every_query_is_empty_input_safe(spark, empty_sf_dir):
-    crisp, bad = set(), {}
-    for name, q in all_queries().items():
-        if "eager-io" in q.tags:
-            continue  # wire-transport demos; no table input to drain
-        try:
-            spark.catalog.clearCache()
-            df = q.spark(spark, empty_sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except ValueError as exc:
-            if "zero rows" in str(exc) or "zero vectors" in str(exc):
-                crisp.add(name)
-            else:
-                bad[name] = f"ValueError: {exc}"
-        except Exception as exc:  # noqa: BLE001 — the audit's whole point
-            bad[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
+    crisp, bad = walk_catalog(spark, empty_sf_dir)
     assert not bad, f"not empty-input safe: {bad}"
     assert crisp == EXPECTED_CRISP, (
         f"crisp-failure set drifted: +{sorted(crisp - EXPECTED_CRISP)} "

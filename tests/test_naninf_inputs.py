@@ -40,6 +40,7 @@ from real_time_predictive_maintenance_data_pipeline_spark.sources.tables import 
     load_table,
 )
 
+from .audit_walk import ESTIMATOR_CRISP_OK, walk_catalog
 from .conftest import SF_SMOKE
 from .poison import poison_tables
 
@@ -148,19 +149,6 @@ def test_raw_poison_still_kills_a_cents_cast(spark, poisoned_sf_dir):
 
 @pytest.mark.slow
 def test_every_query_survives_after_boundary_split(spark, cleaned_sf_dir):
-    bad = {}
-    for name, q in all_queries().items():
-        if "eager-io" in q.tags:
-            continue  # wire-transport demos; no table input to poison
-        try:
-            spark.catalog.clearCache()
-            df = q.spark(spark, cleaned_sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except ValueError as exc:
-            msg = str(exc)
-            if "zero rows" in msg or "needs at least" in msg:
-                continue  # crisp estimator contract (fitguard)
-            bad[name] = f"ValueError: {msg[:160]}"
-        except Exception as exc:  # noqa: BLE001 — the audit's whole point
-            bad[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
+    crisp, bad = walk_catalog(spark, cleaned_sf_dir)
     assert not bad, f"boundary split did not make the catalog safe: {bad}"
+    assert crisp <= ESTIMATOR_CRISP_OK, f"unexpected crisp failures: {crisp}"

@@ -32,6 +32,7 @@ import pytest
 
 from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
 
+from .audit_walk import walk_catalog
 from .conftest import SF_SMOKE
 from .oracle_harness import compare, duck_connection
 
@@ -80,22 +81,7 @@ def onerow_sf_dir(tmp_path_factory):
 
 @pytest.mark.slow
 def test_every_query_is_one_row_safe(spark, onerow_sf_dir):
-    crisp, bad = set(), {}
-    for name, q in all_queries().items():
-        if "eager-io" in q.tags:
-            continue  # wire-transport demos; no table input to drain
-        try:
-            spark.catalog.clearCache()
-            df = q.spark(spark, onerow_sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except ValueError as exc:
-            msg = str(exc)
-            if "zero rows" in msg or "needs at least" in msg:
-                crisp.add(name)
-            else:
-                bad[name] = f"ValueError: {msg}"
-        except Exception as exc:  # noqa: BLE001 — the audit's whole point
-            bad[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
+    crisp, bad = walk_catalog(spark, onerow_sf_dir)
     assert not bad, f"not one-row safe: {bad}"
     assert crisp == EXPECTED_CRISP, (
         f"crisp-failure set drifted: +{sorted(crisp - EXPECTED_CRISP)} "
