@@ -114,7 +114,7 @@ def nonfinite_pred(
 
 
 def measure_columns(df: DataFrame) -> tuple[tuple[str, ...], tuple[str, ...]]:
-    """(scalar-double columns, float/double-array columns) of ``df`` —
+    """(scalar double/float columns, float/double-array columns) of ``df`` —
     the generic boundary-validation surface, derived from the schema so
     no per-table hardcoding drifts when fixtures evolve. This is THE
     definition of "measure column" shared by the catalog's boundary

@@ -3,6 +3,7 @@ quarantine (O24/O15), lake sink (O11–O15), scoring stream (O23–O27),
 and the improvement-mode stateful ops (dedup, event-time windows)."""
 
 from .pipeline import (  # noqa: F401
+    TELEMETRY_BOUNDS,
     alert_foreach_batch_sink,
     dedup_stream,
     enrich_stream,
