@@ -2755,6 +2755,23 @@ LAKE_MEASURE_TABLES = (
     "supplier",
 )
 
+# Every fixture table — the replay-audit surface (at-least-once
+# redelivery can duplicate rows in ANY table; hardcoded in lockstep
+# with the lake_replay_audit oracle's UNION ALL branches and pinned
+# against sources.tables.TABLES by tests/test_replay_inputs.py).
+LAKE_TABLES_ALL = (
+    "customer",
+    "documents",
+    "embeddings",
+    "events",
+    "lineitem",
+    "nation",
+    "orders",
+    "part",
+    "region",
+    "supplier",
+)
+
 
 @register(
     "lake_finite_quarantine",
@@ -3004,6 +3021,86 @@ def lake_temporal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_rows",
                 "n_quarantined",
                 (F.col("n_rows") - F.col("n_quarantined")).alias("n_clean"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames).orderBy("table_name")
+
+
+@register(
+    "lake_replay_audit",
+    oracle="""
+SELECT table_name, n_rows, n_distinct, n_rows - n_distinct AS n_replayed
+FROM (
+  SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer)) AS BIGINT) AS n_distinct FROM customer
+  UNION ALL
+  SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM documents)) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM embeddings)) AS BIGINT) FROM embeddings
+  UNION ALL
+  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM events)) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM nation)) AS BIGINT) FROM nation
+  UNION ALL
+  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM orders)) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'part', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM part)) AS BIGINT) FROM part
+  UNION ALL
+  SELECT 'region', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM region)) AS BIGINT) FROM region
+  UNION ALL
+  SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM supplier)) AS BIGINT) FROM supplier
+)
+ORDER BY table_name
+""",
+    tags=("audit", "quality"),
+)
+def lake_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-replay leg of the lake boundary: per table, total rows
+    vs full-row-distinct rows — how many rows an exact ``dropDuplicates``
+    at ingestion would collapse. At-least-once delivery (the engine's
+    own streaming guarantee, and Kinesis/Firehose/Kafka's upstream of
+    the reference — SURVEY §2.3) duplicates WHOLE ROWS on redelivery or
+    batch replay; the streaming path already collapses them with
+    ``dropDuplicatesWithinWatermark`` (streaming/pipeline.py), and this
+    is the batch lake's twin. A replayed row is silent poison for
+    aggregates (every SUM/AVG drifts) and a CRISP failure for keyed
+    writes — ``rel_merge_upsert``/``rel_scd2_history`` reject a source
+    batch carrying multiple rows per key by contract (pinned with the
+    recovery recipe in ``tests/test_replay_inputs.py``).
+
+    Scale: one ``distinct()`` shuffle per table — the SAME shuffle the
+    boundary dedup write performs, so auditing costs what fixing costs;
+    for monitoring-only, swap in ``approx_count_distinct`` over a
+    row-fingerprint for a shuffle-free estimate. The count pair also
+    pins the fixtures' natural duplicate-free property the recovery
+    contract relies on (n_replayed == 0 on clean inputs at every SF).
+    """
+    from functools import reduce
+
+    frames = []
+    for name in LAKE_TABLES_ALL:
+        df = _t(spark, sf_dir, name)
+        tot = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        dis = df.distinct().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+        )
+        frames.append(
+            tot.crossJoin(F.broadcast(dis)).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_distinct",
+                (F.col("n_rows") - F.col("n_distinct")).alias("n_replayed"),
             )
         )
     return reduce(DataFrame.unionByName, frames).orderBy("table_name")

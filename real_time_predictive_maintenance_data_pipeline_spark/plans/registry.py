@@ -92,6 +92,10 @@ _RECHECK_FIRST: tuple[str, ...] = (
     # re-baseline (CTE/UnionLoop/object-encoder counter normalizers),
     # NOT plan edits — verified by regenerating digests pre-edit this
     # round: working tree vs r12 boundary was byte-identical.
+    # - lake_replay_audit is NEW (added mid-r13): the delivery-replay
+    #   leg of the lake boundary (tests/test_replay_inputs.py, tenth
+    #   audit). Displaces rel_parameterized_sql (newest aged fill).
+    "lake_replay_audit",
     "doc_ngram_novelty",
     "emb_coreset_per_label",
     "doc_vocab_growth",
@@ -141,7 +145,6 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "ml_kaplan_meier",
     "src_bucketed_groupby",
     "rel_sql_udf",
-    "rel_parameterized_sql",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -178,6 +181,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 _DRIVER_VERIFIED: tuple[str, ...] = (
+    "rel_parameterized_sql",
     # Cumulative r01-r12 green names (zero failures across twelve
     # rounds), MINUS the 50 names rotated into the r13 recheck window
     # above. Under the steady-state policy this list tracks
