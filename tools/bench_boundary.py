@@ -69,24 +69,37 @@ def _time_split(df, kwargs) -> float:
     return best
 
 
+def _time_replay(df) -> float:
+    """The replay-dedup leg (lake_replay_audit): unlike the predicate
+    legs this is a full-row distinct() — one real shuffle per table,
+    the same shuffle the boundary dedup WRITE performs."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        df.distinct().count()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     spark = get_spark("bench-boundary")
     spark.sparkContext.setLogLevel("ERROR")
     for sf_dir in sf_dirs:
         print(f"\n### boundary scan cost at {sf_dir}\n")
-        print("| table | rows | nonfinite s | temporal s | dim s | combined s | rows/s (combined) |")
-        print("|---|---|---|---|---|---|---|")
+        print("| table | rows | nonfinite s | temporal s | dim s | combined s | replay-distinct s | rows/s (combined) |")
+        print("|---|---|---|---|---|---|---|---|")
         for name in TABLES:
             df = load_table(spark, sf_dir, name)
             n = df.count()  # also warms the page cache
             legs = _legs(df, name)
             cells = {k: _time_split(df, kw) for k, kw in legs.items()}
+            replay = _time_replay(df)
             rps = n / cells["combined"] if cells["combined"] else float("inf")
             print(
                 f"| {name} | {n} | {cells['nonfinite']:.3f} | "
                 f"{cells['temporal']:.3f} | {cells['dim']:.3f} | "
-                f"{cells['combined']:.3f} | {rps:,.0f} |"
+                f"{cells['combined']:.3f} | {replay:.3f} | {rps:,.0f} |"
             )
     spark.stop()
 
