@@ -39,8 +39,18 @@ Filter → Project; the RF model rides task closures), so processed
 rows/s here scales with partitions — the 100 TB argument is that this
 same plan on N executors is N× this table's single-host number.
 
+``--restart`` measures failure RECOVERY instead of steady state: run
+the chain for ``--secs``, stop it, stay down ``--down`` seconds (the
+rate source is wall-clock anchored, so the backlog is real), restart
+from the SAME checkpoint, and report time-to-recover (first batch
+whose newest-event lag is back under the steady bound), backlog rows
+drained, and catch-up throughput — the measured RTO story behind the
+checkpointed exactly-once claim (streaming/pipeline.py lake sink,
+SURVEY §2.3 recovery row).
+
 Usage: python tools/bench_stream.py [--rates 25000,100000,400000]
          [--secs 20] [--machines 1000] [--partitions 8] [--dedup]
+         [--rocksdb] [--restart] [--down 15]
 Prints a markdown table ready to paste into SCALING.md.
 """
 
@@ -176,6 +186,88 @@ def run_rate(
     }
 
 
+def run_restart(
+    spark,
+    model,
+    rate: int,
+    secs: int,
+    down: int,
+    machines: int,
+    partitions: int,
+    dedup: bool,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    def build_query(ckpt: str, lag_samples: list):
+        raw = payload_stream(
+            spark,
+            rows_per_second=rate,
+            num_partitions=partitions,
+            num_machines=machines,
+        )
+        parsed = parse_telemetry(raw)
+        good, _bad = quarantine_split(parsed)
+        if dedup:
+            good = dedup_stream(good).drop("event_time")
+        alerts = scored_alert_stream(model, good)
+
+        def sink(batch_df, batch_id: int) -> None:
+            row = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("timestamp").alias("max_ts"),
+                F.sum(F.length("alert")).alias("alert_bytes"),
+            ).collect()[0]
+            now = time.time()
+            if row["n"]:
+                lag_samples.append((now, row["n"], now - row["max_ts"]))
+
+        return (
+            alerts.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        pre: list = []
+        q = build_query(ckpt, pre)
+        time.sleep(secs)
+        q.stop()
+        q.awaitTermination(30)
+        steady_lag = _percentile([s_[2] for s_ in pre[3:]], 0.5) if len(pre) > 3 else 2.0
+        bound = max(3.0, steady_lag + 1.5)
+
+        time.sleep(down)
+
+        post: list = []
+        t_restart = time.time()
+        q = build_query(ckpt, post)
+        recovered_at = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if post and post[-1][2] <= bound:
+                recovered_at = post[-1][0]
+                break
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(30)
+
+    if recovered_at is None:
+        return {"rate": rate, "error": "did not recover within 120s"}
+    ttr = recovered_at - t_restart
+    drained = sum(s_[1] for s_ in post if s_[0] <= recovered_at)
+    return {
+        "rate": rate,
+        "down": down,
+        "steady_lag": steady_lag,
+        "backlog_est": rate * down,
+        "drained": drained,
+        "ttr": ttr,
+        "catchup_rate": drained / ttr if ttr > 0 else float("nan"),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rates", default="25000,100000,400000")
@@ -184,6 +276,8 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--dedup", action="store_true")
     ap.add_argument("--rocksdb", action="store_true")
+    ap.add_argument("--restart", action="store_true")
+    ap.add_argument("--down", type=int, default=15)
     args = ap.parse_args()
 
     spark = get_spark("bench-stream")
@@ -206,6 +300,25 @@ def main() -> None:
         variant += " [RocksDB state store + changelog checkpointing]"
     print(f"variant: {variant}; machines={args.machines}, "
           f"partitions={args.partitions}, trigger=1s, {args.secs}s per rate\n")
+    if args.restart:
+        print("| input rows/s | downtime s | steady lag s | backlog rows (est) | "
+              "drained rows | time-to-recover s | catch-up rows/s |")
+        print("|---|---|---|---|---|---|---|")
+        for rate_s in args.rates.split(","):
+            r = run_restart(
+                spark, model, int(rate_s), args.secs, args.down,
+                args.machines, args.partitions, args.dedup,
+            )
+            if "error" in r:
+                print(f"| {r['rate']:,} | {r['error']} |")
+                continue
+            print(
+                f"| {r['rate']:,} | {r['down']} | {r['steady_lag']:.1f} | "
+                f"{r['backlog_est']:,} | {r['drained']:,} | {r['ttr']:.1f} | "
+                f"{r['catchup_rate']:,.0f} |"
+            )
+        spark.stop()
+        return
     print("| input rows/s | steady batches | processed rows/s p50 | "
           "batch ms p50/p95 | event→alert lag s p50/max | kept up |")
     print("|---|---|---|---|---|---|")
