@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+_LOAD_START = -1.0
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
@@ -31,6 +33,11 @@ def sf_from_dir(sf_dir: str) -> float:
 
 
 def main() -> None:
+    global _LOAD_START
+    try:
+        _LOAD_START = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        _LOAD_START = -1.0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("rtpmdp-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -104,6 +111,16 @@ def main() -> None:
                 spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Host-load telemetry rides along so per-round triage (is an
+    # inflated total environment or code? — the recurring r7/r12/r13
+    # question) can read the answer off the recorded JSON instead of
+    # re-deriving it from per-query deltas. load_1m_start is sampled
+    # before the warmup, load_1m_end here; a loaded host shows >~2-3
+    # on top of this process's own threads.
+    try:
+        load_end = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        load_end = -1.0
     print(
         json.dumps(
             {
@@ -115,6 +132,11 @@ def main() -> None:
                 "best_of": repeat,
                 "value_best": round(sum(best.values()), 3),
                 "queries_best": best,
+                "host": {
+                    "cpus": os.cpu_count(),
+                    "load_1m_start": _LOAD_START,
+                    "load_1m_end": load_end,
+                },
             }
         )
     )
