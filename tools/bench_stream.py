@@ -39,6 +39,14 @@ Filter → Project; the RF model rides task closures), so processed
 rows/s here scales with partitions — the 100 TB argument is that this
 same plan on N executors is N× this table's single-host number.
 
+``--lake`` swaps the foreachBatch scoring sink for the REFERENCE's
+phase-3 landing path — `lake_sink`: gzip JSON, partitioned
+year/month/day/hour, exactly-once file-sink commit (O11-O15) — so the
+ladder measures the durable write leg instead of the scoring leg
+(the reference separates the two consumers as well). Event-lag
+columns are blank in this mode (no foreachBatch probe inside the
+sink); kept-up derives from consumption alone.
+
 ``--restart`` measures failure RECOVERY instead of steady state: run
 the chain for ``--secs``, stop it, stay down ``--down`` seconds (the
 rate source is wall-clock anchored, so the backlog is real), restart
@@ -105,6 +113,7 @@ def run_rate(
     machines: int,
     partitions: int,
     dedup: bool,
+    lake: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -118,33 +127,42 @@ def run_rate(
     good, _bad = quarantine_split(parsed)
     if dedup:
         good = dedup_stream(good).drop("event_time")
-    alerts = scored_alert_stream(model, good)
 
     lag_samples: list[tuple[int, int, float, float]] = []
 
-    def sink(batch_df, batch_id: int) -> None:
-        # sum(length(alert)) forces the full parse→score→format chain for
-        # every row; min/max timestamp give the batch's event-time span.
-        row = batch_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("timestamp").alias("min_ts"),
-            F.max("timestamp").alias("max_ts"),
-            F.sum(F.length("alert")).alias("alert_bytes"),
-        ).collect()[0]
-        now = time.time()
-        if row["n"]:
-            lag_samples.append(
-                (batch_id, row["n"], now - row["max_ts"], now - row["min_ts"])
+    with tempfile.TemporaryDirectory() as ckpt, tempfile.TemporaryDirectory() as lakedir:
+        if lake:
+            from real_time_predictive_maintenance_data_pipeline_spark.streaming.pipeline import (
+                lake_sink,
             )
 
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            alerts.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(processingTime="1 second")
-            .start()
-        )
+            q = lake_sink(good, lakedir, ckpt, trigger="1 second")
+        else:
+            alerts = scored_alert_stream(model, good)
+
+            def sink(batch_df, batch_id: int) -> None:
+                # sum(length(alert)) forces the full parse→score→format
+                # chain for every row; min/max timestamp give the
+                # batch's event-time span.
+                row = batch_df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("timestamp").alias("min_ts"),
+                    F.max("timestamp").alias("max_ts"),
+                    F.sum(F.length("alert")).alias("alert_bytes"),
+                ).collect()[0]
+                now = time.time()
+                if row["n"]:
+                    lag_samples.append(
+                        (batch_id, row["n"], now - row["max_ts"], now - row["min_ts"])
+                    )
+
+            q = (
+                alerts.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="1 second")
+                .start()
+            )
         try:
             time.sleep(secs)
             progress = [json.loads(p.json) for p in q.recentProgress]
@@ -163,6 +181,24 @@ def run_rate(
     steady_lags = [s for s in lag_samples if s[0] >= 3]
     max_lags = [s[3] for s in steady_lags]
     min_lags = [s[2] for s in steady_lags]
+    if lake:
+        # no per-batch probe inside the file sink: grade on consumption
+        consumed_only = sum(p["numInputRows"] for p in steady) / (
+            sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
+        )
+        proc = [p["processedRowsPerSecond"] for p in steady]
+        batch_ms = [p["durationMs"]["triggerExecution"] for p in steady]
+        return {
+            "rate": rate,
+            "batches": len(steady),
+            "proc_p50": _percentile(proc, 0.5),
+            "batch_ms_p50": _percentile(batch_ms, 0.5),
+            "batch_ms_p95": _percentile(batch_ms, 0.95),
+            "lag_p50": float("nan"),
+            "lag_max": float("nan"),
+            "kept_up": consumed_only >= 0.98 * rate,
+            "consumed": consumed_only,
+        }
     # Kept up = consuming at the offered rate and lag not growing:
     # compare mean max-lag of the last third vs the middle third.
     third = max(1, len(max_lags) // 3)
@@ -276,6 +312,7 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--dedup", action="store_true")
     ap.add_argument("--rocksdb", action="store_true")
+    ap.add_argument("--lake", action="store_true")
     ap.add_argument("--restart", action="store_true")
     ap.add_argument("--down", type=int, default=15)
     args = ap.parse_args()
@@ -296,6 +333,11 @@ def main() -> None:
     variant = "parse→quarantine→dedup→score→alert" if args.dedup else (
         "parse→quarantine→score→alert"
     )
+    if args.lake:
+        variant = (
+            "parse→quarantine→lake_sink (gzip JSON, y/m/d/h partitions)"
+            + ("+dedup" if args.dedup else "")
+        )
     if args.rocksdb:
         variant += " [RocksDB state store + changelog checkpointing]"
     print(f"variant: {variant}; machines={args.machines}, "
@@ -331,14 +373,20 @@ def main() -> None:
             args.machines,
             args.partitions,
             args.dedup,
+            args.lake,
         )
         if "error" in r:
             print(f"| {r['rate']:,} | {r['error']} |")
             continue
+        lag = (
+            "—"
+            if r["lag_p50"] != r["lag_p50"]  # NaN (lake mode: no probe)
+            else f"{r['lag_p50']:.1f}/{r['lag_max']:.1f}"
+        )
         print(
             f"| {r['rate']:,} | {r['batches']} | {r['proc_p50']:,.0f} | "
             f"{r['batch_ms_p50']:.0f}/{r['batch_ms_p95']:.0f} | "
-            f"{r['lag_p50']:.1f}/{r['lag_max']:.1f} | "
+            f"{lag} | "
             f"{'YES' if r['kept_up'] else 'NO (' + format(r['consumed'], ',.0f') + ' consumed)'} |"
         )
     spark.stop()
