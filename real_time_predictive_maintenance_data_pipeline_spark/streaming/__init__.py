@@ -2,6 +2,12 @@
 quarantine (O24/O15), lake sink (O11–O15), scoring stream (O23–O27),
 and the improvement-mode stateful ops (dedup, event-time windows)."""
 
+from .buffered_sink import (  # noqa: F401
+    BUFFER_MAX_BYTES,
+    BUFFER_MAX_SECS,
+    SizeOrTimeBuffer,
+    buffered_lake_sink,
+)
 from .pipeline import (  # noqa: F401
     TELEMETRY_BOUNDS,
     alert_foreach_batch_sink,

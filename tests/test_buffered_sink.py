@@ -1,0 +1,186 @@
+"""Firehose BufferingHints parity — the size(5 MB)-OR-time(300 s)
+flush (phase3-kinesis-s3.yaml:86-88) as `streaming/buffered_sink.py`.
+
+The buffer logic is driven DIRECTLY with static frames and a fake
+clock (deterministic — no timing races, per the r12 flaky-test
+lesson); one end-to-end test runs it as a real foreachBatch sink over
+an availableNow stream.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from real_time_predictive_maintenance_data_pipeline_spark.streaming.buffered_sink import (
+    SizeOrTimeBuffer,
+    buffered_lake_sink,
+)
+
+
+def _frame(spark, n, tag="x", width=200):
+    return spark.range(n).select(
+        F.concat(F.lit(f"{tag}-"), F.col("id").cast("string")).alias("k"),
+        F.lit("v" * width).alias("pad"),
+    )
+
+
+def _delivered(path):
+    return sorted(
+        glob.glob(os.path.join(path, "telemetry", "*", "*", "*", "*", "*"))
+    )
+
+
+class FakeClock:
+    def __init__(self, t=1_000_000.0):
+        self.t = t
+
+    def __call__(self):
+        return self.t
+
+
+def test_size_flush_crosses_threshold(spark, tmp_path):
+    """No delivery below the size hint; delivery exactly when staged
+    bytes cross it; staging drains; layout is gzip under the
+    delivery-time telemetry/YYYY/MM/DD/HH prefix."""
+    clock = FakeClock()
+    buf = SizeOrTimeBuffer(
+        str(tmp_path), max_bytes=3000, max_secs=10**9, clock=clock
+    )
+    batch_id = 0
+    while buf.staged_bytes() < 3000 and buf.deliveries == 0:
+        buf(_frame(spark, 20, tag=str(batch_id)), batch_id)
+        batch_id += 1
+    assert buf.deliveries == 1
+    assert buf.staged_bytes() == 0
+    files = _delivered(str(tmp_path))
+    assert files and all(f.endswith(".gz") for f in files)
+    # the prefix is delivery-time: one dated dir, derived from the
+    # (frozen) clock
+    import time as _t
+
+    t = _t.gmtime(clock.t)
+    assert f"/{t.tm_year:04d}/{t.tm_mon:02d}/" in files[0]
+    # content survives the gzip roundtrip
+    with gzip.open(files[0], "rt") as fh:
+        assert '"pad"' in fh.read(500)
+
+
+def test_time_flush_after_interval(spark, tmp_path):
+    """Below the size hint, the interval alone flushes — and only once
+    the interval has actually elapsed."""
+    clock = FakeClock()
+    buf = SizeOrTimeBuffer(
+        str(tmp_path), max_bytes=10**9, max_secs=300, clock=clock
+    )
+    buf(_frame(spark, 5), 0)
+    assert buf.deliveries == 0
+    clock.t += 299
+    assert buf.maybe_deliver() == 0
+    clock.t += 2
+    assert buf.maybe_deliver() > 0
+    assert buf.deliveries == 1 and buf.staged_bytes() == 0
+
+
+def test_empty_buffer_advances_interval_clock(spark, tmp_path):
+    """An empty buffer delivers nothing, but the interval clock still
+    advances — a later lone record must not be flushed instantly by a
+    long-expired timer."""
+    clock = FakeClock()
+    buf = SizeOrTimeBuffer(
+        str(tmp_path), max_bytes=10**9, max_secs=300, clock=clock
+    )
+    clock.t += 10_000
+    assert buf.maybe_deliver() == 0  # nothing staged, clock re-arms
+    buf(_frame(spark, 3), 0)
+    assert buf.deliveries == 0  # NOT instantly flushed
+    clock.t += 301
+    assert buf.maybe_deliver() > 0
+
+
+def test_replayed_batch_stages_idempotently(spark, tmp_path):
+    """A replayed micro-batch overwrites its OWN staging dir — staged
+    bytes do not double before delivery (the common replay window)."""
+    clock = FakeClock()
+    buf = SizeOrTimeBuffer(
+        str(tmp_path), max_bytes=10**9, max_secs=10**9, clock=clock
+    )
+    df = _frame(spark, 25)
+    buf(df, 7)
+    first = buf.staged_bytes()
+    buf(df, 7)  # replay
+    assert buf.staged_bytes() == first
+    assert buf.maybe_deliver(force=True) > 0
+
+
+def test_replay_after_promotion_is_at_least_once(spark, tmp_path):
+    """A batch replayed AFTER its files were promoted re-stages and
+    re-delivers under a non-colliding name — duplicate content, never
+    lost or overwritten (Firehose's own at-least-once)."""
+    clock = FakeClock()
+    buf = SizeOrTimeBuffer(
+        str(tmp_path), max_bytes=10**9, max_secs=10**9, clock=clock
+    )
+    df = _frame(spark, 10)
+    buf(df, 3)
+    buf.maybe_deliver(force=True)
+    n1 = len(_delivered(str(tmp_path)))
+    buf(df, 3)  # replay after promotion
+    buf.maybe_deliver(force=True)
+    n2 = len(_delivered(str(tmp_path)))
+    assert n2 == 2 * n1  # duplicated, not collided
+
+
+def test_marker_survives_restart(spark, tmp_path):
+    """A restarted buffer resumes the delivery interval from the
+    persisted marker instead of resetting it (Firehose's clock does
+    not reset when a consumer restarts)."""
+    clock = FakeClock()
+    buf = SizeOrTimeBuffer(
+        str(tmp_path), max_bytes=10**9, max_secs=300, clock=clock
+    )
+    buf(_frame(spark, 5), 0)
+    clock.t += 200  # 200s into the interval, then "crash"
+    buf2 = SizeOrTimeBuffer(
+        str(tmp_path), max_bytes=10**9, max_secs=300, clock=clock
+    )
+    assert buf2.maybe_deliver() == 0  # only 200s elapsed per marker
+    clock.t += 101
+    assert buf2.maybe_deliver() > 0  # 301s since the ORIGINAL start
+
+
+def test_buffered_lake_sink_end_to_end(spark, tmp_path):
+    """The real sink over an availableNow stream: stage via
+    foreachBatch, drain-on-shutdown, byte parity on the content."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        "\n".join(
+            f'{{"machineId":"M1","temperature":66.0,"vibration":1.3,"timestamp":{t}}}'
+            for t in range(40)
+        )
+    )
+    stream = (
+        spark.readStream.schema("machineId string, temperature double, "
+                                "vibration double, timestamp long")
+        .json(str(src))
+    )
+    q, buf = buffered_lake_sink(
+        stream,
+        str(tmp_path / "lake"),
+        str(tmp_path / "ck"),
+        max_bytes=10**9,
+        max_secs=10**9,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert buf.deliveries == 0  # neither hint reached: still buffered
+    assert buf.maybe_deliver(force=True) > 0  # drain-on-shutdown
+    back = spark.read.option("recursiveFileLookup", "true").json(
+        os.path.join(str(tmp_path / "lake"), "telemetry")
+    )
+    assert back.count() == 40
+    assert set(back.columns) >= {"machineId", "temperature", "vibration", "timestamp"}
