@@ -38,8 +38,10 @@ from pyspark.sql.streaming import StreamingQuery
 from ..functions.telemetry import alert_line, parse_payload
 
 #: Firehose buffering hint parity: 300 s flush (phase3-kinesis-s3.yaml:87-88).
-#: The 5 MB size trigger has no Spark analog — documented deviation
-#: (SURVEY §7.3): time-based trigger only.
+#: The 5 MB size trigger has no Spark TRIGGER analog; this exactly-once
+#: sink is time-triggered only. Full size-OR-time BufferingHints
+#: semantics (at Firehose's own at-least-once level) live in
+#: ``buffered_sink.buffered_lake_sink`` (r13).
 LAKE_TRIGGER = "300 seconds"
 
 GOOD_PREFIX = "telemetry"  # phase3-kinesis-s3.yaml:84
