@@ -74,28 +74,36 @@ class SizeOrTimeBuffer:
         self.max_bytes = max_bytes
         self.max_secs = max_secs
         self.clock = clock
-        self.deliveries = 0
-        # Persisted last-delivery stamp: a restarted query resumes the
-        # interval from the marker instead of resetting it (Firehose's
-        # clock does not reset when a consumer restarts).
+        # Persisted last-delivery stamp AND delivery counter: a
+        # restarted query resumes the interval from the marker instead
+        # of resetting it (Firehose's clock does not reset when a
+        # consumer restarts), and delivered object names keep their
+        # monotonic delivery id across restarts (the counter would
+        # otherwise restart at delivery000000- inside the same hour
+        # prefix — never a collision thanks to the Spark part UUIDs,
+        # but a lying monitoring metric).
         self._marker = os.path.join(path, ".last_delivery")
-        self._last_flush = self._read_marker()
+        self._last_flush, self.deliveries = self._read_marker()
 
-    def _read_marker(self) -> float:
+    def _read_marker(self) -> tuple[float, int]:
         try:
             with open(self._marker) as fh:
-                return float(fh.read().strip())
-        except (OSError, ValueError):
+                lines = fh.read().splitlines()
+            t = float(lines[0].strip())
+            # pre-r14 markers carried only the stamp: counter resumes 0
+            n = int(lines[1].strip()) if len(lines) > 1 else 0
+            return t, n
+        except (OSError, ValueError, IndexError):
             # first start: the interval begins NOW, and durably so — a
             # restart must resume this interval, not restart it
             t = self.clock()
-            self._write_marker(t)
-            return t
+            self._write_marker(t, 0)
+            return t, 0
 
-    def _write_marker(self, t: float) -> None:
+    def _write_marker(self, t: float, deliveries: int) -> None:
         os.makedirs(self.path, exist_ok=True)
         with open(self._marker, "w") as fh:
-            fh.write(repr(t))
+            fh.write(f"{t!r}\n{deliveries}")
 
     def _staged_files(self) -> list[str]:
         out = []
@@ -110,20 +118,48 @@ class SizeOrTimeBuffer:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # Stage this batch (idempotent under replay: overwrite of the
-        # batch's OWN dir). Executors write the gzip parts in parallel;
-        # empty batches skip the write but still evaluate the clock.
-        if not batch_df.isEmpty():
-            (
-                batch_df.write.mode("overwrite")
-                .option("compression", "gzip")
-                .json(os.path.join(self.staging, f"batch_{batch_id}"))
-            )
+        # batch's OWN dir). Executors write the gzip parts in parallel.
+        # The write is UNCONDITIONAL: an empty batch yields zero ``.gz``
+        # parts (Spark skips empty partitions for text-based formats)
+        # and its side-file-only dir is swept below — cheaper than the
+        # former per-batch ``isEmpty()``, which planned the batch twice
+        # (one Spark job for the probe, one for the write).
+        (
+            batch_df.write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(os.path.join(self.staging, f"batch_{batch_id}"))
+        )
         self.maybe_deliver()
+
+    def _sweep(self) -> None:
+        """Remove batch dirs that hold no deliverable ``.gz`` parts.
+
+        Spark's local writes leave ``_SUCCESS`` and ``.crc`` side files
+        in every batch dir, so after promotion the dir is never empty —
+        without deleting those leftovers first, staging would keep one
+        dir per micro-batch FOREVER and ``_staged_files()`` would walk
+        the whole history each trigger (O(history), breaking the
+        O(flush budget) scale contract). Any dir still holding a
+        ``.gz`` (e.g. one being retried after a crash mid-promotion)
+        is left alone."""
+        for root, dirs, files in list(os.walk(self.staging, topdown=False)):
+            if root == self.staging:
+                continue
+            if any(f.endswith(".gz") for f in files):
+                continue
+            for f in files:  # committer side files only at this point
+                try:
+                    os.remove(os.path.join(root, f))
+                except OSError:
+                    pass
+            if not os.listdir(root):
+                os.rmdir(root)
 
     def maybe_deliver(self, force: bool = False) -> int:
         """Promote staged files if a BufferingHints condition holds.
         Returns the number of files delivered (0 = no flush due)."""
         now = self.clock()
+        self._sweep()
         staged = self._staged_files()
         if not staged:
             # Firehose delivers nothing on an empty buffer; the
@@ -131,7 +167,7 @@ class SizeOrTimeBuffer:
             # is not flushed instantly by a long-expired timer.
             if now - self._last_flush >= self.max_secs:
                 self._last_flush = now
-                self._write_marker(now)
+                self._write_marker(now, self.deliveries)
             return 0
         due = (
             force
@@ -162,13 +198,12 @@ class SizeOrTimeBuffer:
             )
             os.replace(src, dst)  # atomic per file
             moved += 1
-        # sweep empty batch dirs so staged_bytes stays a small walk
-        for root, dirs, files in list(os.walk(self.staging, topdown=False)):
-            if root != self.staging and not dirs and not files:
-                os.rmdir(root)
+        # sweep the now-.gz-free batch dirs (side files included) so
+        # staged_bytes stays an O(flush budget) walk, never O(history)
+        self._sweep()
         self.deliveries += 1
         self._last_flush = now
-        self._write_marker(now)
+        self._write_marker(now, self.deliveries)
         return moved
 
 

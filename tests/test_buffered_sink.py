@@ -152,6 +152,50 @@ def test_marker_survives_restart(spark, tmp_path):
     assert buf2.maybe_deliver() > 0  # 301s since the ORIGINAL start
 
 
+def test_staging_swept_clean_after_delivery(spark, tmp_path):
+    """r14 (r13 ADVICE): promotion must leave staging EMPTY — Spark's
+    local writes leave _SUCCESS/.crc side files in each batch dir, and
+    without sweeping them the dirs survive rmdir forever, making every
+    staged_bytes() walk O(history) instead of O(flush budget)."""
+    clock = FakeClock()
+    buf = SizeOrTimeBuffer(
+        str(tmp_path), max_bytes=10**9, max_secs=10**9, clock=clock
+    )
+    for b in range(3):
+        buf(_frame(spark, 10, tag=str(b)), b)
+    # empty batches leave side-file-only dirs too; they must be swept
+    buf(_frame(spark, 0), 3)
+    assert buf.maybe_deliver(force=True) > 0
+    assert os.listdir(buf.staging) == []  # no batch dirs survive
+
+
+def test_delivery_counter_survives_restart(spark, tmp_path):
+    """r14 (r13 ADVICE): the delivery counter in delivered object names
+    is persisted beside the interval marker — a restarted buffer keeps
+    numbering monotonically instead of restarting at delivery000000-
+    inside the same hour prefix."""
+    clock = FakeClock()
+    buf = SizeOrTimeBuffer(
+        str(tmp_path), max_bytes=10**9, max_secs=10**9, clock=clock
+    )
+    buf(_frame(spark, 5), 0)
+    buf.maybe_deliver(force=True)
+    assert buf.deliveries == 1
+    # "crash" and restart: counter resumes from the marker
+    buf2 = SizeOrTimeBuffer(
+        str(tmp_path), max_bytes=10**9, max_secs=10**9, clock=clock
+    )
+    assert buf2.deliveries == 1
+    buf2(_frame(spark, 5), 1)
+    buf2.maybe_deliver(force=True)
+    names = [os.path.basename(f) for f in _delivered(str(tmp_path))]
+    assert any(n.startswith("delivery000000-") for n in names)
+    assert any(n.startswith("delivery000001-") for n in names)
+    assert not any(
+        n.startswith("delivery000000-batch_1-") for n in names
+    )  # the post-restart delivery did NOT reuse id 0
+
+
 def test_buffered_lake_sink_end_to_end(spark, tmp_path):
     """The real sink over an availableNow stream: stage via
     foreachBatch, drain-on-shutdown, byte parity on the content."""
