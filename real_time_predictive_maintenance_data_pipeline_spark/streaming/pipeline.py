@@ -105,8 +105,12 @@ def quarantine_split(
     the only thing standing between a parsed +Inf and a killed MLlib
     scoring micro-batch ("Vector values MUST NOT be NaN or Infinity").
     Measure-invalid rows are re-serialized via ``to_json`` so the
-    quarantine sink sees one string column either way. Both outputs
-    stay plain filters — stateless, no shuffle."""
+    quarantine sink sees one string column either way, and every
+    quarantined row carries a ``_reason`` tag (``parse`` — the payload
+    never parsed — vs ``measure`` — it parsed but a reading violated
+    the envelope), matching the batch boundary's reason-tagged split
+    and making the quarantine prefix triageable without re-parsing.
+    Both outputs stay plain filters — stateless, no shuffle."""
     from ..operators.quarantine import nonfinite_pred
 
     if bounds is None:
@@ -121,7 +125,12 @@ def quarantine_split(
             F.to_json(
                 F.struct("machineId", "temperature", "vibration", "timestamp")
             ),
-        ).alias("value")
+        ).alias("value"),
+        # a parse failure nulls the measures, so the two legs are
+        # disjoint: _corrupt set → "parse", else the measure envelope
+        F.when(F.col("_corrupt").isNotNull(), F.lit("parse"))
+        .otherwise(F.lit("measure"))
+        .alias("_reason"),
     )
     return good, bad
 
@@ -171,13 +180,19 @@ def lake_sink(
 def quarantine_sink(
     bad: DataFrame, path: str, checkpoint: str, available_now: bool = False
 ) -> StreamingQuery:
-    """O15: failed payloads land verbatim under ``telemetry_errors/``."""
+    """O15: failed payloads land verbatim under ``telemetry_errors/``,
+    partitioned by quarantine reason (``_reason=parse`` /
+    ``_reason=measure``) when the split tagged one — the prefix itself
+    answers "malformed wire bytes or out-of-envelope reading?" with no
+    re-parse, at zero row cost (partition value rides the path)."""
     writer = (
         bad.writeStream.format("text")
         .option("path", f"{path}/{ERROR_PREFIX}")
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+    if "_reason" in bad.columns:
+        writer = writer.partitionBy("_reason")
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

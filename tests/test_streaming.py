@@ -207,9 +207,11 @@ def test_lake_sink_gzip_partitioned(spark, payload_dir, tmp_path):
     assert len(recs) == N_GOOD
     assert set(recs[0]) == {"machineId", "temperature", "vibration", "timestamp"}
 
-    err_files = glob.glob(f"{lake}/telemetry_errors/*.txt")
+    err_files = glob.glob(f"{lake}/telemetry_errors/_reason=*/*.txt")
     err_lines = [ln for f in err_files for ln in open(f).read().splitlines() if ln]
     assert len(err_lines) == 2  # both non-empty bad payloads
+    # both fixture failures are parse failures; reason rides the path
+    assert {f.split("_reason=")[1].split("/")[0] for f in err_files} == {"parse"}
 
 
 def test_dedup_within_watermark(spark, payload_dir, tmp_path):
