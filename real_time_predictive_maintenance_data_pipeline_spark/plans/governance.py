@@ -3107,6 +3107,90 @@ def lake_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake_replay_audit_approx",
+    oracle="""
+SELECT table_name, n_rows, n_distinct, TRUE AS approx_ok
+FROM (
+  SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer)) AS BIGINT) AS n_distinct FROM customer
+  UNION ALL
+  SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM documents)) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM embeddings)) AS BIGINT) FROM embeddings
+  UNION ALL
+  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM events)) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM nation)) AS BIGINT) FROM nation
+  UNION ALL
+  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM orders)) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'part', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM part)) AS BIGINT) FROM part
+  UNION ALL
+  SELECT 'region', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM region)) AS BIGINT) FROM region
+  UNION ALL
+  SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+         CAST((SELECT COUNT(*) FROM (SELECT DISTINCT * FROM supplier)) AS BIGINT) FROM supplier
+)
+ORDER BY table_name
+""",
+    tags=("audit", "quality", "approx"),
+)
+def lake_replay_audit_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free replay MONITOR — the documented 100 TB twin of
+    ``lake_replay_audit``: ``approx_count_distinct`` (HLL++, rsd 0.02)
+    over a 64-bit full-row fingerprint (``xxhash64`` of every column)
+    instead of a full-row ``distinct()``. The sketch merges map-side —
+    no shuffle of data rows, O(sketch) per partition — so at 100 TB
+    this runs as a scan while the exact audit costs the dedup shuffle.
+
+    Driver evidence is the ε-gate ITSELF, hash-green: ``approx_ok`` is
+    computed in Spark as |approx − exact| ≤ 5 % · exact and compared
+    against the oracle's literal TRUE — HLL++ is deterministic for
+    fixed input, so this is a stable assertion, not a flaky tolerance
+    (same pattern pinned locally for rsd robustness in
+    ``tests/test_replay_inputs.py``). The exact-distinct column rides
+    along only to anchor the gate; production monitoring runs the
+    approx side alone, escalating to ``lake_replay_audit`` (and the
+    keyed-write recovery recipe) only when the estimate drifts.
+    """
+    from functools import reduce
+
+    frames = []
+    for name in LAKE_TABLES_ALL:
+        df = _t(spark, sf_dir, name)
+        fp = df.select(F.xxhash64(*df.columns).alias("fp"))
+        est = fp.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.approx_count_distinct("fp", 0.02).alias("n_approx"),
+        )
+        dis = df.distinct().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+        )
+        frames.append(
+            est.crossJoin(F.broadcast(dis)).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                "n_distinct",
+                (
+                    F.abs(F.col("n_approx") - F.col("n_distinct"))
+                    <= 0.05 * F.col("n_distinct")
+                ).alias("approx_ok"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames).orderBy("table_name")
+
+
+@register(
     "events_time_to_convert",
     oracle="""
 WITH f AS (

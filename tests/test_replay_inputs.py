@@ -171,3 +171,34 @@ def test_every_query_survives_after_replay_dedup(spark, replay_cleaned_sf_dir):
     crisp, bad = walk_catalog(spark, replay_cleaned_sf_dir)
     assert not bad, f"replay dedup did not make the catalog safe: {bad}"
     assert crisp <= ESTIMATOR_CRISP_OK, f"unexpected crisp failures: {crisp}"
+
+
+def test_lake_replay_audit_approx_within_epsilon(spark):
+    """The shuffle-free monitor twin (r14): the HLL++ fingerprint
+    estimate must sit within the 5 % gate of exact full-row distinct on
+    every lake table — `approx_ok` is the in-plan assertion the driver
+    hash-checks against the oracle's literal TRUE, and this pins it
+    locally too (deterministic: HLL++ is exact-input → exact-sketch,
+    so this is a stable bound, not a tolerance that can flake)."""
+    rows = (
+        all_queries()["lake_replay_audit_approx"].spark(spark, SF_SMOKE).collect()
+    )
+    assert {r.table_name for r in rows} == set(LAKE_TABLES_ALL)
+    for r in rows:
+        assert r.approx_ok, f"{r.table_name}: approx drifted past 5% of exact"
+        assert r.n_rows == r.n_distinct  # clean fixtures stay dupe-free
+
+
+def test_lake_replay_audit_approx_detects_heavy_replay(spark, replayed_sf_dir):
+    """On the poisoned lake (every 5th row duplicated) the monitor's
+    n_rows/n_distinct gap is visible through the approx path: the
+    estimate tracks distinct rows, not delivered rows, so a 20 %
+    replay inflation cannot hide inside the 5 % gate."""
+    rows = (
+        all_queries()["lake_replay_audit_approx"]
+        .spark(spark, replayed_sf_dir)
+        .collect()
+    )
+    for r in rows:
+        assert r.approx_ok, f"{r.table_name}: estimate left the gate"
+        assert r.n_rows > r.n_distinct  # the replay inflation is visible
