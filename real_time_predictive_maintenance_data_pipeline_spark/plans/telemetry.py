@@ -26,23 +26,84 @@ def _model(spark: SparkSession):
     return _MODEL_CACHE["rf"]
 
 
-@register("telemetry_historical_stats", oracle=None, tags=("telemetry",))
+#: FIXED landed-output root (r14, r13 verdict task 6): a couple of
+#: telemetry entries gain hash-green oracles by LANDING their
+#: deterministic engine-generated input as real files and aggregating
+#: the SAME landed bytes in both engines — Spark re-reads the files,
+#: the DuckDB oracle reads them via read_parquet/read_json. The path
+#: must be a constant because the oracle SQL is a static string; the
+#: content is seeded and overwrite-idempotent, so concurrent or
+#: repeated invocations converge to identical bytes.
+_LANDED_ROOT = "/tmp/rtpmdp_landed"
+
+
+@register(
+    "telemetry_historical_stats",
+    oracle="""
+SELECT is_anomaly, n, avg_temp, avg_vib, min_vib FROM (
+  SELECT is_anomaly, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(AVG(temperature), 2) AS avg_temp,
+         ROUND(AVG(vibration), 2) AS avg_vib,
+         ROUND(MIN(vibration), 4) + 0.0 AS min_vib
+  FROM read_parquet('/tmp/rtpmdp_landed/historical/*.parquet')
+  GROUP BY is_anomaly
+)
+ORDER BY is_anomaly
+""",
+    tags=("telemetry", "eager-io"),
+)
 def telemetry_historical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded historical generator (O16–O21) sanity aggregate: exact 5 %
-    labels, per-class sensor stats, clip bound."""
-    h = historical_telemetry(spark)
-    return h.groupBy("is_anomaly").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("temperature"), 2).alias("avg_temp"),
-        F.round(F.avg("vibration"), 2).alias("avg_vib"),
-        F.round(F.min("vibration"), 4).alias("min_vib"),
+    labels, per-class sensor stats, clip bound.
+
+    Hash-green since r14 (previously rows-only): the generator's output
+    is LANDED as parquet under the fixed ``_LANDED_ROOT`` and both
+    engines aggregate the landed bytes — the streaming-side generation
+    itself is not SQL-expressible, but its materialized result is."""
+    import os
+
+    path = os.path.join(_LANDED_ROOT, "historical")
+    historical_telemetry(spark).write.mode("overwrite").parquet(path)
+    landed = spark.read.parquet(path)
+    return (
+        landed.groupBy("is_anomaly")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("temperature"), 2).alias("avg_temp"),
+            F.round(F.avg("vibration"), 2).alias("avg_vib"),
+            (F.round(F.min("vibration"), 4) + 0.0).alias("min_vib"),
+        )
+        .orderBy("is_anomaly")
     )
 
 
-@register("telemetry_stream_roundtrip", oracle=None, tags=("telemetry",))
+@register(
+    "telemetry_stream_roundtrip",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(CASE WHEN machineId IS NULL THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_bad,
+       ROUND(AVG(temperature), 2) AS avg_temp,
+       ROUND(AVG(vibration), 2) AS avg_vib
+FROM read_json('/tmp/rtpmdp_landed/wire/*.txt',
+               format = 'newline_delimited',
+               columns = {machineId: 'VARCHAR', temperature: 'DOUBLE',
+                          vibration: 'DOUBLE', timestamp: 'BIGINT'})
+""",
+    tags=("telemetry", "eager-io"),
+)
 def telemetry_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5+O6+O24 parity loop: struct-pack → to_json → from_json →
-    validate — the serialize/parse path of the stream, batch-shaped."""
+    validate — the serialize/parse path of the stream, batch-shaped.
+
+    Hash-green since r14 (previously rows-only): the serialized wire
+    payloads are LANDED as JSON-lines text files; Spark reads them back
+    through the PERMISSIVE ``parse_payload`` path while the DuckDB
+    oracle parses the SAME landed bytes with ``read_json`` — so the
+    serialize→parse loop is checked against an independent JSON parser,
+    not just against itself."""
+    import os
+
     s = stream_telemetry_batch(spark, n=2000)
     raw = s.select(
         to_payload_json(
@@ -52,10 +113,13 @@ def telemetry_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("timestamp"),
         ).alias("value")
     )
-    parsed = raw.select(parse_payload(F.col("value")).alias("p")).select("p.*")
+    path = os.path.join(_LANDED_ROOT, "wire")
+    raw.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parsed = back.select(parse_payload(F.col("value")).alias("p")).select("p.*")
     return parsed.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("machineId").isNull().cast("int")).alias("n_bad"),
+        F.sum(F.col("machineId").isNull().cast("int")).cast("bigint").alias("n_bad"),
         F.round(F.avg("temperature"), 2).alias("avg_temp"),
         F.round(F.avg("vibration"), 2).alias("avg_vib"),
     )
@@ -334,4 +398,88 @@ def telemetry_pysource_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("timestamp").alias("ts_max"),
         )
         .orderBy("is_anomaly")
+    )
+
+
+@register(
+    "telemetry_buffered_sink",
+    oracle=None,
+    tags=("telemetry", "streaming", "eager-io"),
+)
+def telemetry_buffered_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 full BufferingHints parity as a driver-checkable query (r14,
+    r13 verdict task 3): a seeded telemetry batch is serialized to wire
+    JSON (O5/O6), split into several source files, and drained through
+    the REAL ``buffered_lake_sink`` — an availableNow stream staging
+    one source file per micro-batch (``maxFilesPerTrigger=1``) into the
+    size(``max_bytes``)-OR-time buffer, so SIZE-triggered deliveries
+    fire mid-stream exactly as Firehose's 5 MB hint would (scaled down:
+    the hint here is a few staged batches' worth). After the drain, a
+    ``force`` delivery flushes the tail — Firehose's shutdown drain.
+
+    Returns one row of delivered-object stats read back FROM THE LAKE:
+    rows landed, gzip file count, delivery count (≥2 proves the size
+    hint fired before the drain), and sensor averages over the landed
+    bytes. Engine-generated + wire/clock-dependent, so rows-only; the
+    deterministic size/time/restart semantics are pinned by
+    ``tests/test_buffered_sink.py`` with a fake clock.
+
+    Scale: staging writes are executor-parallel; the driver only
+    lists-and-renames one bounded prefix per trigger (O(flush budget),
+    never O(history) — the r13-ADVICE sweep keeps staging empty of
+    side-file-only dirs). Cites phase3-kinesis-s3.yaml:86-88."""
+    import glob
+    import os
+
+    from ..sources.scratch import scratch_dir
+    from ..streaming.buffered_sink import buffered_lake_sink
+    from ..streaming.pipeline import GOOD_PREFIX, parse_telemetry, quarantine_split
+
+    root = scratch_dir(prefix="rtpmdp_buf_")
+    src = os.path.join(root, "src")
+    lake = os.path.join(root, "lake")
+    os.makedirs(src, exist_ok=True)
+
+    n = 3000
+    wire = stream_telemetry_batch(spark, n=n).select(
+        to_payload_json(
+            F.col("machineId"),
+            F.col("temperature"),
+            F.col("vibration"),
+            F.col("timestamp"),
+        ).alias("value")
+    )
+    # six source files -> six staging micro-batches under maxFilesPerTrigger=1
+    wire.repartition(6).write.mode("overwrite").text(src)
+
+    raw = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(src)
+    )
+    good, _bad = quarantine_split(parse_telemetry(raw))
+    q, buf = buffered_lake_sink(
+        good,
+        lake,
+        os.path.join(root, "ck"),
+        max_bytes=20_000,  # a few staged batches' worth: size hint fires mid-stream
+        max_secs=10**9,  # time leg pinned by tests; this entry proves the size leg
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    size_deliveries = buf.deliveries
+    buf.maybe_deliver(force=True)  # shutdown drain for the staged tail
+
+    files = glob.glob(os.path.join(lake, GOOD_PREFIX, "*", "*", "*", "*", "*"))
+    landed = spark.read.json(os.path.join(lake, GOOD_PREFIX), recursiveFileLookup=True)
+    return landed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.avg("temperature"), 2).alias("avg_temp"),
+        F.round(F.avg("vibration"), 2).alias("avg_vib"),
+    ).select(
+        "*",
+        F.lit(len(files)).cast("bigint").alias("n_files"),
+        F.lit(all(f.endswith(".gz") for f in files)).alias("all_gzip"),
+        F.lit(size_deliveries).cast("bigint").alias("n_size_deliveries"),
+        F.lit(buf.deliveries).cast("bigint").alias("n_deliveries_total"),
     )
