@@ -130,3 +130,54 @@ def historical_telemetry(
         ).alias("vibration"),
         is_anom.alias("is_anomaly"),
     )
+
+
+def clustered_embeddings(
+    spark: SparkSession,
+    n: int = 2000,
+    dim: int = 64,
+    n_clusters: int = 20,
+    noise: float = 0.25,
+    seed: int = 7,
+) -> DataFrame:
+    """Seeded mixture-of-Gaussians embedding corpus — the CLUSTERED
+    twin of the near-random sf0.1 ``embeddings`` fixture (r13 verdict
+    task 5): real encoder embeddings concentrate around semantic modes,
+    and the ANN recall a deployment sees depends on that structure, so
+    the recall tables need a fixture that has it. Each vector is its
+    cluster's centroid (U[-1,1]^dim, hash-keyed on the cluster id) plus
+    isotropic Gaussian noise (Box–Muller over hash draws).
+
+    Every draw is ``hash_uniform``-style — keyed on row/cluster
+    identity, not ``F.rand`` task state — so the corpus is bit-stable
+    under any partitioning, retry, or plan shape (same property the
+    telemetry generator relies on for replay-stable streams).
+
+    Scale: pure per-row expression over ``spark.range`` — no driver
+    data, no shuffle; generating 10^9 vectors is a scan.
+    """
+    import math
+
+    base = spark.range(n)
+    rid = F.col("id")
+    cluster = F.pmod(F.xxhash64(rid, F.lit(seed)), F.lit(n_clusters))
+
+    def _centroid(d: int):
+        # U[-1, 1] per (cluster, dimension)
+        return hash_uniform(cluster, seed + 1_000 + d) * 2.0 - 1.0
+
+    def _gauss(d: int):
+        # Box–Muller: N(0,1) from two identity-keyed uniforms;
+        # 1-u1 lies in (0, 1], so the log is always finite
+        u1 = hash_uniform(rid, seed + 10_000 + 2 * d)
+        u2 = hash_uniform(rid, seed + 10_000 + 2 * d + 1)
+        return F.sqrt(-2.0 * F.log(1.0 - u1)) * F.cos(2.0 * math.pi * u2)
+
+    emb = F.array(
+        *[(_centroid(d) + noise * _gauss(d)).cast("float") for d in range(dim)]
+    )
+    return base.select(
+        rid.cast("int").alias("vec_id"),
+        cluster.cast("int").alias("cluster_id"),
+        emb.alias("embedding"),
+    )

@@ -409,3 +409,65 @@ def test_sf01_recall_floors(spark):
     )
     assert r_ivfpq >= 0.18, f"IVF-PQ recall@10 fell to {r_ivfpq:.3f}"
     e.unpersist()
+
+
+@pytest.mark.slow
+def test_clustered_recall_floors(spark):
+    """Clustered-fixture recall pins (r14, r13 verdict task 5): the
+    sf0.1 fixture's near-random vectors are a recall FLOOR with no
+    neighborhood structure; this is the encoder-like counterpart —
+    ``clustered_embeddings`` (2000 x 64 mixture-of-Gaussians, 20
+    clusters, noise 0.25). Measured r14 (tools/bench_ann_recall.py
+    --clustered):
+
+    - IVF is effectively EXACT at nprobe=2/16 (recall 1.000): a
+      query's neighbors share its cluster, and KMeans cells align with
+      clusters — the regime a real deployment sits in.
+    - PQ-ADC at the default m=16/k=16 drops to 0.200 (vs 0.346 on the
+      random fixture): all cluster members share near-identical codes,
+      so intra-cluster ranking is where quantization error bites. The
+      (m, k) knob recovers it — 0.684 at m=32/k=64, 0.840 at
+      m=32/k=256 — which is exactly the memory/recall trade the
+      SCALING.md table documents.
+
+    Floors leave margin for KMeans-seed sensitivity, not regressions."""
+    import numpy as np
+
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.generator import (
+        clustered_embeddings,
+    )
+
+    k, nq = 10, 25
+    e = clustered_embeddings(spark).drop("cluster_id").cache()
+    q = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def topk(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    def recall(got, truth):
+        return sum(
+            len(got.get(i, set()) & truth[i]) / k for i in truth
+        ) / len(truth)
+
+    cos_truth = topk(S.brute_force_topk(e, q, k=k))
+    r_ivf = recall(topk(S.ivf_topk(e, q, k=k, nlist=16, nprobe=2)), cos_truth)
+    assert r_ivf >= 0.85, f"clustered IVF 2/16 recall@10 fell to {r_ivf:.3f}"
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    l2_truth = {}
+    for qid in range(nq):
+        d = sorted(
+            (float(np.sum((v - vecs[qid]) ** 2)), vid)
+            for vid, v in vecs.items()
+            if vid != qid
+        )
+        l2_truth[qid] = {vid for _, vid in d[:k]}
+    books = S.pq_train_codebooks(e, m=32, k=64)
+    r_pq = recall(topk(S.pq_adc_topk(e, books, q, k=k, m=32)), l2_truth)
+    assert r_pq >= 0.5, f"clustered PQ-ADC m=32 k=64 recall@10 fell to {r_pq:.3f}"
+    e.unpersist()

@@ -20,7 +20,16 @@ not an engine pattern). Parameters mirror the catalog entries
 
 Prints a markdown table for SCALING.md.
 
-Usage: python tools/bench_ann_recall.py [sf_dir] [n_queries]
+``--clustered`` (r14, r13 verdict task 5) swaps the corpus for the
+seeded mixture-of-Gaussians fixture (``sources.generator.
+clustered_embeddings``: 2000 x 64, 20 clusters, noise 0.25) at the
+same shape — the sf0.1 fixture's near-random vectors are a recall
+FLOOR (no neighborhood structure for cells/codes to exploit); the
+clustered fixture shows the recall a real encoder corpus would get.
+The clustered run also sweeps the PQ (m, k) grid, the
+memory-vs-recall knob a deployment tunes.
+
+Usage: python tools/bench_ann_recall.py [sf_dir] [n_queries] [--clustered]
 """
 
 from __future__ import annotations
@@ -59,17 +68,28 @@ def _collect_topk(df, qcol="query_id", vcol="vec_id") -> dict[int, set[int]]:
 def main() -> None:
     import numpy as np
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    nq = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    argv = [a for a in sys.argv[1:] if a != "--clustered"]
+    clustered = "--clustered" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    nq = int(argv[1]) if len(argv) > 1 else 50
     spark = get_spark("bench-ann-recall")
     spark.sparkContext.setLogLevel("ERROR")
 
-    e = load_table(spark, sf_dir, "embeddings")
+    if clustered:
+        from real_time_predictive_maintenance_data_pipeline_spark.sources.generator import (
+            clustered_embeddings,
+        )
+
+        e = clustered_embeddings(spark).drop("cluster_id").cache()
+        label = "clustered MoG 2000x64 (20 clusters, noise 0.25)"
+    else:
+        e = load_table(spark, sf_dir, "embeddings")
+        label = sf_dir
     q = e.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     n = e.count()
-    print(f"corpus {n} vectors, {nq} queries, k={K}  ({sf_dir})\n")
+    print(f"corpus {n} vectors, {nq} queries, k={K}  ({label})\n")
 
     # exact ground truths
     cos_truth = _collect_topk(S.brute_force_topk(e, q, k=K))
@@ -108,6 +128,18 @@ def main() -> None:
     )
     rows.append(("ivf_pq_topk nprobe=6/16 m=16", "euclidean",
                  _recall(got, l2_truth), time.perf_counter() - t0))
+
+    if clustered:
+        # (m, k) sweep: the PQ memory/recall knob — code bytes per
+        # vector = m, table cost = m*k; recall should rise with both
+        for m, k in ((8, 16), (16, 16), (16, 64), (32, 64), (32, 256)):
+            books = S.pq_train_codebooks(e, m=m, k=k)
+            t0 = time.perf_counter()
+            got = _collect_topk(S.pq_adc_topk(e, books, q, k=K, m=m))
+            rows.append(
+                (f"pq_adc_topk m={m} k={k}", "euclidean",
+                 _recall(got, l2_truth), time.perf_counter() - t0)
+            )
 
     print("| method | ground truth | recall@10 | wall s |")
     print("|---|---|---|---|")
