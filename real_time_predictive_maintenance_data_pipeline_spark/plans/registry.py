@@ -75,26 +75,114 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 13
+_ROTATED_FOR_ROUND = 14
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # ROUND-13 STEADY-STATE WINDOW (tools/plan_next_window.py proposal
-    # regenerated at round start; digests byte-identical to the r12
-    # boundary — zero plan changes pending, so no mandatory plan-change
-    # rechecks this round). Composition per the r12 verdict plan:
-    # - doc_ngram_novelty / emb_coreset_per_label: the two aged names
-    #   displaced mid-r12 by the new lake_temporal/lake_dim boundary
-    #   entries (hand-front-loaded per policy).
-    # - then the remaining r04 block (doc_vocab_growth .. 
-    #   rel_session_window_builtin) and the oldest r05 slice.
-    # The planner's 2 annotated boundary-vs-boundary diffs
-    # (ml_als_recommend, rel_recursive_cte) are the r12 digest-tool
-    # re-baseline (CTE/UnionLoop/object-encoder counter normalizers),
-    # NOT plan edits — verified by regenerating digests pre-edit this
-    # round: working tree vs r12 boundary was byte-identical.
-    # - lake_replay_audit is NEW (added mid-r13): the delivery-replay
-    #   leg of the lake boundary (tests/test_replay_inputs.py, tenth
-    #   audit). Displaces rel_parameterized_sql (newest aged fill).
+    # ROUND-14 WINDOW (regenerated via tools/plan_next_window.py at
+    # round start; PLAN_DIGESTS regenerated pre-rotation: ZERO digests
+    # changed vs the r13 boundary, so there are no plan-change
+    # rechecks — the mandatory section is new/oracle-changed entries):
+    # - lake_replay_audit_approx: NEW (r13 verdict task 7) — the
+    #   shuffle-free approx-fingerprint replay monitor, hash-green via
+    #   the in-plan epsilon gate.
+    # - telemetry_buffered_sink: NEW (r13 verdict task 3) — driver
+    #   evidence for the r13 BufferingHints sink (rows-only, eager-io).
+    # - telemetry_historical_stats / telemetry_stream_roundtrip:
+    #   ORACLE TEXT CHANGED (r13 verdict task 6) — converted from
+    #   rows-only to hash-green landed-output oracles; mandatory
+    #   re-verification of the new comparison.
+    # Then the 46 oldest aged names (r05/r06/r07 evidence) per the
+    # steady-state least-recently-checked rotation.
+    "lake_replay_audit_approx",
+    "telemetry_buffered_sink",
+    "telemetry_historical_stats",
+    "telemetry_stream_roundtrip",
+    "rel_parameterized_sql",
+    "doc_dsir_importance",
+    "rel_rfm_segmentation",
+    "rel_abc_classification",
+    "rel_yoy_growth",
+    "rel_gini_coefficient",
+    "rel_herfindahl_index",
+    "rel_entropy_by_group",
+    "rel_percent_of_total",
+    "rel_top_decile_ratio",
+    "events_dau_stickiness",
+    "events_interarrival_stats",
+    "events_autocorr_lag1",
+    "events_power_user_share",
+    "ts_bollinger_bands",
+    "ts_max_drawdown",
+    "events_weekday_profile",
+    "ts_xmr_control",
+    "doc_ttr",
+    "doc_hapax_ratio",
+    "doc_word_len_profile",
+    "rel_pivot_multi_agg",
+    "rel_collect_sorted_string",
+    "rel_word_positions",
+    "rel_reorder_gaps",
+    "rel_date_spine_fill",
+    "rel_weighted_avg_price",
+    "rel_self_excluding_avg",
+    "graph_degree_histogram",
+    "graph_jaccard_pairs",
+    "emb_norm_quantiles",
+    "emb_simhash_bits",
+    "doc_shingle_uniqueness",
+    "ml_brier_calibration",
+    "rel_json_props_stats",
+    "rel_cohort_ltv",
+    "events_cumulative_users",
+    "rel_new_vs_returning",
+    "doc_js_divergence",
+    "ts_naive_forecast_error",
+    "events_hourly_heatmap",
+    "rel_order_linecount_dist",
+    "rel_grouping_id",
+    "rel_abc_prefix2",
+    "rel_rfm_bucketed",
+    "rel_srm_check",
+)
+
+_WINDOW_PRIORITY: tuple[str, ...] = (
+    # Empty under the ROUND-8+ STEADY-STATE POLICY (recorded per the r6
+    # verdict's task 6): every catalog name has a driver row since r7,
+    # so the window stops chasing coverage and becomes a ROTATING
+    # RECHECK: pack _RECHECK_FIRST with (a) any query whose Spark plan
+    # or oracle text changed this round (mandatory), then (b) the
+    # least-recently-driver-checked 50-name slice of the catalog in age
+    # order (ties by registration order), so the whole catalog re-earns
+    # driver evidence roughly every 6-7 rounds. New queries enter only
+    # to serve a real SURVEY gap and go to the front of the next
+    # window. sf0.1 sweeps via tools/sweep_catalog.py remain the
+    # pre-commit gate for any float-sensitive change.
+    # tools/plan_next_window.py prints the ready-to-paste proposal and
+    # lists latest-round FAILURES as mandatory rechecks.
+    # "Spark plan changed" is detected MECHANICALLY since r9: regenerate
+    # PLAN_DIGESTS.json (python tools/plan_digest.py) after operator
+    # edits and commit it; the planner diffs it against the copy at the
+    # last round boundary and lists changed names as mandatory — the r8
+    # ADVICE gap (changed sim_*/dedup_clusters/mm_* plans missing their
+    # recheck) cannot silently recur. Since r11 the planner ALSO diffs
+    # the digests committed at the last TWO round boundaries, so an
+    # edit committed in the same snapshot as its regenerated digest
+    # file (the r9 blind spot) is flagged one boundary later.
+    # STALL POLICY (r10 post-mortem, keep deliberately): a round that
+    # produces no commits leaves _ROTATED_FOR_ROUND stale, which fails
+    # tools/check_window.py and turns the pytest suite red at the next
+    # boundary. That red test is the INTENDED loud signal that a round
+    # was skipped — diagnose by comparing _ROTATED_FOR_ROUND against
+    # PROGRESS.jsonl's round counter (a `"turns": 0` line = the round
+    # never ran); the fix is always "rotate the window", never "relax
+    # the check".
+)
+
+_DRIVER_VERIFIED: tuple[str, ...] = (
+    # Cumulative r01-r13 green names (zero failures across thirteen
+    # rounds), MINUS the 50 names rotated into the r14 recheck window
+    # above. Under the steady-state policy this list tracks
+    # "not in the current recheck window".
     "lake_replay_audit",
     "doc_ngram_novelty",
     "emb_coreset_per_label",
@@ -145,101 +233,16 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "ml_kaplan_meier",
     "src_bucketed_groupby",
     "rel_sql_udf",
-)
-
-_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Empty under the ROUND-8+ STEADY-STATE POLICY (recorded per the r6
-    # verdict's task 6): every catalog name has a driver row since r7,
-    # so the window stops chasing coverage and becomes a ROTATING
-    # RECHECK: pack _RECHECK_FIRST with (a) any query whose Spark plan
-    # or oracle text changed this round (mandatory), then (b) the
-    # least-recently-driver-checked 50-name slice of the catalog in age
-    # order (ties by registration order), so the whole catalog re-earns
-    # driver evidence roughly every 6-7 rounds. New queries enter only
-    # to serve a real SURVEY gap and go to the front of the next
-    # window. sf0.1 sweeps via tools/sweep_catalog.py remain the
-    # pre-commit gate for any float-sensitive change.
-    # tools/plan_next_window.py prints the ready-to-paste proposal and
-    # lists latest-round FAILURES as mandatory rechecks.
-    # "Spark plan changed" is detected MECHANICALLY since r9: regenerate
-    # PLAN_DIGESTS.json (python tools/plan_digest.py) after operator
-    # edits and commit it; the planner diffs it against the copy at the
-    # last round boundary and lists changed names as mandatory — the r8
-    # ADVICE gap (changed sim_*/dedup_clusters/mm_* plans missing their
-    # recheck) cannot silently recur. Since r11 the planner ALSO diffs
-    # the digests committed at the last TWO round boundaries, so an
-    # edit committed in the same snapshot as its regenerated digest
-    # file (the r9 blind spot) is flagged one boundary later.
-    # STALL POLICY (r10 post-mortem, keep deliberately): a round that
-    # produces no commits leaves _ROTATED_FOR_ROUND stale, which fails
-    # tools/check_window.py and turns the pytest suite red at the next
-    # boundary. That red test is the INTENDED loud signal that a round
-    # was skipped — diagnose by comparing _ROTATED_FOR_ROUND against
-    # PROGRESS.jsonl's round counter (a `"turns": 0` line = the round
-    # never ran); the fix is always "rotate the window", never "relax
-    # the check".
-)
-
-_DRIVER_VERIFIED: tuple[str, ...] = (
-    "rel_parameterized_sql",
-    # Cumulative r01-r12 green names (zero failures across twelve
-    # rounds), MINUS the 50 names rotated into the r13 recheck window
-    # above. Under the steady-state policy this list tracks
-    # "not in the current recheck window".
-    "rel_rfm_segmentation",
-    "rel_abc_classification",
-    "rel_abc_prefix2",
-    "rel_rfm_bucketed",
-    "rel_yoy_growth",
-    "rel_gini_coefficient",
-    "rel_herfindahl_index",
-    "rel_entropy_by_group",
-    "rel_percent_of_total",
-    "rel_top_decile_ratio",
-    "events_dau_stickiness",
-    "events_interarrival_stats",
-    "events_autocorr_lag1",
-    "events_power_user_share",
-    "ts_bollinger_bands",
-    "ts_max_drawdown",
-    "events_weekday_profile",
-    "ts_xmr_control",
-    "doc_ttr",
-    "doc_hapax_ratio",
-    "doc_word_len_profile",
     "ml_roc_auc",
     "ml_lift_deciles",
     "ml_roc_auc_hist",
     "ml_lift_bucketed",
     "ml_confusion_threshold",
     "ml_ndcg_at_k",
-    "rel_pivot_multi_agg",
-    "rel_collect_sorted_string",
-    "rel_word_positions",
-    "rel_reorder_gaps",
-    "rel_date_spine_fill",
-    "rel_weighted_avg_price",
     "rel_geo_harmonic_means",
-    "rel_self_excluding_avg",
-    "graph_degree_histogram",
-    "graph_jaccard_pairs",
-    "emb_norm_quantiles",
-    "emb_simhash_bits",
-    "doc_shingle_uniqueness",
-    "ml_brier_calibration",
     "ml_precision_at_k",
-    "rel_json_props_stats",
-    "rel_cohort_ltv",
-    "events_cumulative_users",
-    "rel_new_vs_returning",
-    "doc_js_divergence",
-    "ts_naive_forecast_error",
-    "events_hourly_heatmap",
-    "rel_order_linecount_dist",
-    "rel_grouping_id",
     "emb_dim_variance_topk",
     "rel_cuped_adjustment",
-    "rel_srm_check",
     "rel_experiment_mde",
     "rel_bootstrap_ci",
     "rel_skew_report",
@@ -335,7 +338,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "emb_dim_stats",
     "emb_centroid_outliers",
     "doc_domain_mix_weights",
-    "doc_dsir_importance",
     "mm_phash_neardup",
     "emb_pq_codes",
     "sim_pq_adc_topk",
@@ -445,8 +447,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_observe_metrics",
     "rel_heavy_hitters",
     "ts_ewma_last",
-    "telemetry_historical_stats",
-    "telemetry_stream_roundtrip",
     "telemetry_mqtt_roundtrip",
     "telemetry_mqtt_wildcard",
     "telemetry_score_500k",
