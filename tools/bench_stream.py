@@ -47,6 +47,14 @@ ladder measures the durable write leg instead of the scoring leg
 columns are blank in this mode (no foreachBatch probe inside the
 sink); kept-up derives from consumption alone.
 
+``--buffered`` (r14) swaps in the at-least-once BufferingHints twin
+instead — ``buffered_lake_sink``: per-trigger gzip staging plus
+size(5 MB)-OR-time(300 s) promotion (streaming/buffered_sink.py). At
+ladder rates the 5 MB size hint fires continuously, so the run
+measures the staged-write + driver-side promotion cost against
+``--lake``'s exactly-once commit log; the table's kept-up column plus
+the printed delivery count are the SCALING.md row.
+
 ``--restart`` measures failure RECOVERY instead of steady state: run
 the chain for ``--secs``, stop it, stay down ``--down`` seconds (the
 rate source is wall-clock anchored, so the backlog is real), restart
@@ -58,7 +66,7 @@ SURVEY §2.3 recovery row).
 
 Usage: python tools/bench_stream.py [--rates 25000,100000,400000]
          [--secs 20] [--machines 1000] [--partitions 8] [--dedup]
-         [--rocksdb] [--restart] [--down 15]
+         [--rocksdb] [--lake | --buffered] [--restart] [--down 15]
 Prints a markdown table ready to paste into SCALING.md.
 """
 
@@ -114,6 +122,7 @@ def run_rate(
     partitions: int,
     dedup: bool,
     lake: bool = False,
+    buffered: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -129,9 +138,20 @@ def run_rate(
         good = dedup_stream(good).drop("event_time")
 
     lag_samples: list[tuple[int, int, float, float]] = []
+    buf = None
 
     with tempfile.TemporaryDirectory() as ckpt, tempfile.TemporaryDirectory() as lakedir:
-        if lake:
+        if buffered:
+            # the at-least-once BufferingHints twin: stage every trigger,
+            # deliver on the REAL 5 MB size hint (time leg 300 s never
+            # fires inside a ladder run) — measures the staged-write +
+            # promotion cost vs lake_sink's exactly-once commit log
+            from real_time_predictive_maintenance_data_pipeline_spark.streaming.buffered_sink import (
+                buffered_lake_sink,
+            )
+
+            q, buf = buffered_lake_sink(good, lakedir, ckpt, trigger="1 second")
+        elif lake:
             from real_time_predictive_maintenance_data_pipeline_spark.streaming.pipeline import (
                 lake_sink,
             )
@@ -181,13 +201,10 @@ def run_rate(
     steady_lags = [s for s in lag_samples if s[0] >= 3]
     max_lags = [s[3] for s in steady_lags]
     min_lags = [s[2] for s in steady_lags]
-    if lake:
+    if lake or buffered:
         # no per-batch probe inside the file sink: grade on consumption
-        consumed_only = sum(p["numInputRows"] for p in steady) / (
-            sum(p["durationMs"]["triggerExecution"] for p in steady) / 1000.0
-        )
-        proc = [p["processedRowsPerSecond"] for p in steady]
-        batch_ms = [p["durationMs"]["triggerExecution"] for p in steady]
+        # (rows_in / span — already computed above for the scored path)
+        consumed = rows_in / span if span else 0.0
         return {
             "rate": rate,
             "batches": len(steady),
@@ -196,8 +213,9 @@ def run_rate(
             "batch_ms_p95": _percentile(batch_ms, 0.95),
             "lag_p50": float("nan"),
             "lag_max": float("nan"),
-            "kept_up": consumed_only >= 0.98 * rate,
-            "consumed": consumed_only,
+            "kept_up": consumed >= 0.98 * rate,
+            "consumed": consumed,
+            "deliveries": buf.deliveries if buf is not None else None,
         }
     # Kept up = consuming at the offered rate and lag not growing:
     # compare mean max-lag of the last third vs the middle third.
@@ -313,6 +331,7 @@ def main() -> None:
     ap.add_argument("--dedup", action="store_true")
     ap.add_argument("--rocksdb", action="store_true")
     ap.add_argument("--lake", action="store_true")
+    ap.add_argument("--buffered", action="store_true")
     ap.add_argument("--restart", action="store_true")
     ap.add_argument("--down", type=int, default=15)
     args = ap.parse_args()
@@ -337,6 +356,11 @@ def main() -> None:
         variant = (
             "parse→quarantine→lake_sink (gzip JSON, y/m/d/h partitions)"
             + ("+dedup" if args.dedup else "")
+        )
+    if args.buffered:
+        variant = (
+            "parse→quarantine→buffered_lake_sink (BufferingHints 5MB/300s, "
+            "at-least-once)" + ("+dedup" if args.dedup else "")
         )
     if args.rocksdb:
         variant += " [RocksDB state store + changelog checkpointing]"
@@ -374,6 +398,7 @@ def main() -> None:
             args.partitions,
             args.dedup,
             args.lake,
+            args.buffered,
         )
         if "error" in r:
             print(f"| {r['rate']:,} | {r['error']} |")
@@ -387,7 +412,13 @@ def main() -> None:
             f"| {r['rate']:,} | {r['batches']} | {r['proc_p50']:,.0f} | "
             f"{r['batch_ms_p50']:.0f}/{r['batch_ms_p95']:.0f} | "
             f"{lag} | "
-            f"{'YES' if r['kept_up'] else 'NO (' + format(r['consumed'], ',.0f') + ' consumed)'} |"
+            f"{'YES' if r['kept_up'] else 'NO (' + format(r['consumed'], ',.0f') + ' consumed)'}"
+            + (
+                f" | {r['deliveries']} deliveries"
+                if r.get("deliveries") is not None
+                else ""
+            )
+            + " |"
         )
     spark.stop()
 
