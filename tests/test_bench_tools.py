@@ -63,6 +63,30 @@ def test_bench_stream_lake_smoke():
 
 
 @pytest.mark.slow
+def test_bench_stream_buffered_smoke():
+    p = _run(
+        "bench_stream.py", "--rates", "2000", "--secs", "6", "--partitions", "2",
+        "--buffered",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    rows = _table_rows(p.stdout)
+    assert len(rows) == 1, p.stdout[-1000:]
+    assert "deliveries" in rows[0]  # buffered mode reports the promotion count
+
+
+@pytest.mark.slow
+def test_bench_stream_noop_smoke():
+    p = _run(
+        "bench_stream.py", "--rates", "2000", "--secs", "6", "--partitions", "2",
+        "--noop",
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    rows = _table_rows(p.stdout)
+    assert len(rows) == 1, p.stdout[-1000:]
+    assert "—" in rows[0]  # noop mode has no event-lag probe
+
+
+@pytest.mark.slow
 def test_bench_mqtt_smoke():
     p = _run("bench_mqtt.py", "--n", "500", "--partitions", "1")
     assert p.returncode == 0, p.stderr[-2000:]

@@ -47,6 +47,14 @@ ladder measures the durable write leg instead of the scoring leg
 columns are blank in this mode (no foreachBatch probe inside the
 sink); kept-up derives from consumption alone.
 
+``--noop`` (r14) keeps the full scored chain but replaces the
+foreachBatch aggregate probe with Spark's noop sink writer — every row
+is still parsed, quarantined, scored, and formatted, but nothing is
+collected on the driver. At the ladder's failure point the probe's own
+driver-side aggregate is part of the measured ceiling; this variant
+separates the ENGINE ceiling from the harness ceiling (event-lag
+columns are blank — there is no probe to sample them).
+
 ``--buffered`` (r14) swaps in the at-least-once BufferingHints twin
 instead — ``buffered_lake_sink``: per-trigger gzip staging plus
 size(5 MB)-OR-time(300 s) promotion (streaming/buffered_sink.py). At
@@ -123,6 +131,7 @@ def run_rate(
     dedup: bool,
     lake: bool = False,
     buffered: bool = False,
+    noop: bool = False,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -157,6 +166,20 @@ def run_rate(
             )
 
             q = lake_sink(good, lakedir, ckpt, trigger="1 second")
+        elif noop:
+            alerts = scored_alert_stream(model, good)
+
+            def noop_sink(batch_df, batch_id: int) -> None:
+                # full chain executes distributed; zero driver collect
+                batch_df.write.format("noop").mode("overwrite").save()
+
+            q = (
+                alerts.writeStream.foreachBatch(noop_sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(processingTime="1 second")
+                .start()
+            )
         else:
             alerts = scored_alert_stream(model, good)
 
@@ -201,7 +224,7 @@ def run_rate(
     steady_lags = [s for s in lag_samples if s[0] >= 3]
     max_lags = [s[3] for s in steady_lags]
     min_lags = [s[2] for s in steady_lags]
-    if lake or buffered:
+    if lake or buffered or noop:
         # no per-batch probe inside the file sink: grade on consumption
         # (rows_in / span — already computed above for the scored path)
         consumed = rows_in / span if span else 0.0
@@ -332,6 +355,7 @@ def main() -> None:
     ap.add_argument("--rocksdb", action="store_true")
     ap.add_argument("--lake", action="store_true")
     ap.add_argument("--buffered", action="store_true")
+    ap.add_argument("--noop", action="store_true")
     ap.add_argument("--restart", action="store_true")
     ap.add_argument("--down", type=int, default=15)
     args = ap.parse_args()
@@ -361,6 +385,11 @@ def main() -> None:
         variant = (
             "parse→quarantine→buffered_lake_sink (BufferingHints 5MB/300s, "
             "at-least-once)" + ("+dedup" if args.dedup else "")
+        )
+    if args.noop:
+        variant = (
+            "parse→quarantine→score→alert→noop sink (no driver probe)"
+            + ("+dedup" if args.dedup else "")
         )
     if args.rocksdb:
         variant += " [RocksDB state store + changelog checkpointing]"
@@ -399,6 +428,7 @@ def main() -> None:
             args.dedup,
             args.lake,
             args.buffered,
+            args.noop,
         )
         if "error" in r:
             print(f"| {r['rate']:,} | {r['error']} |")
