@@ -228,3 +228,23 @@ def test_buffered_lake_sink_end_to_end(spark, tmp_path):
     )
     assert back.count() == 40
     assert set(back.columns) >= {"machineId", "temperature", "vibration", "timestamp"}
+
+
+def test_catalog_entry_reports_size_deliveries(spark):
+    """The driver-visible catalog entry must prove the SIZE leg fired
+    mid-stream (n_size_deliveries >= 1 before the forced drain) and
+    that every landed row survived the staged gzip roundtrip."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import (
+        all_queries,
+    )
+
+    row = (
+        all_queries()["telemetry_buffered_sink"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .first()
+    )
+    assert row.n_rows == 3000
+    assert row.all_gzip
+    assert row.n_size_deliveries >= 1  # the 5 MB-hint analog fired pre-drain
+    assert row.n_deliveries_total >= row.n_size_deliveries
+    assert row.n_files >= row.n_deliveries_total  # every delivery moved files
