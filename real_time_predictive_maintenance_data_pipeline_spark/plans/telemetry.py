@@ -26,26 +26,56 @@ def _model(spark: SparkSession):
     return _MODEL_CACHE["rf"]
 
 
-#: FIXED landed-output root (r14, r13 verdict task 6): a couple of
-#: telemetry entries gain hash-green oracles by LANDING their
-#: deterministic engine-generated input as real files and aggregating
-#: the SAME landed bytes in both engines — Spark re-reads the files,
-#: the DuckDB oracle reads them via read_parquet/read_json. The path
-#: must be a constant because the oracle SQL is a static string; the
-#: content is seeded and overwrite-idempotent, so concurrent or
-#: repeated invocations converge to identical bytes.
-_LANDED_ROOT = "/tmp/rtpmdp_landed"
+#: Landed-output root (r14, r13 verdict task 6): a couple of telemetry
+#: entries gain hash-green oracles by LANDING their deterministic
+#: engine-generated input as real files and aggregating the SAME landed
+#: bytes in both engines — Spark re-reads the files, the DuckDB oracle
+#: reads them via read_parquet/read_json. The path is computed ONCE at
+#: import (the oracle SQL strings embed it), per-uid so multi-user /tmp
+#: never collides; cross-PROCESS races are closed by ``_publish``
+#: below (write to a private per-process dir, then atomically swap a
+#: symlink at the stable path — a concurrent oracle read sees either
+#: the old or the new complete dir, and both hold identical seeded
+#: bytes, never a half-deleted overwrite).
+import os as _os
+
+_LANDED_ROOT = f"/tmp/rtpmdp_landed_{_os.getuid()}"
+
+
+def _publish(src_dir: str, name: str) -> str:
+    """Atomically point ``_LANDED_ROOT/name`` at ``src_dir`` via
+    symlink swap; returns the stable path. Best-effort removal of the
+    dir the link previously targeted keeps /tmp bounded."""
+    _os.makedirs(_LANDED_ROOT, exist_ok=True)
+    stable = _os.path.join(_LANDED_ROOT, name)
+    old_target = None
+    try:
+        old_target = _os.readlink(stable)
+    except OSError:
+        pass
+    tmp_link = f"{stable}.link.{_os.getpid()}"
+    try:
+        _os.remove(tmp_link)
+    except OSError:
+        pass
+    _os.symlink(src_dir, tmp_link)
+    _os.replace(tmp_link, stable)  # atomic pointer swap
+    if old_target and old_target != src_dir:
+        import shutil
+
+        shutil.rmtree(old_target, ignore_errors=True)
+    return stable
 
 
 @register(
     "telemetry_historical_stats",
-    oracle="""
+    oracle=f"""
 SELECT is_anomaly, n, avg_temp, avg_vib, min_vib FROM (
   SELECT is_anomaly, CAST(COUNT(*) AS BIGINT) AS n,
          ROUND(AVG(temperature), 2) AS avg_temp,
          ROUND(AVG(vibration), 2) AS avg_vib,
          ROUND(MIN(vibration), 4) + 0.0 AS min_vib
-  FROM read_parquet('/tmp/rtpmdp_landed/historical/*.parquet')
+  FROM read_parquet('{_LANDED_ROOT}/historical/*.parquet')
   GROUP BY is_anomaly
 )
 ORDER BY is_anomaly
@@ -57,13 +87,17 @@ def telemetry_historical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, per-class sensor stats, clip bound.
 
     Hash-green since r14 (previously rows-only): the generator's output
-    is LANDED as parquet under the fixed ``_LANDED_ROOT`` and both
-    engines aggregate the landed bytes — the streaming-side generation
-    itself is not SQL-expressible, but its materialized result is."""
+    is LANDED as parquet and published at the stable ``_LANDED_ROOT``
+    symlink (atomic swap — see ``_publish``), and both engines
+    aggregate the landed bytes — the streaming-side generation itself
+    is not SQL-expressible, but its materialized result is."""
     import os
 
-    path = os.path.join(_LANDED_ROOT, "historical")
-    historical_telemetry(spark).write.mode("overwrite").parquet(path)
+    from ..sources.scratch import scratch_dir
+
+    private = os.path.join(scratch_dir(prefix="rtpmdp_landed_"), "historical")
+    historical_telemetry(spark).write.parquet(private)
+    path = _publish(private, "historical")
     landed = spark.read.parquet(path)
     return (
         landed.groupBy("is_anomaly")
@@ -79,16 +113,16 @@ def telemetry_historical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "telemetry_stream_roundtrip",
-    oracle="""
+    oracle=f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COALESCE(SUM(CASE WHEN machineId IS NULL THEN 1 ELSE 0 END),
                      0) AS BIGINT) AS n_bad,
        ROUND(AVG(temperature), 2) AS avg_temp,
        ROUND(AVG(vibration), 2) AS avg_vib
-FROM read_json('/tmp/rtpmdp_landed/wire/*.txt',
+FROM read_json('{_LANDED_ROOT}/wire/*.txt',
                format = 'newline_delimited',
-               columns = {machineId: 'VARCHAR', temperature: 'DOUBLE',
-                          vibration: 'DOUBLE', timestamp: 'BIGINT'})
+               columns = {{machineId: 'VARCHAR', temperature: 'DOUBLE',
+                          vibration: 'DOUBLE', timestamp: 'BIGINT'}})
 """,
     tags=("telemetry", "eager-io"),
 )
@@ -97,12 +131,15 @@ def telemetry_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     validate — the serialize/parse path of the stream, batch-shaped.
 
     Hash-green since r14 (previously rows-only): the serialized wire
-    payloads are LANDED as JSON-lines text files; Spark reads them back
-    through the PERMISSIVE ``parse_payload`` path while the DuckDB
-    oracle parses the SAME landed bytes with ``read_json`` — so the
-    serialize→parse loop is checked against an independent JSON parser,
-    not just against itself."""
+    payloads are LANDED as JSON-lines text files and published at the
+    stable ``_LANDED_ROOT`` symlink (atomic swap — see ``_publish``);
+    Spark reads them back through the PERMISSIVE ``parse_payload`` path
+    while the DuckDB oracle parses the SAME landed bytes with
+    ``read_json`` — so the serialize→parse loop is checked against an
+    independent JSON parser, not just against itself."""
     import os
+
+    from ..sources.scratch import scratch_dir
 
     s = stream_telemetry_batch(spark, n=2000)
     raw = s.select(
@@ -113,8 +150,9 @@ def telemetry_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("timestamp"),
         ).alias("value")
     )
-    path = os.path.join(_LANDED_ROOT, "wire")
-    raw.write.mode("overwrite").text(path)
+    private = os.path.join(scratch_dir(prefix="rtpmdp_landed_"), "wire")
+    raw.write.text(private)
+    path = _publish(private, "wire")
     back = spark.read.text(path)
     parsed = back.select(parse_payload(F.col("value")).alias("p")).select("p.*")
     return parsed.agg(
@@ -466,7 +504,13 @@ def telemetry_buffered_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_secs=10**9,  # time leg pinned by tests; this entry proves the size leg
         available_now=True,
     )
-    q.awaitTermination(300)
+    # a False return means the availableNow drain is STILL RUNNING —
+    # proceeding would race the forced drain against the stream
+    # thread's own promotions (two list-and-rename passes over the same
+    # staged files) and capture mid-stream stats; fail crisply instead
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("buffered sink drain did not finish in 600s")
     size_deliveries = buf.deliveries
     buf.maybe_deliver(force=True)  # shutdown drain for the staged tail
 

@@ -101,9 +101,15 @@ class SizeOrTimeBuffer:
             return t, 0
 
     def _write_marker(self, t: float, deliveries: int) -> None:
+        # write-then-rename: a crash mid-write must never leave a torn
+        # marker, or the restart path would silently reset BOTH the
+        # interval stamp and the delivery counter — the two regressions
+        # the marker exists to prevent
         os.makedirs(self.path, exist_ok=True)
-        with open(self._marker, "w") as fh:
+        tmp = f"{self._marker}.tmp"
+        with open(tmp, "w") as fh:
             fh.write(f"{t!r}\n{deliveries}")
+        os.replace(tmp, self._marker)
 
     def _staged_files(self) -> list[str]:
         out = []

@@ -238,10 +238,10 @@ def test_catalog_entry_reports_size_deliveries(spark):
         all_queries,
     )
 
+    from .conftest import SF_SMOKE
+
     row = (
-        all_queries()["telemetry_buffered_sink"]
-        .spark(spark, "/root/testdata/sf0.001")
-        .first()
+        all_queries()["telemetry_buffered_sink"].spark(spark, SF_SMOKE).first()
     )
     assert row.n_rows == 3000
     assert row.all_gzip

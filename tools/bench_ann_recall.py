@@ -116,11 +116,13 @@ def main() -> None:
              _recall(got, cos_truth), wall)
         )
 
-    books = S.pq_train_codebooks(e, m=16, k=16)
-    t0 = time.perf_counter()
-    got = _collect_topk(S.pq_adc_topk(e, books, q, k=K, m=16))
-    rows.append(("pq_adc_topk m=16 k=16", "euclidean",
-                 _recall(got, l2_truth), time.perf_counter() - t0))
+    if not clustered:
+        # (the clustered (m, k) sweep below measures this config)
+        books = S.pq_train_codebooks(e, m=16, k=16)
+        t0 = time.perf_counter()
+        got = _collect_topk(S.pq_adc_topk(e, books, q, k=K, m=16))
+        rows.append(("pq_adc_topk m=16 k=16", "euclidean",
+                     _recall(got, l2_truth), time.perf_counter() - t0))
 
     t0 = time.perf_counter()
     got = _collect_topk(

@@ -353,9 +353,10 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--dedup", action="store_true")
     ap.add_argument("--rocksdb", action="store_true")
-    ap.add_argument("--lake", action="store_true")
-    ap.add_argument("--buffered", action="store_true")
-    ap.add_argument("--noop", action="store_true")
+    sink = ap.add_mutually_exclusive_group()
+    sink.add_argument("--lake", action="store_true")
+    sink.add_argument("--buffered", action="store_true")
+    sink.add_argument("--noop", action="store_true")
     ap.add_argument("--restart", action="store_true")
     ap.add_argument("--down", type=int, default=15)
     args = ap.parse_args()
@@ -376,17 +377,17 @@ def main() -> None:
     variant = "parse→quarantine→dedup→score→alert" if args.dedup else (
         "parse→quarantine→score→alert"
     )
-    if args.lake:
-        variant = (
-            "parse→quarantine→lake_sink (gzip JSON, y/m/d/h partitions)"
-            + ("+dedup" if args.dedup else "")
-        )
-    if args.buffered:
+    if args.buffered:  # same priority order as run_rate's branch
         variant = (
             "parse→quarantine→buffered_lake_sink (BufferingHints 5MB/300s, "
             "at-least-once)" + ("+dedup" if args.dedup else "")
         )
-    if args.noop:
+    elif args.lake:
+        variant = (
+            "parse→quarantine→lake_sink (gzip JSON, y/m/d/h partitions)"
+            + ("+dedup" if args.dedup else "")
+        )
+    elif args.noop:
         variant = (
             "parse→quarantine→score→alert→noop sink (no driver probe)"
             + ("+dedup" if args.dedup else "")
@@ -414,9 +415,10 @@ def main() -> None:
             )
         spark.stop()
         return
+    extra = " deliveries |" if args.buffered else ""
     print("| input rows/s | steady batches | processed rows/s p50 | "
-          "batch ms p50/p95 | event→alert lag s p50/max | kept up |")
-    print("|---|---|---|---|---|---|")
+          "batch ms p50/p95 | event→alert lag s p50/max | kept up |" + extra)
+    print("|---|---|---|---|---|---|" + ("---|" if extra else ""))
     for rate_s in args.rates.split(","):
         r = run_rate(
             spark,
