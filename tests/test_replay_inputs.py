@@ -173,20 +173,11 @@ def test_every_query_survives_after_replay_dedup(spark, replay_cleaned_sf_dir):
     assert crisp <= ESTIMATOR_CRISP_OK, f"unexpected crisp failures: {crisp}"
 
 
-def test_lake_replay_audit_approx_within_epsilon(spark):
-    """The shuffle-free monitor twin (r14): the HLL++ fingerprint
-    estimate must sit within the 5 % gate of exact full-row distinct on
-    every lake table — `approx_ok` is the in-plan assertion the driver
-    hash-checks against the oracle's literal TRUE, and this pins it
-    locally too (deterministic: HLL++ is exact-input → exact-sketch,
-    so this is a stable bound, not a tolerance that can flake)."""
-    rows = (
-        all_queries()["lake_replay_audit_approx"].spark(spark, SF_SMOKE).collect()
-    )
-    assert {r.table_name for r in rows} == set(LAKE_TABLES_ALL)
-    for r in rows:
-        assert r.approx_ok, f"{r.table_name}: approx drifted past 5% of exact"
-        assert r.n_rows == r.n_distinct  # clean fixtures stay dupe-free
+# (No clean-fixture epsilon test here: tests/test_oracle_parity.py::
+# test_oracle_match[lake_replay_audit_approx] already runs the entry on
+# the clean fixtures and hash-compares every approx_ok gate against the
+# oracle's literal TRUE — a strictly stronger check. The replayed-
+# fixture walk below is the one this file adds.)
 
 
 def test_lake_replay_audit_approx_detects_heavy_replay(spark, replayed_sf_dir):
