@@ -1,6 +1,6 @@
 """Run the full reference pipeline end-to-end, locally, in one process:
 
-    python examples/run_pipeline.py [seconds]
+    python examples/run_pipeline.py [seconds] [--buffered]
 
 Phase map (reference → here):
   1. telemetry simulator (IoTSimulator)      → rate-source stream
@@ -12,6 +12,12 @@ Phase map (reference → here):
 
 Runs for N seconds (default 15), prints live alert lines, then reports
 lake + quarantine contents.
+
+``--buffered`` swaps phase 3 for the at-least-once BufferingHints twin
+(``buffered_lake_sink``: size-OR-time promotion, here with a demo-sized
+size hint so promotions fire within the run) — the landing path whose
+delivery semantics match Firehose's own, vs ``lake_sink``'s stronger
+exactly-once default.
 """
 
 from __future__ import annotations
@@ -40,7 +46,7 @@ from real_time_predictive_maintenance_data_pipeline_spark.streaming import (
 )
 
 
-def main(run_seconds: int = 15) -> None:
+def main(run_seconds: int = 15, buffered: bool = False) -> None:
     spark = get_spark("rtpmdp-demo", cpus="8")
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="rtpmdp_demo_")
@@ -54,8 +60,21 @@ def main(run_seconds: int = 15) -> None:
     wire = payload_stream(spark, rows_per_second=20, num_partitions=2)
     good, bad = quarantine_split(parse_telemetry(wire))
 
-    lake_q = lake_sink(good, f"{work}/lake", f"{work}/ck_lake",
-                       trigger="5 seconds")
+    buf = None
+    if buffered:
+        from real_time_predictive_maintenance_data_pipeline_spark.streaming.buffered_sink import (
+            buffered_lake_sink,
+        )
+
+        # demo-sized size hint: ~a few staged batches, so the 5 MB-OR-
+        # 300 s contract visibly fires on SIZE within a short run
+        lake_q, buf = buffered_lake_sink(
+            good, f"{work}/lake", f"{work}/ck_lake",
+            max_bytes=8_000, trigger="5 seconds",
+        )
+    else:
+        lake_q = lake_sink(good, f"{work}/lake", f"{work}/ck_lake",
+                           trigger="5 seconds")
     alerts = scored_alert_stream(model, good).select("alert")
     console_q = (
         alerts.writeStream.format("console")
@@ -81,13 +100,25 @@ def main(run_seconds: int = 15) -> None:
     time.sleep(run_seconds)
     console_q.stop()
     lake_q.stop()
+    if buf is not None:
+        lake_q.awaitTermination(60)
+        buf.maybe_deliver(force=True)  # Firehose-style shutdown drain
+        print(f"buffered sink: {buf.deliveries} deliveries "
+              f"(size-OR-time BufferingHints, at-least-once)")
 
-    landed = spark.read.json(f"{work}/lake/telemetry/*/*/*/*")
+    landed = spark.read.option("recursiveFileLookup", "true").json(
+        f"{work}/lake/telemetry"
+    )
     print(f"lake: {landed.count()} gzip JSON records under "
-          f"year=/month=/day=/hour= partitions at {work}/lake")
+          f"{'delivery-time' if buf is not None else 'year=/month=/day=/hour='} "
+          f"partitions at {work}/lake")
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 15)
+    args = [a for a in sys.argv[1:] if a != "--buffered"]
+    main(
+        int(args[0]) if args else 15,
+        buffered="--buffered" in sys.argv[1:],
+    )

@@ -53,6 +53,17 @@ def test_run_pipeline_example_end_to_end():
 
 
 @pytest.mark.slow
+def test_run_pipeline_example_buffered_mode():
+    """The same pipeline with phase 3 on the at-least-once
+    BufferingHints landing path (r14 --buffered flag): the shutdown
+    drain must report deliveries and land records."""
+    p = _run("run_pipeline.py", "6", "--buffered", timeout=420)
+    assert p.returncode == 0, p.stderr[-2000:]
+    assert "buffered sink:" in p.stdout and "deliveries" in p.stdout
+    assert "lake:" in p.stdout
+
+
+@pytest.mark.slow
 def test_business_review_example_end_to_end():
     """The analytics composition surface (growth, mix, concentration,
     RFM, ABC) at sf0.001 — r9-verified by hand only; CI-covered since
