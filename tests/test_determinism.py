@@ -1,0 +1,73 @@
+"""Layout-determinism audit, suite-bounded slice (r14 — the eleventh
+degenerate-input dimension; no value is poisoned, only the physical
+LAYOUT moves).
+
+The oracle mirror proves each query matches DuckDB on the FIXED
+fixture files; it cannot distinguish "order-stable by design" from
+"order-stable because the layout never changed". Here the current
+driver window's oracled queries run twice — pristine fixtures vs a
+seeded row permutation split into uneven part files — and must return
+byte-identical canonical multisets (floats by exact IEEE-754 bytes).
+At 100 TB compaction and task racing reorder rows constantly; a
+tie-break or partial-agg-order drift under permutation is silent
+production nondeterminism even with a green oracle hash.
+
+The suite walks only the rotating 50-name window (bounded time; the
+window covers the whole catalog every ~6-7 rounds); the full-catalog
+walk is ``python tools/audit_determinism.py`` (run at round close,
+recorded in SCALING.md). Approx-sketch and estimator families are
+rows-only, hence never in scope here — their layout-dependence is
+bounded by ε-gates instead (e.g. ``rel_approx_quantile``'s KLL merge
+order moves the estimate within its rank-error bound — measured, and
+the documented contract for that family).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+from .conftest import SF_SMOKE
+from .shuffle_fixture import shuffle_tables
+
+QUERIES = all_queries()
+WINDOW_ORACLED = [n for n in list(QUERIES)[:50] if QUERIES[n].oracle]
+
+
+@pytest.fixture(scope="module")
+def shuffled_sf_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("sf_shuffled"))
+    shuffle_tables(SF_SMOKE, d)
+    return d
+
+
+def _canonical_multiset(df):
+    from .oracle_harness import _canon
+
+    cols = df.columns
+    idx = [cols.index(c) for c in sorted(cols, key=str.lower)]
+    rows = [tuple(_canon(tuple(r)[i]) for i in idx) for r in df.collect()]
+    return sorted(rows, key=lambda t: tuple(str(x) for x in t))
+
+
+@pytest.mark.slow
+def test_window_queries_are_layout_deterministic(spark, shuffled_sf_dir):
+    bad = {}
+    for name in WINDOW_ORACLED:
+        q = QUERIES[name]
+        try:
+            a = _canonical_multiset(q.spark(spark, SF_SMOKE))
+            b = _canonical_multiset(q.spark(spark, shuffled_sf_dir))
+            if a != b:
+                diff = next(
+                    (f"{ra!r} vs {rb!r}" for ra, rb in zip(a, b) if ra != rb),
+                    f"row count {len(a)} vs {len(b)}",
+                )
+                bad[name] = diff
+        except Exception as exc:  # noqa: BLE001 — collect, assert once
+            bad[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:160]}"
+        finally:
+            if "caches" in q.tags:
+                spark.catalog.clearCache()
+    assert not bad, f"layout-dependent window queries: {bad}"
