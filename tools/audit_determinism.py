@@ -22,9 +22,11 @@ trigger. At 100 TB layout is NEVER stable; this is the local proof the
 engine's answers don't depend on it.
 
 Usage:
-    python tools/audit_determinism.py [sf_dir] [name ...]
+    python tools/audit_determinism.py [--seed N] [sf_dir] [name ...]
 
-No names -> every ORACLED query. Exit 0 = all deterministic.
+No names -> every ORACLED query. ``--seed`` picks the permutation
+(default 7; a second seed guards against one lucky layout). Exit 0 =
+all deterministic.
 """
 
 from __future__ import annotations
@@ -62,6 +64,10 @@ def first_diff(a: list[tuple], b: list[tuple]) -> str:
 
 def main() -> int:
     args = sys.argv[1:]
+    seed = 7
+    if args and args[0] == "--seed":
+        seed = int(args[1])
+        args = args[2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     names = args[1:]
 
@@ -75,7 +81,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     with tempfile.TemporaryDirectory(prefix="rtpmdp_shuffled_") as shuffled:
-        shuffle_tables(sf_dir, shuffled)
+        shuffle_tables(sf_dir, shuffled, seed=seed)
         t0 = time.time()
         failed: dict[str, str] = {}
         for i, (name, q) in enumerate(sorted(picked.items())):
