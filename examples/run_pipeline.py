@@ -101,7 +101,13 @@ def main(run_seconds: int = 15, buffered: bool = False) -> None:
     console_q.stop()
     lake_q.stop()
     if buf is not None:
-        lake_q.awaitTermination(60)
+        # A False return means the stream thread is STILL draining —
+        # forcing a delivery then would race its own promotions over
+        # the same staged files and can promote truncated in-flight
+        # .gz task-attempt files (the condition the catalog entry
+        # treats as a hard error); mirror it here.
+        if not lake_q.awaitTermination(60):
+            raise RuntimeError("buffered lake sink did not drain in 60s")
         buf.maybe_deliver(force=True)  # Firehose-style shutdown drain
         print(f"buffered sink: {buf.deliveries} deliveries "
               f"(size-OR-time BufferingHints, at-least-once)")

@@ -40,6 +40,17 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared euclidean distance of two double arrays — the IVF
+    coarse-assignment metric. Same sequential-fold shape as ``dot`` so
+    it stays inside whole-stage codegen (no UDF, no MLlib Vector)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double arrays.
 

@@ -100,6 +100,57 @@ def load_artifact(path: str) -> Any:
         return pickle.load(fh)
 
 
+def artifact_dir() -> str:
+    """Directory for pinned trained artifacts (``pinned``): env
+    ``RTPMDP_ARTIFACT_DIR`` when set, else ``.artifacts/`` at the repo
+    root (next to the package — gitignored; at cluster scale this would
+    be a shared object-store prefix)."""
+    d = os.environ.get("RTPMDP_ARTIFACT_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".artifacts",
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def pinned(key: str, train) -> Any:
+    """Train-once → persist → load: the default query-path contract for
+    every TRAINED structure (IVF centroids, PQ codebooks, the RF
+    artifact). The r14 layout audit proved in-query training is the
+    layout-nondeterminism vector for ANN structures — the fix is to
+    treat trained structures like any other model artifact: train them
+    once, pin the bytes, and have the query plan LOAD, never refit.
+
+    ``key`` must be layout-insensitive (use ``dataset_fingerprint`` on
+    the training frame plus the hyperparameters), so re-layouts of the
+    same logical corpus share one artifact. Concurrency-safe: the write
+    is atomic (``save_artifact`` write-then-rename), so racing trainers
+    converge on one winner and readers never see a partial file."""
+    path = os.path.join(artifact_dir(), f"{key}.bin")
+    if os.path.exists(path):
+        return load_artifact(path)
+    obj = train()
+    save_artifact(obj, path)
+    return obj
+
+
+def dataset_fingerprint(df: DataFrame, *cols: str) -> str:
+    """Layout-insensitive content fingerprint for ``pinned`` cache
+    keys: (row count, sum over rows of ``pmod(xxhash64(cols), 1e9+7)``)
+    is invariant under row permutation and file re-splits but moves
+    with any content change, so an artifact keyed by it is shared
+    across physical layouts of one logical dataset and retrained
+    exactly when the data changes. One column-pruned aggregate scan
+    (map-side partial sums); the bounded per-row term keeps the BIGINT
+    sum overflow-free (ANSI mode) to ~9e12 rows — beyond that,
+    fingerprint a deterministic sample instead."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007))).alias("h"),
+    ).first()
+    return f"n{row['n']}h{row['h']}"
+
+
 def train_reference_artifact(historical: DataFrame, seed: int = 42) -> Any:
     """sklearn-RF artifact from the historical table when sklearn is
     installed (n_estimators=100 = sklearn's default, the reference

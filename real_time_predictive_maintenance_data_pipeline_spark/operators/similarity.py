@@ -28,8 +28,122 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import as_double, cosine, dot, l2_norm
+from ..functions.vectors import as_double, cosine, dot, l2_norm, sq_l2
 from ..ml.fitguard import fit_nonempty
+
+
+def _lloyd_deterministic(X, k: int, n_iter: int, seed: int):
+    """Seeded Lloyd k-means over a CANONICALLY SORTED copy of X —
+    byte-reproducible for a given multiset of rows regardless of the
+    order they arrived in (the r14 layout audit showed partition-order
+    sensitivity is exactly how trained ANN structures go
+    nondeterministic: both the seeded init sample and the float
+    summation inside each mean depend on row order unless the rows are
+    first put in a content-defined order). ``np.lexsort`` over the
+    columns is that order; ties are exact duplicates, which cannot
+    perturb anything. Init is k evenly-spaced points of a seeded
+    permutation sample (k-means++-free, fully deterministic).
+
+    Driver/executor-local numpy: callers pass a BOUNDED sample (the
+    train-small / encode-everything split — at 100 TB the quantizer
+    never sees the full corpus)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    X = X[np.lexsort(X.T[::-1])]
+    rng = np.random.default_rng(seed)
+    idx = rng.permutation(len(X))[: max(k * 8, k)]
+    C = X[np.sort(idx[:: max(1, len(idx) // k)][:k])].copy()
+    while len(C) < k:  # degenerate tiny input
+        C = np.vstack([C, C[: k - len(C)]])
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                C[c] = X[mask].mean(axis=0)
+    return C
+
+
+def _nearest_cell(vec, cent_rows: list) -> "F.Column":
+    """Map-only euclidean nearest-centroid assignment against a LITERAL
+    centroid table — the given-centroids replacement for
+    ``KMeansModel.transform`` on the pinned-artifact query path. A
+    transform → array_min fold over struct(distance, cell): stays in
+    whole-stage codegen (no UDF, no MLlib Vector conversion, no
+    shuffle), ties break to the lowest cell id. nlist is tens-to-
+    thousands, so the literal array is KiB-scale in the plan."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cell)).alias("c"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("v"),
+            )
+            for cell, cv in cent_rows
+        ]
+    )
+    dists = F.transform(
+        carr, lambda s: F.struct(sq_l2(vec, s["v"]).alias("d"), s["c"].alias("c"))
+    )
+    return F.array_min(dists)["c"]
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_n: int | None = None,
+    n_iter: int = 20,
+) -> DataFrame:
+    """Train the IVF coarse quantizer as a SEPARATE step — the
+    train-once half of the train-once → persist (``ml.artifact``) →
+    load contract that ``ivf_topk(..., centroids=...)`` consumes. The
+    r14 layout audit proved in-query MLlib kmeans|| is partition-order
+    dependent even seeded; this trainer is layout-DETERMINISTIC end to
+    end: the training sample is chosen by CONTENT (order by
+    ``xxhash64(id, vec)``, take ``sample_n`` — a TakeOrderedAndProject,
+    no full sort), and the Lloyd fit canonically sorts the sample
+    before the seeded init (``_lloyd_deterministic``), so re-running on
+    any physical re-layout of the same logical corpus yields
+    byte-identical centroids — the pinned artifact is reproducible,
+    not just frozen.
+
+    Scale: one column-pruned scan + top-``sample_n`` heap; the numpy
+    fit is driver-local over the bounded sample (default
+    max(256·nlist, 4096) rows — the standard train-small split; FAISS
+    trains coarse quantizers on samples of this order too).
+
+    Returns (cell INT, centroid ARRAY<DOUBLE>), nlist rows.
+    """
+    import numpy as np
+
+    n = sample_n or max(nlist * 256, 4096)
+    sample = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), as_double(vec_col).alias("__v"))
+        .withColumn("__h", F.xxhash64("__id", "__v"))
+        .orderBy("__h", "__id")
+        .limit(n)
+        .select("__v")
+        .collect()
+    )
+    if len(sample) < nlist:
+        # message matches the crisp estimator contract
+        # (tests/audit_walk._CRISP_RE: "needs at least")
+        raise ValueError(
+            f"ivf_train_centroids needs at least nlist={nlist} trainable "
+            f"vectors, got {len(sample)} (an upstream filter or source "
+            "produced too few rows)"
+        )
+    X = np.array([r["__v"] for r in sample])
+    C = _lloyd_deterministic(X, nlist, n_iter, seed)
+    return embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(C)],
+        schema="cell INT, centroid ARRAY<DOUBLE>",
+    )
 
 
 def degenerate_vectors(
@@ -329,15 +443,25 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine search — the
     100 TB scale path for ANN.
 
-    Index build: MLlib KMeans coarse quantizer with ``nlist`` centroids;
-    each corpus vector is assigned to its nearest cell (one distributed
+    Index build: coarse quantizer with ``nlist`` centroids; each corpus
+    vector is assigned to its nearest cell (one distributed map-only
     pass, the "inverted lists" are just a cell-id column — at scale,
     persist the corpus bucketed/partitioned BY that column so a probe
-    touches only matching files).
+    touches only matching files). Pass ``centroids`` — a
+    (cell, centroid) frame from ``ivf_train_centroids`` (typically
+    persisted/loaded via ``ml.artifact``) — to make the pinned-artifact
+    path the query plan: NO training happens here, assignment is a
+    codegen'd nearest-centroid fold (``_nearest_cell``), and the whole
+    search is layout-deterministic (r15; the r14 audit showed the
+    fallback in-query MLlib kmeans|| init is partition-dependent even
+    seeded, so retrain-per-query is both wasteful and irreproducible at
+    scale). ``centroids=None`` keeps the self-contained MLlib fit for
+    exploratory use.
 
     Search: each query scores the (tiny, broadcast) centroid table,
     keeps its ``nprobe`` nearest cells, and equi-joins the corpus on
@@ -364,37 +488,45 @@ def ivf_topk(
     with ``ivf_dead_cells`` (same seeded KMeans, so it reports exactly
     the cells this search would drop).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import vector_to_array
+    spark = embeddings.sparkSession
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
 
-    feats = _to_mllib_vectors(embeddings, vec_col).select(
-        F.col(id_col), as_double(vec_col).alias("__vec"), F.col("__features")
-    )
-    km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
-    model = fit_nonempty(km, feats, "ivf_topk", min_rows=nlist)
+        feats = _to_mllib_vectors(embeddings, vec_col).select(
+            F.col(id_col), as_double(vec_col).alias("__vec"), F.col("__features")
+        )
+        km = KMeans(
+            k=nlist, seed=42, featuresCol="__features", predictionCol="__cell"
+        )
+        model = fit_nonempty(km, feats, "ivf_topk", min_rows=nlist)
+        assigned = model.transform(feats).select(id_col, "__vec", "__cell")
+        cent_rows = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+    else:
+        cent_rows = [
+            (int(r[0]), [float(x) for x in r[1]]) for r in centroids.collect()
+        ]
+        assigned = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), as_double(vec_col).alias("__vec"))
+            .withColumn("__cell", _nearest_cell(F.col("__vec"), cent_rows))
+        )
 
     # Corpus norms computed once at index-build time (per vector), not
     # per probe pair — at scale this column would be persisted with the
     # cell-partitioned index. Zero-norm vectors are excluded (cosine
     # undefined; ANSI div-by-zero otherwise — see brute_force_topk).
-    corpus = (
-        model.transform(feats)
-        .select(id_col, "__vec", "__cell")
-        .withColumn("__cnorm", l2_norm(F.col("__vec")))
-        .filter(F.col("__cnorm") > 0.0)
+    corpus = assigned.withColumn("__cnorm", l2_norm(F.col("__vec"))).filter(
+        F.col("__cnorm") > 0.0
     )
 
     # Centroid table: nlist rows — broadcast everywhere. A centroid can
     # average to the zero vector on adversarial data; such a cell can't
     # be cosine-ranked, so it is simply never probed.
-    spark = embeddings.sparkSession
-    centroids = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-            if any(float(x) != 0.0 for x in c)
-        ],
-        schema=f"__cell INT, __cvec ARRAY<DOUBLE>",
+    centroid_tbl = spark.createDataFrame(
+        [(c, v) for c, v in cent_rows if any(x != 0.0 for x in v)],
+        schema="__cell INT, __cvec ARRAY<DOUBLE>",
     )
 
     q = (
@@ -404,7 +536,7 @@ def ivf_topk(
         .filter(F.col("__qnorm") > 0.0)
     )
     # Rank cells per query by centroid cosine; keep nprobe.
-    qc = q.crossJoin(F.broadcast(centroids)).select(
+    qc = q.crossJoin(F.broadcast(centroid_tbl)).select(
         query_id_col,
         "__qvec",
         "__qnorm",
@@ -453,6 +585,7 @@ def ivf_dead_cells(
     nlist: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Audit for the one IVF-specific degeneracy ``degenerate_vectors``
     cannot see: a coarse-quantizer cell whose learned CENTROID is the
@@ -464,33 +597,50 @@ def ivf_dead_cells(
     on real embeddings, which is why the search plan drops the cell
     silently and this audit is the opt-in way to make that observable.
 
-    Fits the SAME seeded quantizer as ``ivf_topk`` (identical KMeans
-    params, seed 42), so the audited cells are exactly the cells the
-    search would build. Same cost model as the other audits in this
-    module: one extra KMeans fit + one assignment scan the caller opts
-    into, never hidden inside the search plan.
+    Audits the SAME quantizer the search would use: pass the pinned
+    ``centroids`` frame to audit the artifact ``ivf_topk(...,
+    centroids=...)`` consumes (assignment via the identical
+    ``_nearest_cell`` fold), or omit it to fit the same seeded MLlib
+    quantizer as the self-contained path. Same cost model as the other
+    audits in this module: one assignment scan (plus a fit on the
+    MLlib path) the caller opts into, never hidden inside the search
+    plan.
 
     Returns (cell, n_members): one row per dead cell with the count of
     corpus vectors it strands; empty frame = every cell reachable.
     """
-    from pyspark.ml.clustering import KMeans
-
-    feats = _to_mllib_vectors(embeddings, vec_col).select(
-        F.col(id_col), F.col("__features")
-    )
-    km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
-    model = fit_nonempty(km, feats, "ivf_dead_cells", min_rows=nlist)
-    dead = [
-        i
-        for i, c in enumerate(model.clusterCenters())
-        if not any(float(x) != 0.0 for x in c)
-    ]
     spark = embeddings.sparkSession
-    if not dead:
-        return spark.createDataFrame([], schema="cell INT, n_members BIGINT")
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+
+        feats = _to_mllib_vectors(embeddings, vec_col).select(
+            F.col(id_col), F.col("__features")
+        )
+        km = KMeans(
+            k=nlist, seed=42, featuresCol="__features", predictionCol="__cell"
+        )
+        model = fit_nonempty(km, feats, "ivf_dead_cells", min_rows=nlist)
+        dead = [
+            i
+            for i, c in enumerate(model.clusterCenters())
+            if not any(float(x) != 0.0 for x in c)
+        ]
+        if not dead:
+            return spark.createDataFrame([], schema="cell INT, n_members BIGINT")
+        assigned = model.transform(feats)
+    else:
+        cent_rows = [
+            (int(r[0]), [float(x) for x in r[1]]) for r in centroids.collect()
+        ]
+        dead = [c for c, v in cent_rows if not any(x != 0.0 for x in v)]
+        if not dead:
+            return spark.createDataFrame([], schema="cell INT, n_members BIGINT")
+        assigned = embeddings.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col),
+            _nearest_cell(as_double(F.col(vec_col)), cent_rows).alias("__cell"),
+        )
     return (
-        model.transform(feats)
-        .filter(F.col("__cell").isin(dead))
+        assigned.filter(F.col("__cell").isin(dead))
         .groupBy(F.col("__cell").alias("cell"))
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
@@ -540,19 +690,12 @@ def pq_train_codebooks(
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         sub = int(pdf["sub"].iloc[0])
         X = np.stack(pdf["subvec"].to_numpy())
-        rng = np.random.default_rng(seed + sub)
-        # deterministic init: k evenly-spaced points of a shuffled sample
-        idx = rng.permutation(len(X))[: max(k * 8, k)]
-        C = X[np.sort(idx[:: max(1, len(idx) // k)][:k])].copy()
-        while len(C) < k:  # degenerate tiny input
-            C = np.vstack([C, C[: k - len(C)]])
-        for _ in range(n_iter):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    C[c] = X[mask].mean(axis=0)
+        # _lloyd_deterministic canonical-sorts X, so the fit is
+        # layout-deterministic: the subspace batch arrives in
+        # partition-dependent order, and without the sort both the
+        # seeded init sample and the float summation inside each mean
+        # would move with it (the r14 layout-audit finding).
+        C = _lloyd_deterministic(X, k, n_iter, seed + sub)
         return pd.DataFrame(
             {
                 "sub": sub,

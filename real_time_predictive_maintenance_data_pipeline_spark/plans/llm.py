@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import multimodal as M
+from ..ml import artifact as ART
 from ..operators import similarity as S
 from ..operators.spread import spread
 from ..sources.tables import load_table
@@ -329,14 +330,32 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_ivf_topk", oracle=None, tags=("similarity", "approx"))
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse quantizer, nprobe cell probing) — the
-    100 TB-scale ANN path. Rows-only; recall@k vs brute force asserted
-    in tests/test_similarity.py."""
+    """IVF ANN over PINNED coarse-quantizer centroids (r15): the
+    train-once → persist (``ml.artifact.pinned``) → load contract IS
+    the query path — the search plan never retrains per run/layout
+    (the r14 layout audit showed in-query kmeans|| init is partition-
+    order dependent even seeded). The pinned artifact is keyed by a
+    layout-insensitive content fingerprint, and training itself
+    (``ivf_train_centroids``: content-ordered sample + canonical-sorted
+    Lloyd) is deterministic, so the artifact is reproducible, not just
+    frozen. Rows-only; recall@k vs brute force asserted in
+    tests/test_similarity.py."""
     e = _embs(spark, sf_dir)
+    fp = ART.dataset_fingerprint(e, "vec_id", "embedding")
+    cent_rows = ART.pinned(
+        f"ivf_nlist16_{fp}",
+        lambda: [
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in S.ivf_train_centroids(e, nlist=16).collect()
+        ],
+    )
+    cents = spark.createDataFrame(
+        cent_rows, schema="cell INT, centroid ARRAY<DOUBLE>"
+    )
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_topk(e, q, k=3, nlist=16, nprobe=6)
+    return S.ivf_topk(e, q, k=3, nlist=16, nprobe=6, centroids=cents)
 
 
 @register(
@@ -1698,15 +1717,28 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("emb_pq_codes", oracle=None, tags=("similarity", "approx", "compression"))
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization of the embedding corpus: 8 subspaces x 16
-    centroids trained in one parallel ``applyInPandas`` pass, then a
-    map-only encode to 8 codes/vector — the compression layer of an
-    IVF-PQ index (vectors become id + 8 bytes). Rows-only (iterative
+    """Product quantization of the embedding corpus with PINNED
+    codebooks (r15): 8 subspaces x 16 centroids trained ONCE
+    (``pq_train_codebooks`` — now layout-deterministic via canonical-
+    sorted Lloyd), persisted via ``ml.artifact.pinned`` keyed by a
+    content fingerprint, and LOADED by the query path; the encode is
+    map-only against the pinned books (vectors become id + 8 bytes —
+    the compression layer of an IVF-PQ index). Rows-only (iterative
     k-means isn't SQL); reconstruction quality vs a random-codebook
     floor is gated in tests/test_similarity.py. Returns per-(sub, code)
     usage counts so the result is stable-schema and small."""
     e = _embs(spark, sf_dir)
-    books = S.pq_train_codebooks(e, m=8, k=16)
+    fp = ART.dataset_fingerprint(e, "vec_id", "embedding")
+    book_rows = ART.pinned(
+        f"pq_m8_k16_{fp}",
+        lambda: [
+            (int(r["sub"]), int(r["code"]), [float(x) for x in r["centroid"]])
+            for r in S.pq_train_codebooks(e, m=8, k=16).collect()
+        ],
+    )
+    books = spark.createDataFrame(
+        book_rows, schema="sub INT, code INT, centroid ARRAY<DOUBLE>"
+    )
     codes = S.pq_encode(e, books, m=8)
     return (
         codes.select(F.posexplode("codes").alias("sub", "code"))

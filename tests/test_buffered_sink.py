@@ -248,3 +248,80 @@ def test_catalog_entry_reports_size_deliveries(spark):
     assert row.n_size_deliveries >= 1  # the 5 MB-hint analog fired pre-drain
     assert row.n_deliveries_total >= row.n_size_deliveries
     assert row.n_files >= row.n_deliveries_total  # every delivery moved files
+
+
+def test_restart_from_checkpoint_is_at_least_once(spark, tmp_path):
+    """r15 (r14 verdict task 6): the REAL ``buffered_lake_sink`` through
+    a kill-and-restart with the checkpoint intact. The crash point is
+    the canonical at-least-once window — sink side effects done, offset
+    commit missing — produced deterministically by deleting the LAST
+    entry of the checkpoint's ``commits/`` log after a clean
+    availableNow drain (exactly the state a crash between foreachBatch
+    and commit leaves behind). On restart Spark replays that batch; the
+    sink must lose NOTHING, keep delivery ids monotone across the
+    restart (marker-resumed counter), and deliver the replayed batch
+    AGAIN — at-least-once, never at-most-once."""
+    from collections import Counter
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_file(name, keys):
+        (src / name).write_text(
+            "\n".join(f'{{"k":"{k}","pad":"{"v" * 50}"}}' for k in keys)
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema("k string, pad string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    lake, ck = str(tmp_path / "lake"), str(tmp_path / "ck")
+    write_file("f0.json", [f"a{i}" for i in range(20)])
+    write_file("f1.json", [f"b{i}" for i in range(20)])
+    q, buf = buffered_lake_sink(
+        stream(), lake, ck, max_bytes=10**9, max_secs=10**9, available_now=True
+    )
+    assert q.awaitTermination(120)
+    q.stop()  # release the checkpoint registration before the restart
+    assert buf.maybe_deliver(force=True) > 0
+    d1 = buf.deliveries
+    assert d1 == 1
+
+    # the crash window: batch f1's staging landed, its commit vanishes
+    # (a real crash writes neither the entry nor its Hadoop .crc
+    # sibling — leaving the .crc behind would fail the re-commit rename)
+    commits_dir = os.path.join(ck, "commits")
+    commits = sorted(c for c in os.listdir(commits_dir) if not c.startswith("."))
+    os.remove(os.path.join(commits_dir, commits[-1]))
+    crc = os.path.join(commits_dir, f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    write_file("f2.json", [f"c{i}" for i in range(20)])
+    q2, buf2 = buffered_lake_sink(
+        stream(), lake, ck, max_bytes=10**9, max_secs=10**9, available_now=True
+    )
+    assert q2.awaitTermination(120)
+    assert buf2.maybe_deliver(force=True) > 0
+    # monotone delivery ids: the marker resumed the counter, not reset it
+    assert buf2.deliveries == d1 + 1
+    ids = sorted(
+        int(os.path.basename(f).split("-")[0].removeprefix("delivery"))
+        for f in _delivered(lake)
+    )
+    assert ids[0] == 0 and ids[-1] == 1 and ids == sorted(ids)
+
+    back = spark.read.option("recursiveFileLookup", "true").json(
+        os.path.join(lake, "telemetry")
+    )
+    counts = Counter(r.k for r in back.select("k").collect())
+    # no data loss: every key from all three files landed
+    assert set(counts) == {f"{p}{i}" for p in "abc" for i in range(20)}
+    # at-least-once, not at-most-once: exactly the replayed batch (f1,
+    # the batch whose commit was lost) landed twice; nothing else did
+    assert {k for k, c in counts.items() if c >= 2} == {
+        f"b{i}" for i in range(20)
+    }

@@ -71,3 +71,28 @@ def test_window_queries_are_layout_deterministic(spark, shuffled_sf_dir):
             if "caches" in q.tags:
                 spark.catalog.clearCache()
     assert not bad, f"layout-dependent window queries: {bad}"
+
+
+# The trained-structure ANN entries are rows-only (never in the oracled
+# walk above), and they are exactly where the r14 audit found layout
+# nondeterminism: in-query kmeans|| init samples by partition. r15 made
+# the pinned-artifact path the query path (sim_ivf_topk, emb_pq_codes)
+# and the remaining in-query trainer canonical-sorted
+# (pq_train_codebooks → sim_pq_adc_topk), so all three must now be
+# byte-stable under re-layout — pinned here by name.
+TRAINED_ANN = ["sim_ivf_topk", "emb_pq_codes", "sim_pq_adc_topk"]
+
+
+@pytest.mark.slow
+def test_trained_ann_entries_are_layout_deterministic(spark, shuffled_sf_dir):
+    bad = {}
+    for name in TRAINED_ANN:
+        q = QUERIES[name]
+        a = _canonical_multiset(q.spark(spark, SF_SMOKE))
+        b = _canonical_multiset(q.spark(spark, shuffled_sf_dir))
+        if a != b:
+            bad[name] = next(
+                (f"{ra!r} vs {rb!r}" for ra, rb in zip(a, b) if ra != rb),
+                f"row count {len(a)} vs {len(b)}",
+            )
+    assert not bad, f"layout-dependent trained-ANN entries: {bad}"

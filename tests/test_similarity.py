@@ -471,3 +471,104 @@ def test_clustered_recall_floors(spark):
     r_pq = recall(topk(S.pq_adc_topk(e, books, q, k=k, m=32)), l2_truth)
     assert r_pq >= 0.5, f"clustered PQ-ADC m=32 k=64 recall@10 fell to {r_pq:.3f}"
     e.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# r15: pinned-artifact / deterministic-training contract (the r14 layout
+# audit's one real finding: trained ANN structures must not depend on
+# physical row layout).
+# ---------------------------------------------------------------------------
+
+
+def _reorder(df, parts, seed):
+    """Same logical frame, different physical layout: seeded shuffle
+    order + a different partition count."""
+    return (
+        df.orderBy(F.xxhash64(F.col("vec_id") + seed))
+        .repartition(parts)
+        .select(df.columns)
+    )
+
+
+def test_ivf_train_centroids_layout_deterministic(embs):
+    a = S.ivf_train_centroids(embs, nlist=8).collect()
+    b = S.ivf_train_centroids(_reorder(embs, 3, 11), nlist=8).collect()
+    c = S.ivf_train_centroids(_reorder(embs, 17, 99), nlist=8).collect()
+    key = lambda rows: sorted((r.cell, tuple(r.centroid)) for r in rows)
+    assert key(a) == key(b) == key(c)  # byte-identical floats
+
+
+def test_pq_train_codebooks_layout_deterministic(embs):
+    a = S.pq_train_codebooks(embs, m=4, k=8).collect()
+    b = S.pq_train_codebooks(_reorder(embs, 5, 7), m=4, k=8).collect()
+    key = lambda rows: sorted((r.sub, r.code, tuple(r.centroid)) for r in rows)
+    assert key(a) == key(b)
+
+
+def test_ivf_topk_given_centroids_matches_contract(embs, queries, exact_topk):
+    """The pinned-centroids query path: no training in the plan, recall
+    holds the same floor as the self-contained path, and results are
+    stable across physical re-layouts of the corpus."""
+    cents = S.ivf_train_centroids(embs, nlist=16)
+    out = S.ivf_topk(embs, queries, k=K, nlist=16, nprobe=6, centroids=cents)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(got.get(q, set()) & truth) for q, truth in exact_topk.items())
+    recall = hits / (N_QUERIES * K)
+    assert recall >= 0.7, f"pinned-centroid IVF recall@{K} = {recall:.3f}"
+
+    again = S.ivf_topk(
+        _reorder(embs, 7, 3), queries, k=K, nlist=16, nprobe=6, centroids=cents
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.vec_id, r.score, r.rank) for r in df.collect()
+    )
+    assert key(out) == key(again)
+
+
+def test_ivf_dead_cells_given_centroids(spark, embs):
+    """Pinned-centroids audit leg: a hand-built centroid table with one
+    zero centroid reports exactly that cell's members as stranded."""
+    cents = S.ivf_train_centroids(embs, nlist=4)
+    healthy = S.ivf_dead_cells(embs, centroids=cents)
+    assert healthy.count() == 0
+
+    rows = [(int(r.cell), list(r.centroid)) for r in cents.collect()]
+    dim = len(rows[0][1])
+    poisoned = spark.createDataFrame(
+        rows + [(99, [0.0] * dim)], schema="cell INT, centroid ARRAY<DOUBLE>"
+    )
+    dead = S.ivf_dead_cells(embs, centroids=poisoned).collect()
+    # cell 99's centroid is the zero vector: it is reported iff some
+    # vector is nearest to it; either way no OTHER cell may be flagged.
+    assert all(r.cell == 99 for r in dead)
+
+
+def test_pinned_artifact_roundtrip(tmp_path, monkeypatch):
+    from real_time_predictive_maintenance_data_pipeline_spark.ml import artifact as A
+
+    monkeypatch.setenv("RTPMDP_ARTIFACT_DIR", str(tmp_path))
+    calls = []
+
+    def train():
+        calls.append(1)
+        return {"centroids": [[1.0, 2.0], [3.0, 4.0]]}
+
+    first = A.pinned("unit_test_key", train)
+    second = A.pinned("unit_test_key", train)
+    assert first == second == {"centroids": [[1.0, 2.0], [3.0, 4.0]]}
+    assert len(calls) == 1  # train-once: the second call loaded the pin
+
+
+def test_dataset_fingerprint_layout_insensitive(embs):
+    from real_time_predictive_maintenance_data_pipeline_spark.ml import artifact as A
+
+    a = A.dataset_fingerprint(embs, "vec_id", "embedding")
+    b = A.dataset_fingerprint(_reorder(embs, 9, 5), "vec_id", "embedding")
+    assert a == b
+    # ...but content changes move it (drop one row)
+    c = A.dataset_fingerprint(
+        embs.filter(F.col("vec_id") != 0), "vec_id", "embedding"
+    )
+    assert a != c

@@ -88,8 +88,6 @@ def main() -> int:
             try:
                 a = canonical_multiset(q.spark(spark, sf_dir))
                 b = canonical_multiset(q.spark(spark, shuffled))
-                if "caches" in q.tags:
-                    spark.catalog.clearCache()
                 if a == b:
                     print(f"{name}: deterministic ({len(a)} rows)")
                 else:
@@ -98,6 +96,12 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001 — audit reports, never dies
                 failed[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
                 print(f"{name}: ERROR — {failed[name]}")
+            finally:
+                # In finally (like tests/test_determinism.py): a raising
+                # 'caches' query must not leak persisted intermediates
+                # into every subsequent audited query.
+                if "caches" in q.tags:
+                    spark.catalog.clearCache()
         dt = time.time() - t0
 
     print(
