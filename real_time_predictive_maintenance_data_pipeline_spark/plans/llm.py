@@ -1748,6 +1748,39 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_opq_rotation", oracle=None, tags=("similarity", "approx", "compression")
+)
+def emb_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite pre-rotation for PQ (r15, r14 verdict task 8): a single
+    learned orthogonal rotation — PCA eigenbasis + eigenvalue
+    allocation over a content-ordered sample (``S.opq_rotation``,
+    the OPQ_P parametric baseline of Ge et al.) — applied map-only to
+    the corpus before codebook training. On clustered corpora it
+    recovers the PQ recall default codebooks lose (0.200 → 0.328
+    recall@10 at m=16/k=16, the r15 SCALING row; floors pinned in
+    tests/test_similarity.py). Returns the per-subspace variance mass
+    of the rotated corpus — the quantity eigenvalue allocation
+    balances, so imbalance regressions are driver-visible. Rows-only
+    (eigendecomposition isn't SQL); training is layout-deterministic
+    (canonical sample + sign convention, probe-pinned in tests)."""
+    m = 8
+    e = _embs(spark, sf_dir)
+    R = S.opq_rotation(e, m=m)
+    dsub = len(R) // m
+    er = S.apply_rotation(e, R)
+    return (
+        er.select(F.posexplode("embedding").alias("i", "v"))
+        .withColumn("sub", (F.col("i") / dsub).cast("int"))
+        .groupBy("sub")
+        .agg(
+            F.round(F.sum(F.col("v") * F.col("v")), 1).alias("energy"),
+            F.count(F.lit(1)).alias("n_components"),
+        )
+        .orderBy("sub")
+    )
+
+
 @register("sim_pq_adc_topk", oracle=None, tags=("similarity", "approx", "topk"))
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance top-10 over PQ codes for 5 query vectors —

@@ -75,74 +75,79 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 14
+_ROTATED_FOR_ROUND = 15
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # ROUND-14 WINDOW (regenerated via tools/plan_next_window.py at
-    # round start; PLAN_DIGESTS regenerated pre-rotation: ZERO digests
-    # changed vs the r13 boundary, so there are no plan-change
-    # rechecks — the mandatory section is new/oracle-changed entries):
-    # - lake_replay_audit_approx: NEW (r13 verdict task 7) — the
-    #   shuffle-free approx-fingerprint replay monitor, hash-green via
-    #   the in-plan epsilon gate.
-    # - telemetry_buffered_sink: NEW (r13 verdict task 3) — driver
-    #   evidence for the r13 BufferingHints sink (rows-only, eager-io).
+    # ROUND-15 WINDOW (regenerated via tools/plan_next_window.py;
+    # PLAN_DIGESTS regenerated pre-rotation). Mandatory section:
+    # - emb_opq_rotation: NEW (r14 verdict task 8) — OPQ-lite
+    #   pre-rotation for PQ, rows-only, recall floors pinned.
+    # - telemetry_mqtt_roundtrip: ORACLE TEXT CHANGED (r14 task 7)
+    #   — rows-only → hash-green landed-spool oracle.
+    # - sim_ivf_topk: PLAN CHANGED (digest diff) — pinned-centroid
+    #   query path (r14 task 1).
+    # - emb_pq_codes / sim_pq_adc_topk: BEHAVIOR CHANGED with an
+    #   UNCHANGED digest (pq_encode collects the books driver-side,
+    #   so the returned plan shape is blind to the trainer swap) —
+    #   pinned/deterministic codebooks; deliberate recheck.
+    # - telemetry_buffered_sink: file accounting now derives from
+    #   the same recursive walk as the row read (r14 task 4).
     # - telemetry_historical_stats / telemetry_stream_roundtrip:
-    #   ORACLE TEXT CHANGED (r13 verdict task 6) — converted from
-    #   rows-only to hash-green landed-output oracles; mandatory
-    #   re-verification of the new comparison.
-    # Then the 46 oldest aged names (r05/r06/r07 evidence) per the
+    #   _publish lifecycle changed under them (copy + generation
+    #   retention, r14 task 3) — same oracle text, deliberate
+    #   recheck of the comparison plumbing.
+    # Then the 42 oldest aged names (r07/r08 evidence) per the
     # steady-state least-recently-checked rotation.
-    "lake_replay_audit_approx",
+    "emb_opq_rotation",
+    "telemetry_mqtt_roundtrip",
+    "sim_ivf_topk",
+    "emb_pq_codes",
+    "sim_pq_adc_topk",
     "telemetry_buffered_sink",
     "telemetry_historical_stats",
     "telemetry_stream_roundtrip",
-    "rel_parameterized_sql",
-    "doc_dsir_importance",
-    "rel_rfm_segmentation",
-    "rel_abc_classification",
-    "rel_yoy_growth",
-    "rel_gini_coefficient",
-    "rel_herfindahl_index",
-    "rel_entropy_by_group",
-    "rel_percent_of_total",
-    "rel_top_decile_ratio",
-    "events_dau_stickiness",
-    "events_interarrival_stats",
-    "events_autocorr_lag1",
-    "events_power_user_share",
-    "ts_bollinger_bands",
-    "ts_max_drawdown",
-    "events_weekday_profile",
-    "ts_xmr_control",
-    "doc_ttr",
-    "doc_hapax_ratio",
-    "doc_word_len_profile",
-    "rel_pivot_multi_agg",
-    "rel_collect_sorted_string",
-    "rel_word_positions",
-    "rel_reorder_gaps",
-    "rel_date_spine_fill",
-    "rel_weighted_avg_price",
-    "rel_self_excluding_avg",
-    "graph_degree_histogram",
-    "graph_jaccard_pairs",
-    "emb_norm_quantiles",
-    "emb_simhash_bits",
-    "doc_shingle_uniqueness",
-    "ml_brier_calibration",
-    "rel_json_props_stats",
-    "rel_cohort_ltv",
-    "events_cumulative_users",
-    "rel_new_vs_returning",
-    "doc_js_divergence",
-    "ts_naive_forecast_error",
-    "events_hourly_heatmap",
-    "rel_order_linecount_dist",
-    "rel_grouping_id",
-    "rel_abc_prefix2",
-    "rel_rfm_bucketed",
-    "rel_srm_check",
+    "rel_bootstrap_ci",
+    "rel_skew_report",
+    "rel_join_explosion_estimate",
+    "rel_offset_fetch_pagination",
+    "rel_union_by_name_missing",
+    "rel_null_ordering_rank",
+    "rel_proportions_ztest",
+    "events_error_rate_wilson",
+    "ts_week_over_week",
+    "doc_bpe_vocab",
+    "ml_quality_classifier",
+    "ml_als_recommend",
+    "doc_bpe_encode",
+    "ml_isotonic_calibration",
+    "ml_cv_model_selection",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_stratified_sample",
+    "dedup_simhash_banded",
+    "doc_dup_pagerank",
+    "rel_approx_distinct",
+    "rel_approx_quantile",
+    "rel_hll_partial_merge",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_langid",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "mm_binary_stats",
+    "mm_frame_sample",
+    "doc_token_regex",
+    "doc_punct_ratio",
+    "doc_top_terms",
+    "doc_bigrams",
+    "doc_decontaminate",
+    "doc_chunk",
+    "doc_pii_redact",
+    "doc_repetition",
+    "emb_quantize_int8",
+    "emb_label_centroids",
+    "doc_winnow",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -179,8 +184,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 _DRIVER_VERIFIED: tuple[str, ...] = (
-    # Cumulative r01-r13 green names (zero failures across thirteen
-    # rounds), MINUS the 50 names rotated into the r14 recheck window
+    # Cumulative r01-r14 green names (zero failures across fourteen
+    # rounds), MINUS the 50 names rotated into the r15 recheck window
     # above. Under the steady-state policy this list tracks
     # "not in the current recheck window".
     "lake_replay_audit",
@@ -244,15 +249,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "emb_dim_variance_topk",
     "rel_cuped_adjustment",
     "rel_experiment_mde",
-    "rel_bootstrap_ci",
-    "rel_skew_report",
-    "rel_join_explosion_estimate",
-    "rel_offset_fetch_pagination",
-    "rel_union_by_name_missing",
-    "rel_null_ordering_rank",
-    "rel_proportions_ztest",
-    "events_error_rate_wilson",
-    "ts_week_over_week",
     "doc_chunk_dedup",
     "doc_span_dedup",
     "doc_char_entropy",
@@ -260,12 +256,9 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "doc_bigram_lm",
     "doc_curation_funnel",
     "doc_bm25_search",
-    "doc_bpe_vocab",
     "sem_dedup",
-    "ml_quality_classifier",
     "ts_interpolate_linear",
     "ts_cusum_changepoint",
-    "ml_als_recommend",
     "ml_survival_aft",
     "rel_incremental_agg_refresh",
     "emb_pca_whitening",
@@ -285,47 +278,21 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "src_csv_quarantine",
     "graph_triangle_count",
     "rel_ab_ttest",
-    "doc_bpe_encode",
     "ts_holt_linear",
-    "ml_isotonic_calibration",
-    "ml_cv_model_selection",
     "events_ks_two_sample",
     "events_finite_quarantine",
     "lake_finite_quarantine",
     "lake_dim_quarantine",
     "lake_temporal_quarantine",
     "events_time_to_convert",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_langid",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_pairs",
     "sim_topk_bruteforce",
     "sim_knn_batch",
     "sim_ann_lsh",
-    "mm_binary_stats",
     "mm_feature_extract",
-    "sim_ivf_topk",
     "mm_resize",
-    "mm_frame_sample",
-    "doc_token_regex",
-    "doc_punct_ratio",
     "dedup_clusters",
-    "doc_top_terms",
     "ml_kmeans_embeddings",
-    "doc_stratified_sample",
-    "doc_bigrams",
-    "doc_decontaminate",
-    "doc_chunk",
-    "doc_pii_redact",
-    "doc_repetition",
-    "emb_quantize_int8",
-    "emb_label_centroids",
-    "doc_winnow",
     "mm_audio_rms",
     "emb_normalize",
     "sim_hard_negatives",
@@ -333,16 +300,12 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "doc_length_buckets",
     "doc_pack_sequences",
     "doc_unigram_logprob",
-    "dedup_simhash_banded",
     "doc_tfidf_top_terms",
     "emb_dim_stats",
     "emb_centroid_outliers",
     "doc_domain_mix_weights",
     "mm_phash_neardup",
-    "emb_pq_codes",
-    "sim_pq_adc_topk",
     "sim_ivf_pq_topk",
-    "doc_dup_pagerank",
     "q1_pricing_summary",
     "rel_agg_stats",
     "rel_agg_distinct",
@@ -378,8 +341,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_sessionize",
     "rel_asof_join",
     "rel_distinct_rows",
-    "rel_approx_distinct",
-    "rel_approx_quantile",
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_orders",
@@ -437,7 +398,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_variant_semistructured",
     "q8_market_share",
     "rel_recursive_cte",
-    "rel_hll_partial_merge",
     "rel_lateral_topk",
     "src_xml_roundtrip",
     "rel_python_udtf",
@@ -447,13 +407,59 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_observe_metrics",
     "rel_heavy_hitters",
     "ts_ewma_last",
-    "telemetry_mqtt_roundtrip",
     "telemetry_mqtt_wildcard",
     "telemetry_score_500k",
     "telemetry_scored_alerts",
     "telemetry_train_metrics",
     "telemetry_artifact_score",
     "telemetry_pysource_stats",
+    "lake_replay_audit_approx",
+    "rel_parameterized_sql",
+    "doc_dsir_importance",
+    "rel_rfm_segmentation",
+    "rel_abc_classification",
+    "rel_yoy_growth",
+    "rel_gini_coefficient",
+    "rel_herfindahl_index",
+    "rel_entropy_by_group",
+    "rel_percent_of_total",
+    "rel_top_decile_ratio",
+    "events_dau_stickiness",
+    "events_interarrival_stats",
+    "events_autocorr_lag1",
+    "events_power_user_share",
+    "ts_bollinger_bands",
+    "ts_max_drawdown",
+    "events_weekday_profile",
+    "ts_xmr_control",
+    "doc_ttr",
+    "doc_hapax_ratio",
+    "doc_word_len_profile",
+    "rel_pivot_multi_agg",
+    "rel_collect_sorted_string",
+    "rel_word_positions",
+    "rel_reorder_gaps",
+    "rel_date_spine_fill",
+    "rel_weighted_avg_price",
+    "rel_self_excluding_avg",
+    "graph_degree_histogram",
+    "graph_jaccard_pairs",
+    "emb_norm_quantiles",
+    "emb_simhash_bits",
+    "doc_shingle_uniqueness",
+    "ml_brier_calibration",
+    "rel_json_props_stats",
+    "rel_cohort_ltv",
+    "events_cumulative_users",
+    "rel_new_vs_returning",
+    "doc_js_divergence",
+    "ts_naive_forecast_error",
+    "events_hourly_heatmap",
+    "rel_order_linecount_dist",
+    "rel_grouping_id",
+    "rel_abc_prefix2",
+    "rel_rfm_bucketed",
+    "rel_srm_check",
 )
 
 

@@ -32,7 +32,21 @@ from .conftest import SF_SMOKE
 from .shuffle_fixture import shuffle_tables
 
 QUERIES = all_queries()
-WINDOW_ORACLED = [n for n in list(QUERIES)[:50] if QUERIES[n].oracle]
+# The telemetry eager-io entries are excluded BY SCOPE (r15): they
+# generate their own seeded/wire input and never read sf_dir, so
+# "pristine vs shuffled fixtures" compares two independent GENERATION
+# runs, not two layouts — and for the MQTT entry a QoS-1 retransmit
+# (at-least-once by contract) would byte-diff them spuriously. Their
+# parity gate is the landed-bytes oracle instead. The src_* eager-io
+# roundtrips DO read the fixtures and stay in scope.
+WINDOW_ORACLED = [
+    n
+    for n in list(QUERIES)[:50]
+    if QUERIES[n].oracle
+    and not (
+        "eager-io" in QUERIES[n].tags and "telemetry" in QUERIES[n].tags
+    )
+]
 
 
 @pytest.fixture(scope="module")

@@ -572,3 +572,63 @@ def test_dataset_fingerprint_layout_insensitive(embs):
         embs.filter(F.col("vec_id") != 0), "vec_id", "embedding"
     )
     assert a != c
+
+
+def test_opq_rotation_recovers_clustered_pq(spark):
+    """OPQ-lite floor (r15, r14 verdict task 8): the r14 sweep showed
+    default PQ DEGRADES on the clustered fixture — recall@10 0.200 at
+    m=16/k=16 (vs 0.346 random) because within-cluster variance
+    concentrates in a few correlated dims. One learned rotation
+    (``opq_rotation``: PCA eigenbasis + eigenvalue allocation, the
+    OPQ_P parametric baseline) applied to corpus AND queries before
+    codebook training recovers it. Measured r15: clustered 0.328 (from
+    0.200 — back to the random-corpus level), random 0.432 (from
+    0.346 — it helps there too). Floors leave margin for sample/seed
+    sensitivity, not regressions. ADC distance is rotation-invariant,
+    so recall is against the ORIGINAL-space exact euclidean truth."""
+    import numpy as np
+
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.generator import (
+        clustered_embeddings,
+    )
+
+    k, nq = 10, 25
+    e = clustered_embeddings(spark).drop("cluster_id").cache()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    truth = {}
+    for qid in range(nq):
+        d = sorted(
+            (float(np.sum((v - vecs[qid]) ** 2)), vid)
+            for vid, v in vecs.items()
+            if vid != qid
+        )
+        truth[qid] = {vid for _, vid in d[:k]}
+    q = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    R = S.opq_rotation(e, m=16)
+    # orthogonality: ADC distances must be exactly preserved
+    assert float(np.abs(R @ R.T - np.eye(R.shape[0])).max()) < 1e-10
+
+    er = S.apply_rotation(e, R).cache()
+    qr = S.apply_rotation(q, R, id_col="query_id")
+    books = S.pq_train_codebooks(er, m=16, k=16)
+    got = {}
+    for r in S.pq_adc_topk(er, books, qr, k=k, m=16).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    rec = sum(len(got.get(i, set()) & truth[i]) / k for i in truth) / len(truth)
+    er.unpersist()
+    e.unpersist()
+    assert rec >= 0.27, (
+        f"clustered OPQ-lite PQ m=16/k=16 recall@10 fell to {rec:.3f} "
+        "(unrotated baseline is 0.200 — the rotation must stay material)"
+    )
+
+
+def test_opq_rotation_layout_deterministic(embs):
+    import numpy as np
+
+    a = S.opq_rotation(embs, m=8)
+    b = S.opq_rotation(_reorder(embs, 13, 21), m=8)
+    assert np.array_equal(a, b)  # byte-identical trained rotation
