@@ -880,14 +880,23 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k (euclidean): the full billion-scale ANN
-    index shape — a coarse KMeans quantizer prunes the corpus to
+    index shape — a coarse quantizer prunes the corpus to
     ``nprobe``/``nlist`` cells per query, and within probed cells
     vectors are ranked by asymmetric distance over RESIDUAL product-
     quantization codes (x - cell_centroid, PQ-encoded; residuals are
     much lower-variance than raw vectors, so the same code budget
     quantizes far finer).
+
+    Pass ``centroids`` — a (cell, centroid) frame from
+    ``ivf_train_centroids``, typically persisted/loaded via
+    ``ml.artifact.pinned`` — to make the pinned-artifact path the query
+    plan (r15): no KMeans fit, cell assignment via the codegen'd
+    ``_nearest_cell`` fold, and (the PQ trainer being canonical-sorted)
+    the whole index build layout-deterministic. ``centroids=None``
+    keeps the self-contained MLlib fit.
 
     Index build (all distributed): one KMeans fit, one residual
     computation (zip_with against broadcast centroids), one
@@ -912,24 +921,41 @@ def ivf_pq_topk(
     import pandas as pd
     from collections.abc import Iterator
 
-    from pyspark.ml.clustering import KMeans
-
     spark = embeddings.sparkSession
-    feats = _to_mllib_vectors(embeddings, vec_col).select(
-        F.col(id_col), as_double(vec_col).alias("__vec"), F.col("__features")
-    )
-    km = KMeans(k=nlist, seed=42, featuresCol="__features", predictionCol="__cell")
-    model = fit_nonempty(km, feats, "ivf_pq_topk", min_rows=nlist)
-    centers = np.array([list(c) for c in model.clusterCenters()])  # (nlist, d)
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
 
-    centroids = spark.createDataFrame(
+        feats = _to_mllib_vectors(embeddings, vec_col).select(
+            F.col(id_col), as_double(vec_col).alias("__vec"), F.col("__features")
+        )
+        km = KMeans(
+            k=nlist, seed=42, featuresCol="__features", predictionCol="__cell"
+        )
+        model = fit_nonempty(km, feats, "ivf_pq_topk", min_rows=nlist)
+        centers = np.array([list(c) for c in model.clusterCenters()])  # (nlist, d)
+        assigned = model.transform(feats).select(id_col, "__vec", "__cell")
+    else:
+        cent_rows = sorted(
+            (int(r[0]), [float(x) for x in r[1]]) for r in centroids.collect()
+        )
+        if [c for c, _ in cent_rows] != list(range(len(cent_rows))):
+            raise ValueError(
+                "ivf_pq_topk: given centroids must carry contiguous cell "
+                "ids 0..nlist-1 (the residual LUTs index by cell)"
+            )
+        centers = np.array([v for _, v in cent_rows])
+        assigned = (
+            embeddings.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), as_double(vec_col).alias("__vec"))
+            .withColumn("__cell", _nearest_cell(F.col("__vec"), cent_rows))
+        )
+
+    centroid_tbl = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         schema="__cell INT, __cvec ARRAY<DOUBLE>",
     )
     corpus = (
-        model.transform(feats)
-        .select(id_col, "__vec", "__cell")
-        .join(F.broadcast(centroids), "__cell")
+        assigned.join(F.broadcast(centroid_tbl), "__cell")
         .select(
             id_col,
             "__cell",

@@ -1869,14 +1869,32 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full billion-scale ANN composition: IVF coarse quantizer
     (nprobe/nlist cell pruning) + asymmetric-distance ranking over
     RESIDUAL product-quantization codes — corpus vectors are (cell id +
-    m bytes) at query time; original embeddings never load. Rows-only
-    (KMeans + LUT gathers aren't SQL); recall@10 vs exact euclidean is
-    gated in tests/test_similarity.py."""
+    m bytes) at query time; original embeddings never load. Since r15
+    the coarse quantizer comes from the SAME pinned artifact as
+    ``sim_ivf_topk`` (train-once → persist → load; one quantizer per
+    corpus serves both indexes, exactly how a deployment shares its
+    coarse level), so no KMeans runs in the query and the index build
+    is layout-deterministic. Rows-only (k-means + LUT gathers aren't
+    SQL); recall@10 vs exact euclidean is gated in
+    tests/test_similarity.py."""
     e = _embs(spark, sf_dir)
+    fp = ART.dataset_fingerprint(e, "vec_id", "embedding")
+    cent_rows = ART.pinned(
+        f"ivf_nlist16_{fp}",
+        lambda: [
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in S.ivf_train_centroids(e, nlist=16).collect()
+        ],
+    )
+    cents = spark.createDataFrame(
+        cent_rows, schema="cell INT, centroid ARRAY<DOUBLE>"
+    )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_pq_topk(e, q, k=10, nlist=16, nprobe=6, m=16, pq_k=16)
+    return S.ivf_pq_topk(
+        e, q, k=10, nlist=16, nprobe=6, m=16, pq_k=16, centroids=cents
+    )
 
 
 @register(

@@ -86,6 +86,9 @@ _RECHECK_FIRST: tuple[str, ...] = (
     #   — rows-only → hash-green landed-spool oracle.
     # - sim_ivf_topk: PLAN CHANGED (digest diff) — pinned-centroid
     #   query path (r14 task 1).
+    # - sim_ivf_pq_topk: PLAN CHANGED late in the round — wired
+    #   through the SAME pinned coarse-quantizer artifact as
+    #   sim_ivf_topk (swapped in for the youngest aged name).
     # - emb_pq_codes / sim_pq_adc_topk: BEHAVIOR CHANGED with an
     #   UNCHANGED digest (pq_encode collects the books driver-side,
     #   so the returned plan shape is blind to the trainer swap) —
@@ -96,7 +99,7 @@ _RECHECK_FIRST: tuple[str, ...] = (
     #   _publish lifecycle changed under them (copy + generation
     #   retention, r14 task 3) — same oracle text, deliberate
     #   recheck of the comparison plumbing.
-    # Then the 42 oldest aged names (r07/r08 evidence) per the
+    # Then the 41 oldest aged names (r07/r08 evidence) per the
     # steady-state least-recently-checked rotation.
     "emb_opq_rotation",
     "telemetry_mqtt_roundtrip",
@@ -147,7 +150,6 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "doc_repetition",
     "emb_quantize_int8",
     "emb_label_centroids",
-    "doc_winnow",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -460,6 +462,7 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_abc_prefix2",
     "rel_rfm_bucketed",
     "rel_srm_check",
+    "doc_winnow",
 )
 
 

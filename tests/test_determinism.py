@@ -90,11 +90,17 @@ def test_window_queries_are_layout_deterministic(spark, shuffled_sf_dir):
 # The trained-structure ANN entries are rows-only (never in the oracled
 # walk above), and they are exactly where the r14 audit found layout
 # nondeterminism: in-query kmeans|| init samples by partition. r15 made
-# the pinned-artifact path the query path (sim_ivf_topk, emb_pq_codes)
+# the pinned-artifact path the query path (sim_ivf_topk, emb_pq_codes,
+# sim_ivf_pq_topk — the last shares sim_ivf_topk's pinned quantizer)
 # and the remaining in-query trainer canonical-sorted
-# (pq_train_codebooks → sim_pq_adc_topk), so all three must now be
+# (pq_train_codebooks → sim_pq_adc_topk), so all four must now be
 # byte-stable under re-layout — pinned here by name.
-TRAINED_ANN = ["sim_ivf_topk", "emb_pq_codes", "sim_pq_adc_topk"]
+TRAINED_ANN = [
+    "sim_ivf_topk",
+    "emb_pq_codes",
+    "sim_pq_adc_topk",
+    "sim_ivf_pq_topk",
+]
 
 
 @pytest.mark.slow

@@ -143,6 +143,20 @@ def main() -> None:
                  _recall(got, l2_truth), time.perf_counter() - t0)
             )
 
+    # OPQ-lite (r15): one learned rotation before PQ — ADC distance is
+    # rotation-invariant, so recall stays against the original-space
+    # truth. On clustered data this prices back the structure penalty
+    # without spending code bytes (cf. the m=16/k=16 rows above).
+    t0 = time.perf_counter()
+    R = S.opq_rotation(e, m=16)
+    er = S.apply_rotation(e, R).cache()
+    qr = S.apply_rotation(q, R, id_col="query_id")
+    books = S.pq_train_codebooks(er, m=16, k=16)
+    got = _collect_topk(S.pq_adc_topk(er, books, qr, k=K, m=16))
+    rows.append(("pq_adc_topk m=16 k=16 + OPQ-lite", "euclidean",
+                 _recall(got, l2_truth), time.perf_counter() - t0))
+    er.unpersist()
+
     print("| method | ground truth | recall@10 | wall s |")
     print("|---|---|---|---|")
     for name, gt, rec, wall in rows:
