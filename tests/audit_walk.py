@@ -71,6 +71,7 @@ _CRISP_RE = re.compile(r"zero rows|zero vectors|needs at least")
 #: whose fixtures keep estimators fittable assert tighter.
 ESTIMATOR_CRISP_OK = frozenset(
     {
+        "emb_opq_rotation",
         "emb_pca_whitening",
         "emb_pq_codes",
         "ml_als_recommend",

@@ -31,6 +31,7 @@ from .conftest import SF_SMOKE
 # Training on an empty corpus is undefined by contract; these must fail
 # CRISPLY (ml/fitguard.fit_nonempty or the PQ empty-codebook guard).
 EXPECTED_CRISP = {
+    "emb_opq_rotation",
     "emb_pca_whitening",
     "emb_pq_codes",
     "ml_als_recommend",

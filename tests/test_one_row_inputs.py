@@ -39,6 +39,7 @@ from .oracle_harness import compare, duck_connection
 # Training on fewer rows than clusters/components is undefined by
 # contract; these must fail CRISPLY (ml/fitguard naming the operator).
 EXPECTED_CRISP = {
+    "emb_opq_rotation",  # covariance needs >= 2 rows (r15)
     "emb_pca_whitening",  # covariance needs >= 2 rows
     "ml_als_recommend",  # ratings frame filters to zero rows
     "ml_kmeans_embeddings",  # k=8 > 1 row
