@@ -1763,10 +1763,17 @@ def emb_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the rotated corpus — the quantity eigenvalue allocation
     balances, so imbalance regressions are driver-visible. Rows-only
     (eigendecomposition isn't SQL); training is layout-deterministic
-    (canonical sample + sign convention, probe-pinned in tests)."""
+    (canonical sample + sign convention, probe-pinned in tests), and —
+    like every trained structure since r15 — the rotation is PINNED:
+    train-once → persist (``ml.artifact.pinned``) → load, never refit
+    in the query path."""
     m = 8
     e = _embs(spark, sf_dir)
-    R = S.opq_rotation(e, m=m)
+    fp = ART.dataset_fingerprint(e, "vec_id", "embedding")
+    R = ART.pinned(
+        f"opq_m{m}_{fp}",
+        lambda: [[float(x) for x in row] for row in S.opq_rotation(e, m=m)],
+    )
     dsub = len(R) // m
     er = S.apply_rotation(e, R)
     return (

@@ -539,7 +539,6 @@ def telemetry_buffered_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists-and-renames one bounded prefix per trigger (O(flush budget),
     never O(history) — the r13-ADVICE sweep keeps staging empty of
     side-file-only dirs). Cites phase3-kinesis-s3.yaml:86-88."""
-    import glob
     import os
 
     from ..sources.scratch import scratch_dir
