@@ -123,9 +123,12 @@ def pinned(key: str, train) -> Any:
 
     ``key`` must be layout-insensitive (use ``dataset_fingerprint`` on
     the training frame plus the hyperparameters), so re-layouts of the
-    same logical corpus share one artifact. Concurrency-safe: the write
-    is atomic (``save_artifact`` write-then-rename), so racing trainers
-    converge on one winner and readers never see a partial file."""
+    same logical corpus share one artifact — and it must carry a
+    TRAINER VERSION component (e.g. ``_t2``) that callers bump whenever
+    the training algorithm changes, or a stale pin silently masks the
+    new trainer. Concurrency-safe: the write is atomic
+    (``save_artifact`` write-then-rename), so racing trainers converge
+    on one winner and readers never see a partial file."""
     path = os.path.join(artifact_dir(), f"{key}.bin")
     if os.path.exists(path):
         return load_artifact(path)

@@ -46,7 +46,17 @@ def _lloyd_deterministic(X, k: int, n_iter: int, seed: int):
 
     Driver/executor-local numpy: callers pass a BOUNDED sample (the
     train-small / encode-everything split — at 100 TB the quantizer
-    never sees the full corpus)."""
+    never sees the full corpus). The assignment step is CHUNKED and
+    BUFFER-REUSING (r15): the naive broadcast form materializes an
+    (n, k, d) tensor (8.6 GB at n=64k/k=256/d=64), and even the
+    |c|²-2x·c expansion's full (n, k) matrix churns ~134 MB of fresh
+    temporaries per iteration — measured to collapse 16-way-parallel
+    subspace fits to DRAM bandwidth (69 s per fit in-worker vs 6 s of
+    math). Chunking keeps the scratch ~4 MB (cache-resident), one
+    preallocated buffer serves every chunk and iteration, and the
+    row-constant |x|² term is dropped from the argmin — means via
+    weighted bincount (one pass, sequential, deterministic). The
+    canonical sort keeps all of it layout-deterministic."""
     import numpy as np
 
     X = np.asarray(X, dtype=np.float64)
@@ -56,13 +66,29 @@ def _lloyd_deterministic(X, k: int, n_iter: int, seed: int):
     C = X[np.sort(idx[:: max(1, len(idx) // k)][:k])].copy()
     while len(C) < k:  # degenerate tiny input
         C = np.vstack([C, C[: k - len(C)]])
+    n, d = X.shape
+    chunk = min(n, max(1024, (4 << 20) // (k * 8)))
+    buf = np.empty((chunk, k))
+    assign = np.empty(n, dtype=np.int64)
     for _ in range(n_iter):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(k):
-            mask = assign == c
-            if mask.any():
-                C[c] = X[mask].mean(axis=0)
+        csq = (C * C).sum(axis=1)[None, :]
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            b = buf[: hi - lo]
+            np.matmul(X[lo:hi], C.T, out=b)
+            b *= -2.0
+            b += csq
+            assign[lo:hi] = b.argmin(axis=1)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        sums = np.stack(
+            [
+                np.bincount(assign, weights=X[:, j], minlength=k)
+                for j in range(d)
+            ],
+            axis=1,
+        )
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
     return C
 
 
@@ -666,6 +692,7 @@ def pq_train_codebooks(
     n_iter: int = 10,
     vec_col: str = "embedding",
     seed: int = 42,
+    sample_n: int | None = 65536,
 ) -> DataFrame:
     """Product-quantization codebooks: split each d-dim vector into
     ``m`` subvectors and learn ``k`` centroids PER subspace.
@@ -673,10 +700,15 @@ def pq_train_codebooks(
     Training runs as ONE ``applyInPandas`` over the subspace index —
     all m subspace k-means fits execute in parallel, each on its own
     partition's numpy batch (Lloyd iterations, deterministic k-means++-
-    free init by even sample spacing, fixed seed). At 100 TB you train
-    on a sample; encoding (the full-corpus pass) is map-only with the
-    codebooks broadcast — the standard IVF-PQ split of train-small /
-    encode-everything.
+    free init by even sample spacing, fixed seed). The train-small /
+    encode-everything split is ENFORCED, not just documented (r15):
+    the trainer sees at most ``sample_n`` vectors, chosen by CONTENT
+    (order by ``xxhash64(vec)``, take n — layout-insensitive, so the
+    trained books stay byte-reproducible under re-layout). Without the
+    bound, groupBy("sub") would hand each subspace fit the ENTIRE
+    corpus as one pandas batch — a guaranteed executor OOM at real
+    scale. ``sample_n=None`` disables the bound for small-corpus
+    experiments.
 
     Returns (sub, code, centroid: array<double>), m*k rows.
 
@@ -686,7 +718,17 @@ def pq_train_codebooks(
     import numpy as np
     import pandas as pd
 
-    d = embeddings.filter(F.col(vec_col).isNotNull()).select(
+    src = embeddings.filter(F.col(vec_col).isNotNull())
+    if sample_n is not None:
+        src = (
+            src.select(F.col(vec_col))
+            .withColumn("__h", F.xxhash64(F.col(vec_col)))
+            .orderBy("__h")
+            .limit(sample_n)
+            .drop("__h")
+        )
+
+    d = src.select(
         F.posexplode(
             # slice the vector into m contiguous subvectors
             F.transform(
@@ -768,12 +810,35 @@ def pq_encode(
         f", {c} {embeddings.schema[c].dataType.simpleString()}" for c in extra_cols
     )
 
+    # |c|² per (sub, code): with the |x|²+|c|²-2x·c expansion the |x|²
+    # term is constant across codes, so argmin needs only |c|² - 2x·c —
+    # one einsum per batch instead of the naive (n, m, k, dsub)
+    # broadcast tensor (which at a 10k-row Arrow batch with m=16/k=256
+    # is ~1.3 GB of scratch per batch; the einsum peaks at (n, m, k)).
+    CSQ = (C * C).sum(axis=2)  # (m, k)
+
+    # Chunked, buffer-reusing argmin (r15): the naive broadcast form
+    # allocates an (n, m, k, dsub) tensor per Arrow batch (~1.3 GB at
+    # 10k rows, m=16/k=256 — it OOM'd the workers), and even a fresh
+    # (n, m, k) einsum per batch churns DRAM. One preallocated
+    # (chunk, k) buffer serves every (chunk, subspace) matmul, so the
+    # scratch stays cache-resident and the scan runs at compute speed
+    # across all concurrent workers.
+    chunk = max(256, (4 << 20) // max(1, k * 8))
+
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf = np.empty((chunk, k))
         for pdf in it:
             X = np.stack(pdf["__v"].to_numpy()).reshape(len(pdf), m, dsub)
-            # (n, m, k) distances -> argmin code per subspace
-            d2 = ((X[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=3)
-            codes = d2.argmin(axis=2).astype("int32")
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for lo in range(0, len(pdf), chunk):
+                hi = min(lo + chunk, len(pdf))
+                b = buf[: hi - lo]
+                for s in range(m):
+                    np.matmul(X[lo:hi, s, :], C[s].T, out=b)
+                    b *= -2.0
+                    b += CSQ[s][None, :]
+                    codes[lo:hi, s] = b.argmin(axis=1)
             out = {"__id": pdf["__id"].astype("int64"), "codes": list(codes)}
             for c in extra_cols:
                 out[c] = pdf[c]

@@ -60,6 +60,15 @@ def streaming_state_confs() -> dict[str, str]:
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
         ),
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        # Single-threaded BLAS in Python workers (r15): Spark TASKS are
+        # the parallelism unit — numpy inside a pandas UDF otherwise
+        # spawns an all-core OpenBLAS/OMP pool PER concurrent worker
+        # (measured: the 16-way parallel PQ subspace fit inflated 6 s of
+        # math to ~300 s of thread-thrash on local[32]). Same rule any
+        # multi-core executor needs in production.
+        "spark.executorEnv.OMP_NUM_THREADS": "1",
+        "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+        "spark.executorEnv.MKL_NUM_THREADS": "1",
     }
 
 
@@ -70,6 +79,12 @@ def get_spark(app_name: str = "rtpmdp-engine", cpus: str | None = None) -> Spark
     only tests and ``bench.py`` do.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Local-mode twin of the executorEnv BLAS caps in spark_confs():
+    # python workers fork from the in-process JVM, which inherits THIS
+    # process's env — executorEnv alone doesn't reach an already-running
+    # local executor. Must be set before any worker imports numpy.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
