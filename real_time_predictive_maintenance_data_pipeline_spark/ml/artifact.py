@@ -113,6 +113,28 @@ def artifact_dir() -> str:
     return d
 
 
+#: Version of each pinned-artifact TRAINER — bump when the training
+#: algorithm changes so old pins stop being served (the key carries the
+#: version via ``trainer_key``). The convention is enforced
+#: MECHANICALLY: tests/test_artifact_versions.py digests each trainer's
+#: source and fails on any edit until the digest there is refreshed —
+#: forcing the editor past this dict, where the bump decision is made.
+TRAINER_VERSIONS: dict[str, int] = {
+    "ivf_train_centroids": 3,
+    "pq_train_codebooks": 3,
+    "opq_rotation": 1,
+}
+
+
+def trainer_key(prefix: str, trainer: str, fp: str) -> str:
+    """Build a ``pinned`` cache key that mechanically carries the
+    trainer's version: ``{prefix}_t{version}_{fp}``. Callers never
+    hand-write the ``_tN`` component (the r15 OPQ key omitted it —
+    ADVICE r15), so a trainer-algorithm change invalidates every
+    derived pin the moment ``TRAINER_VERSIONS`` is bumped."""
+    return f"{prefix}_t{TRAINER_VERSIONS[trainer]}_{fp}"
+
+
 def pinned(key: str, train) -> Any:
     """Train-once → persist → load: the default query-path contract for
     every TRAINED structure (IVF centroids, PQ codebooks, the RF
@@ -124,15 +146,33 @@ def pinned(key: str, train) -> Any:
     ``key`` must be layout-insensitive (use ``dataset_fingerprint`` on
     the training frame plus the hyperparameters), so re-layouts of the
     same logical corpus share one artifact — and it must carry a
-    TRAINER VERSION component (e.g. ``_t2``) that callers bump whenever
-    the training algorithm changes, or a stale pin silently masks the
-    new trainer. Concurrency-safe: the write is atomic
+    TRAINER VERSION component: build it with ``trainer_key`` so the
+    version rides in mechanically from ``TRAINER_VERSIONS`` instead of
+    being hand-written (a stale pin silently masks a new trainer
+    otherwise). Concurrency-safe: the write is atomic
     (``save_artifact`` write-then-rename), so racing trainers converge
-    on one winner and readers never see a partial file."""
+    on one winner and readers never see a partial file.
+
+    Degenerate results are REFUSED, not cached (r15 verdict task 3):
+    a ``train()`` that returns ``None`` or an empty container raises
+    the crisp estimator error here, BEFORE persisting — a corrupt pin
+    (e.g. the ``..._n0hNone.bin`` empty-corpus case) would otherwise
+    serve junk to every later query of the same fingerprint, long
+    after the empty-input bug is fixed."""
     path = os.path.join(artifact_dir(), f"{key}.bin")
     if os.path.exists(path):
         return load_artifact(path)
     obj = train()
+    try:
+        empty = len(obj) == 0  # type: ignore[arg-type]
+    except TypeError:
+        empty = False
+    if obj is None or empty:
+        raise ValueError(
+            f"pinned({key!r}) needs at least a non-empty trained "
+            f"artifact, got {obj!r} — refusing to persist a degenerate "
+            "pin (an upstream filter or source produced no training rows)"
+        )
     save_artifact(obj, path)
     return obj
 

@@ -857,6 +857,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_queries: int = 1024,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes (the IVF-PQ query path).
 
@@ -877,6 +878,15 @@ def pq_adc_topk(
     return no rows); null corpus vectors were never encoded (see
     ``pq_encode``). Zero vectors are valid under the Euclidean ADC
     metric.
+
+    The query set is driver-materialized (each query contributes an
+    (m x k) LUT to every task closure), so it is BOUNDED: more than
+    ``max_queries`` queries raises the crisp estimator error instead of
+    an unbounded collect (r15 verdict task 5). For a legitimately large
+    query set, chunk it — run this per ``max_queries``-sized slice
+    (LUT memory and the (nq x n) batch matmul both scale per chunk, so
+    chunking is the scale form, not a workaround) — or raise the bound
+    knowingly.
     """
     import numpy as np
     import pandas as pd
@@ -899,8 +909,15 @@ def pq_adc_topk(
             F.col(query_id_col).alias("__qid"),
             as_double(F.col(vec_col)).alias("__qv"),
         )
+        .limit(max_queries + 1)  # bound the collect itself, then raise
         .collect()
     )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_adc_topk needs at most max_queries={max_queries} query "
+            f"vectors (driver-side LUT build), got more — chunk the query "
+            "set into max_queries-sized slices or raise max_queries"
+        )
     qids = np.array([r.__getitem__("__qid") for r in qrows], dtype=np.int64)
     Q = np.stack([np.array(r.__getitem__("__qv")) for r in qrows]).reshape(
         len(qrows), m, dsub
@@ -946,6 +963,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: DataFrame | None = None,
+    max_queries: int = 1024,
 ) -> DataFrame:
     """IVF-PQ approximate top-k (euclidean): the full billion-scale ANN
     index shape — a coarse quantizer prunes the corpus to
@@ -981,12 +999,35 @@ def ivf_pq_topk(
     build; null query vectors are excluded at search (ids absent from
     the output). This index is fully Euclidean — zero vectors and zero
     centroids are valid here, unlike ``ivf_topk``'s cosine ranking.
+
+    The query set is driver-materialized (per (query, probed cell) LUT
+    build), so it is BOUNDED at ``max_queries`` with the same crisp
+    error / chunking contract as ``pq_adc_topk``.
     """
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
     spark = embeddings.sparkSession
+    # Query bound FIRST (fail fast — before any index-build work): the
+    # query set is driver-materialized for per-cell LUTs, so it is
+    # capped like pq_adc_topk's.
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(query_id_col).alias("__qid"),
+            as_double(F.col(vec_col)).alias("__qv"),
+        )
+        .limit(max_queries + 1)  # bound the collect itself, then raise
+        .collect()
+    )
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_topk needs at most max_queries={max_queries} query "
+            f"vectors (driver-side per-cell LUT build), got more — chunk "
+            "the query set into max_queries-sized slices or raise "
+            "max_queries"
+        )
     if centroids is None:
         from pyspark.ml.clustering import KMeans
 
@@ -1038,14 +1079,6 @@ def ivf_pq_topk(
     C = np.zeros((m, pq_k, dsub))
     for r in rows:
         C[r.sub, r.code] = r.centroid
-    qrows = (
-        queries.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.col(query_id_col).alias("__qid"),
-            as_double(F.col(vec_col)).alias("__qv"),
-        )
-        .collect()
-    )
     luts: dict[int, dict[int, np.ndarray]] = {}
     probed_cells: set[int] = set()
     for r in qrows:

@@ -343,7 +343,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     fp = ART.dataset_fingerprint(e, "vec_id", "embedding")
     cent_rows = ART.pinned(
-        f"ivf_nlist16_t3_{fp}",
+        ART.trainer_key("ivf_nlist16", "ivf_train_centroids", fp),
         lambda: [
             (int(r["cell"]), [float(x) for x in r["centroid"]])
             for r in S.ivf_train_centroids(e, nlist=16).collect()
@@ -1730,7 +1730,7 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     fp = ART.dataset_fingerprint(e, "vec_id", "embedding")
     book_rows = ART.pinned(
-        f"pq_m8_k16_t3_{fp}",
+        ART.trainer_key("pq_m8_k16", "pq_train_codebooks", fp),
         lambda: [
             (int(r["sub"]), int(r["code"]), [float(x) for x in r["centroid"]])
             for r in S.pq_train_codebooks(e, m=8, k=16).collect()
@@ -1771,7 +1771,7 @@ def emb_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     fp = ART.dataset_fingerprint(e, "vec_id", "embedding")
     R = ART.pinned(
-        f"opq_m{m}_{fp}",
+        ART.trainer_key(f"opq_m{m}", "opq_rotation", fp),
         lambda: [[float(x) for x in row] for row in S.opq_rotation(e, m=m)],
     )
     dsub = len(R) // m
@@ -1887,7 +1887,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _embs(spark, sf_dir)
     fp = ART.dataset_fingerprint(e, "vec_id", "embedding")
     cent_rows = ART.pinned(
-        f"ivf_nlist16_t3_{fp}",
+        ART.trainer_key("ivf_nlist16", "ivf_train_centroids", fp),
         lambda: [
             (int(r["cell"]), [float(x) for x in r["centroid"]])
             for r in S.ivf_train_centroids(e, nlist=16).collect()

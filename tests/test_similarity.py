@@ -632,3 +632,25 @@ def test_opq_rotation_layout_deterministic(embs):
     a = S.opq_rotation(embs, m=8)
     b = S.opq_rotation(_reorder(embs, 13, 21), m=8)
     assert np.array_equal(a, b)  # byte-identical trained rotation
+
+
+def test_adc_query_bound_crisp(embs):
+    """r15 verdict task 5: the driver-side query materialization in
+    pq_adc_topk / ivf_pq_topk is BOUNDED — exceeding max_queries raises
+    the module's crisp estimator error (and the collect itself is
+    limit-capped, so the failure costs O(max_queries), not O(|queries|)
+    driver memory)."""
+    books = S.pq_train_codebooks(embs, m=8, k=16)
+    q = embs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="needs at most max_queries=3"):
+        S.pq_adc_topk(embs, books, q, k=3, m=8, max_queries=3)
+    cents = S.ivf_train_centroids(embs, nlist=4)
+    with pytest.raises(ValueError, match="needs at most max_queries=3"):
+        S.ivf_pq_topk(
+            embs, q, k=3, nlist=4, nprobe=2, m=8, pq_k=8,
+            centroids=cents, max_queries=3,
+        )
+    # at the bound: both still run
+    assert S.pq_adc_topk(embs, books, q, k=3, m=8, max_queries=4).count() > 0
