@@ -98,8 +98,14 @@ def _nearest_cell(vec, cent_rows: list) -> "F.Column":
     ``KMeansModel.transform`` on the pinned-artifact query path. A
     transform → array_min fold over struct(distance, cell): stays in
     whole-stage codegen (no UDF, no MLlib Vector conversion, no
-    shuffle), ties break to the lowest cell id. nlist is tens-to-
-    thousands, so the literal array is KiB-scale in the plan."""
+    shuffle), ties break to the lowest cell id.
+
+    SMALL-nlist form only: the plan embeds nlist×d double literals, so
+    at nlist ≳ a few hundred with realistic dims the expression tree
+    stops being KiB and risks Catalyst/codegen blowup (64 KB method
+    limit) — ``assign_cells`` dispatches to the closure-matrix
+    mapInPandas form above ``_LITERAL_NLIST_MAX`` (r15 verdict task 6 /
+    ADVICE r15)."""
     carr = F.array(
         *[
             F.struct(
@@ -113,6 +119,85 @@ def _nearest_cell(vec, cent_rows: list) -> "F.Column":
         carr, lambda s: F.struct(sq_l2(vec, s["v"]).alias("d"), s["c"].alias("c"))
     )
     return F.array_min(dists)["c"]
+
+
+#: Crossover between the literal-fold and closure-matrix assignment
+#: forms. Below this the _nearest_cell expression is KiB-scale and
+#: whole-stage-codegen wins (no Arrow hop); above it the literal plan
+#: grows as nlist×d double literals (nlist=256/d=64 ≈ 0.4 MB of
+#: expression tree, and codegen methods approach the JVM's 64 KB
+#: limit), while the numpy form's cost is flat in nlist. Measured at
+#: 200k×64 (SCALING.md r16): literal 6.5 s @16 → 27 s @128 → 56 s
+#: @512; matrix ~4 s flat — crossover between 16 and 64.
+_LITERAL_NLIST_MAX = 32
+
+
+def assign_cells(
+    df: DataFrame,
+    cent_rows: list,
+    id_col: str,
+    vec_col: str = "__vec",
+) -> DataFrame:
+    """Nearest-centroid (squared-euclidean) cell assignment for the
+    pinned-centroid query path, dispatching on quantizer size:
+
+    - nlist ≤ ``_LITERAL_NLIST_MAX``: the codegen'd literal fold
+      (``_nearest_cell``) — zero Python, zero Arrow hop;
+    - larger: the centroid MATRIX ships inside an Arrow-batched
+      mapInPandas closure (same shape as ``pq_encode``) and each batch
+      is nlist small numpy ops over a preallocated (chunk, nlist)
+      buffer — map-only, no shuffle, plan size independent of nlist.
+
+    Both forms compute the same direct ``sum((x-c)^2)`` per centroid
+    and break ties to the LOWEST cell id (argmin's first-minimum over
+    cell-ascending columns ≡ array_min's struct ordering), so
+    assignments agree exactly unless two centroids are within ULP of
+    equidistant — equivalence is pinned on the catalog corpora in
+    tests/test_similarity.py.
+
+    ``df`` must carry exactly (id_col, vec_col non-null
+    array<double>); returns it plus ``__cell INT``.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cent_rows = sorted((int(c), [float(x) for x in v]) for c, v in cent_rows)
+    if len(cent_rows) <= _LITERAL_NLIST_MAX:
+        return df.withColumn("__cell", _nearest_cell(F.col(vec_col), cent_rows))
+
+    cells = np.array([c for c, _ in cent_rows], dtype="int32")
+    C = np.array([v for _, v in cent_rows])  # (nlist, d)
+    nlist = len(cells)
+    # (chunk, nlist) distance buffer sized to stay cache-resident
+    chunk = max(256, (4 << 20) // max(1, nlist * 8))
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def go(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf = np.empty((chunk, nlist))
+        for pdf in it:
+            X = np.stack(pdf[vec_col].to_numpy())  # (n, d)
+            out = np.empty(len(pdf), dtype="int32")
+            for lo in range(0, len(pdf), chunk):
+                hi = min(lo + chunk, len(pdf))
+                b = buf[: hi - lo]
+                for j in range(nlist):
+                    # direct form (not the -2x·c expansion): identical
+                    # rounding shape to the literal fold's (x-c)^2 sum
+                    d = X[lo:hi] - C[j]
+                    np.einsum("ij,ij->i", d, d, out=b[:, j])
+                out[lo:hi] = b.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "__cell": cells[out],
+                }
+            )
+
+    return df.mapInPandas(
+        go, f"{id_col} {id_type}, {vec_col} array<double>, __cell int"
+    )
 
 
 def _content_sample(
@@ -546,10 +631,12 @@ def ivf_topk(
         cent_rows = [
             (int(r[0]), [float(x) for x in r[1]]) for r in centroids.collect()
         ]
-        assigned = (
-            embeddings.filter(F.col(vec_col).isNotNull())
-            .select(F.col(id_col), as_double(vec_col).alias("__vec"))
-            .withColumn("__cell", _nearest_cell(F.col("__vec"), cent_rows))
+        assigned = assign_cells(
+            embeddings.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col), as_double(vec_col).alias("__vec")
+            ),
+            cent_rows,
+            id_col=id_col,
         )
 
     # Corpus norms computed once at index-build time (per vector), not
@@ -674,10 +761,13 @@ def ivf_dead_cells(
         dead = [c for c, v in cent_rows if not any(x != 0.0 for x in v)]
         if not dead:
             return spark.createDataFrame([], schema="cell INT, n_members BIGINT")
-        assigned = embeddings.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col),
-            _nearest_cell(as_double(F.col(vec_col)), cent_rows).alias("__cell"),
-        )
+        assigned = assign_cells(
+            embeddings.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col), as_double(F.col(vec_col)).alias("__vec")
+            ),
+            cent_rows,
+            id_col=id_col,
+        ).select(id_col, "__cell")
     return (
         assigned.filter(F.col("__cell").isin(dead))
         .groupBy(F.col("__cell").alias("cell"))
@@ -1050,10 +1140,12 @@ def ivf_pq_topk(
                 "ids 0..nlist-1 (the residual LUTs index by cell)"
             )
         centers = np.array([v for _, v in cent_rows])
-        assigned = (
-            embeddings.filter(F.col(vec_col).isNotNull())
-            .select(F.col(id_col), as_double(vec_col).alias("__vec"))
-            .withColumn("__cell", _nearest_cell(F.col("__vec"), cent_rows))
+        assigned = assign_cells(
+            embeddings.filter(F.col(vec_col).isNotNull()).select(
+                F.col(id_col), as_double(vec_col).alias("__vec")
+            ),
+            cent_rows,
+            id_col=id_col,
         )
 
     centroid_tbl = spark.createDataFrame(

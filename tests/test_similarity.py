@@ -654,3 +654,50 @@ def test_adc_query_bound_crisp(embs):
         )
     # at the bound: both still run
     assert S.pq_adc_topk(embs, books, q, k=3, m=8, max_queries=4).count() > 0
+
+
+def test_assign_cells_forms_agree(embs, monkeypatch):
+    """r15 verdict task 6: the closure-matrix mapInPandas form of
+    nearest-cell assignment (used above _LITERAL_NLIST_MAX) must agree
+    EXACTLY with the codegen'd literal fold — same direct (x-c)^2 sum,
+    same lowest-cell tie-break — on the catalog corpus, at an nlist on
+    each side of the crossover."""
+    from real_time_predictive_maintenance_data_pipeline_spark.functions.vectors import (
+        as_double,
+    )
+
+    base = embs.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", as_double("embedding").alias("__vec")
+    )
+    for nlist in (16, 96):
+        cents = S.ivf_train_centroids(embs, nlist=nlist)
+        cent_rows = [(int(r[0]), list(r[1])) for r in cents.collect()]
+
+        monkeypatch.setattr(S, "_LITERAL_NLIST_MAX", 10_000)
+        lit = {
+            r.vec_id: r["__cell"]
+            for r in S.assign_cells(base, cent_rows, id_col="vec_id").collect()
+        }
+        monkeypatch.setattr(S, "_LITERAL_NLIST_MAX", 1)
+        mat = {
+            r.vec_id: r["__cell"]
+            for r in S.assign_cells(base, cent_rows, id_col="vec_id").collect()
+        }
+        assert lit == mat, f"nlist={nlist}: forms diverge"
+        assert len(lit) == base.count()
+
+
+def test_ivf_large_nlist_uses_matrix_form(embs):
+    """Above the crossover the search plan must not embed nlist x d
+    literals: at nlist=96 the assignment runs through mapInPandas and
+    ivf_topk still returns well-formed top-k."""
+    cents = S.ivf_train_centroids(embs, nlist=96)
+    q = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = S.ivf_topk(embs, q, k=3, nlist=96, nprobe=24, centroids=cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    rows = out.collect()
+    assert {r.query_id for r in rows} == set(range(5))
+    assert all(1 <= r.rank <= 3 for r in rows)
