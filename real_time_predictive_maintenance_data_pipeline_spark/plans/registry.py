@@ -75,81 +75,84 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 15
+_ROTATED_FOR_ROUND = 16
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # ROUND-15 WINDOW (regenerated via tools/plan_next_window.py;
+    # ROUND-16 WINDOW (regenerated via tools/plan_next_window.py;
     # PLAN_DIGESTS regenerated pre-rotation). Mandatory section:
-    # - emb_opq_rotation: NEW (r14 verdict task 8) — OPQ-lite
-    #   pre-rotation for PQ, rows-only, recall floors pinned.
-    # - telemetry_mqtt_roundtrip: ORACLE TEXT CHANGED (r14 task 7)
-    #   — rows-only → hash-green landed-spool oracle.
-    # - sim_ivf_topk: PLAN CHANGED (digest diff) — pinned-centroid
-    #   query path (r14 task 1).
-    # - sim_ivf_pq_topk: PLAN CHANGED late in the round — wired
-    #   through the SAME pinned coarse-quantizer artifact as
-    #   sim_ivf_topk (swapped in for the youngest aged name).
-    # - emb_pq_codes / sim_pq_adc_topk: BEHAVIOR CHANGED with an
-    #   UNCHANGED digest (pq_encode collects the books driver-side,
-    #   so the returned plan shape is blind to the trainer swap) —
-    #   pinned/deterministic codebooks; deliberate recheck.
-    # - telemetry_buffered_sink: file accounting now derives from
-    #   the same recursive walk as the row read (r14 task 4).
-    # - telemetry_historical_stats / telemetry_stream_roundtrip:
-    #   _publish lifecycle changed under them (copy + generation
-    #   retention, r14 task 3) — same oracle text, deliberate
-    #   recheck of the comparison plumbing.
-    # Then the 41 oldest aged names (r07/r08 evidence) per the
+    # - rel_approx_distinct / rel_approx_quantile /
+    #   rel_hll_partial_merge: PLAN + ORACLE TEXT CHANGED (r15 verdict
+    #   task 4) — rows-only → in-plan ε-gated hash-green (the
+    #   lake_replay_audit_approx pattern).
+    # - sim_ivf_pq_topk: PLAN CHANGED at the r15 boundary (pinned
+    #   coarse quantizer, landed late r15) — the deferred mandatory
+    #   recheck the r15 ADVICE flagged (it was listed in the r15
+    #   window comment but left in _DRIVER_VERIFIED); also rewired
+    #   through trainer_key + assign_cells this round.
+    # - telemetry_mqtt_roundtrip: ORACLE TEXT CHANGED (ADVICE r15) —
+    #   pinned to mqtt_spool.jsonl + ignore_errors so wire truncation
+    #   surfaces as a diff, not an oracle crash.
+    # - emb_opq_rotation: BEHAVIOR CHANGED with an unchanged digest —
+    #   the pinned key now carries the trainer version (opq_m8_t1_*),
+    #   so the artifact re-pins under a new key; deliberate recheck.
+    # - sim_ivf_topk / emb_pq_codes: digest-BLIND rewire through
+    #   ml.artifact.trainer_key + operators.similarity.assign_cells
+    #   (literal path at nlist=16, plan identical) — deliberate
+    #   recheck of the behavior-unchanged claim.
+    # - sim_pq_adc_topk: digest-BLIND max_queries bound added to the
+    #   driver-side query collect — deliberate recheck.
+    # Then the 41 oldest aged names (r08/r10 evidence) per the
     # steady-state least-recently-checked rotation.
-    "emb_opq_rotation",
-    "telemetry_mqtt_roundtrip",
-    "sim_ivf_topk",
-    "emb_pq_codes",
-    "sim_pq_adc_topk",
-    "telemetry_buffered_sink",
-    "telemetry_historical_stats",
-    "telemetry_stream_roundtrip",
-    "rel_bootstrap_ci",
-    "rel_skew_report",
-    "rel_join_explosion_estimate",
-    "rel_offset_fetch_pagination",
-    "rel_union_by_name_missing",
-    "rel_null_ordering_rank",
-    "rel_proportions_ztest",
-    "events_error_rate_wilson",
-    "ts_week_over_week",
-    "doc_bpe_vocab",
-    "ml_quality_classifier",
-    "ml_als_recommend",
-    "doc_bpe_encode",
-    "ml_isotonic_calibration",
-    "ml_cv_model_selection",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "doc_stratified_sample",
-    "dedup_simhash_banded",
-    "doc_dup_pagerank",
     "rel_approx_distinct",
     "rel_approx_quantile",
     "rel_hll_partial_merge",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_langid",
-    "doc_fingerprint",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "mm_binary_stats",
-    "mm_frame_sample",
-    "doc_token_regex",
-    "doc_punct_ratio",
-    "doc_top_terms",
-    "doc_bigrams",
-    "doc_decontaminate",
-    "doc_chunk",
-    "doc_pii_redact",
-    "doc_repetition",
-    "emb_quantize_int8",
-    "emb_label_centroids",
+    "sim_ivf_pq_topk",
+    "telemetry_mqtt_roundtrip",
+    "emb_opq_rotation",
+    "sim_ivf_topk",
+    "emb_pq_codes",
+    "sim_pq_adc_topk",
+    "doc_winnow",
+    "mm_audio_rms",
+    "q1_pricing_summary",
+    "rel_agg_stats",
+    "rel_agg_distinct",
+    "rel_having",
+    "rel_rollup",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_pivot_status",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "rel_join_inner",
+    "rel_join_left",
+    "rel_join_full",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_cross",
+    "rel_range_join",
+    "rel_scalar_subquery",
+    "rel_window_rank",
+    "rel_window_running",
+    "rel_window_moving_avg",
+    "rel_topk_global",
+    "rel_topk_per_group",
+    "rel_union",
+    "rel_intersect",
+    "rel_except",
+    "rel_asof_join",
+    "q6_forecast_revenue",
+    "telemetry_mqtt_wildcard",
+    "dedup_embedding_pairs",
+    "sim_topk_bruteforce",
+    "sim_knn_batch",
+    "sim_ann_lsh",
+    "mm_feature_extract",
+    "mm_resize",
+    "dedup_clusters",
+    "sim_hard_negatives",
+    "mm_phash_neardup",
+    "q10_returned_items",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -186,10 +189,51 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 _DRIVER_VERIFIED: tuple[str, ...] = (
-    # Cumulative r01-r14 green names (zero failures across fourteen
-    # rounds), MINUS the 50 names rotated into the r15 recheck window
+    # Cumulative r01-r15 green names (zero failures across fifteen
+    # rounds), MINUS the 50 names rotated into the r16 recheck window
     # above. Under the steady-state policy this list tracks
     # "not in the current recheck window".
+    "telemetry_buffered_sink",
+    "telemetry_historical_stats",
+    "telemetry_stream_roundtrip",
+    "rel_bootstrap_ci",
+    "rel_skew_report",
+    "rel_join_explosion_estimate",
+    "rel_offset_fetch_pagination",
+    "rel_union_by_name_missing",
+    "rel_null_ordering_rank",
+    "rel_proportions_ztest",
+    "events_error_rate_wilson",
+    "ts_week_over_week",
+    "doc_bpe_vocab",
+    "ml_quality_classifier",
+    "ml_als_recommend",
+    "doc_bpe_encode",
+    "ml_isotonic_calibration",
+    "ml_cv_model_selection",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_stratified_sample",
+    "dedup_simhash_banded",
+    "doc_dup_pagerank",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_langid",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "mm_binary_stats",
+    "mm_frame_sample",
+    "doc_token_regex",
+    "doc_punct_ratio",
+    "doc_top_terms",
+    "doc_bigrams",
+    "doc_decontaminate",
+    "doc_chunk",
+    "doc_pii_redact",
+    "doc_repetition",
+    "emb_quantize_int8",
+    "emb_label_centroids",
     "lake_replay_audit",
     "doc_ngram_novelty",
     "emb_coreset_per_label",
@@ -287,17 +331,8 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "lake_dim_quarantine",
     "lake_temporal_quarantine",
     "events_time_to_convert",
-    "dedup_embedding_pairs",
-    "sim_topk_bruteforce",
-    "sim_knn_batch",
-    "sim_ann_lsh",
-    "mm_feature_extract",
-    "mm_resize",
-    "dedup_clusters",
     "ml_kmeans_embeddings",
-    "mm_audio_rms",
     "emb_normalize",
-    "sim_hard_negatives",
     "doc_keep_decision",
     "doc_length_buckets",
     "doc_pack_sequences",
@@ -306,34 +341,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "emb_dim_stats",
     "emb_centroid_outliers",
     "doc_domain_mix_weights",
-    "mm_phash_neardup",
-    "sim_ivf_pq_topk",
-    "q1_pricing_summary",
-    "rel_agg_stats",
-    "rel_agg_distinct",
-    "rel_having",
-    "rel_rollup",
-    "rel_cube",
-    "rel_grouping_sets",
-    "rel_pivot_status",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "rel_join_inner",
-    "rel_join_left",
-    "rel_join_full",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_cross",
-    "rel_range_join",
-    "rel_scalar_subquery",
-    "rel_window_rank",
-    "rel_window_running",
-    "rel_window_moving_avg",
-    "rel_topk_global",
-    "rel_topk_per_group",
-    "rel_union",
-    "rel_intersect",
-    "rel_except",
     "rel_string_funcs",
     "rel_date_funcs",
     "rel_case_when",
@@ -341,10 +348,7 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_null_safe_eq",
     "rel_events_hourly",
     "rel_sessionize",
-    "rel_asof_join",
     "rel_distinct_rows",
-    "q6_forecast_revenue",
-    "q10_returned_items",
     "q18_large_orders",
     "rel_array_funcs",
     "rel_percentiles",
@@ -409,7 +413,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_observe_metrics",
     "rel_heavy_hitters",
     "ts_ewma_last",
-    "telemetry_mqtt_wildcard",
     "telemetry_score_500k",
     "telemetry_scored_alerts",
     "telemetry_train_metrics",
@@ -462,7 +465,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_abc_prefix2",
     "rel_rfm_bucketed",
     "rel_srm_check",
-    "doc_winnow",
 )
 
 

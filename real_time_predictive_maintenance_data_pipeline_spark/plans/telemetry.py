@@ -204,8 +204,14 @@ def telemetry_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "telemetry_mqtt_roundtrip",
     oracle=f"""
 WITH p AS (
-  SELECT * FROM read_json('{_LANDED_ROOT}/mqtt/*.jsonl',
+  -- pinned to the ONE file the Spark leg reads (ADVICE r15: a *.jsonl
+  -- glob would silently widen to any extra published file), and
+  -- ignore_errors so a malformed/truncated wire line — which Spark
+  -- PERMISSIVE-quarantines — skips here and surfaces as an
+  -- n_quarantined DIFF instead of crashing the oracle
+  SELECT * FROM read_json('{_LANDED_ROOT}/mqtt/mqtt_spool.jsonl',
                           format = 'newline_delimited',
+                          ignore_errors = true,
                           columns = {{machineId: 'VARCHAR',
                                      temperature: 'DOUBLE',
                                      vibration: 'DOUBLE',
