@@ -1299,6 +1299,65 @@ def opq_rotation(
     return evecs[:, perm].T.copy()
 
 
+def opq_rotation_np(
+    embeddings: DataFrame,
+    m: int = 16,
+    k: int = 16,
+    n_alt: int = 5,
+    n_lloyd: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 4096,
+    seed: int = 42,
+):
+    """Full (non-parametric) OPQ: alternate codebook training against
+    the current rotation with an orthogonal-Procrustes rotation update
+    against the current codes — Ge et al. CVPR'13's OPQ_NP refinement
+    over the ``opq_rotation`` (OPQ_P) initialization (r15 verdict
+    task 9).
+
+    Each alternation: (1) rotate the sample, (2) Lloyd per subspace
+    (the same canonical-sorted deterministic fit as
+    ``pq_train_codebooks``), (3) build the quantized reconstruction Y,
+    (4) update R = argmin_{R orthogonal} ||X Rᵀ − Y||_F — the closed
+    form is V Uᵀ from svd(Xᵀ Y) = U S Vᵀ. The quantization error is
+    monotone nonincreasing in (2) and (4), so the loop converges; the
+    returned rotation slots into the SAME pipeline as ``opq_rotation``
+    (apply_rotation → pq_train_codebooks → pq_adc_topk), and like it
+    must be pinned via ``ml.artifact`` (trainer version
+    ``opq_rotation_np`` if promoted to a catalog path).
+
+    Deterministic end to end on a fixed platform: content-ordered
+    sample, canonical-sorted Lloyd, and LAPACK svd over inputs that are
+    themselves deterministic. Driver-local over the bounded sample —
+    identical cost model to every trainer in this module.
+
+    Returns the (d, d) rotation (rows are projections, like
+    ``opq_rotation``).
+    """
+    import numpy as np
+
+    R = opq_rotation(
+        embeddings, m=m, id_col=id_col, vec_col=vec_col, sample_n=sample_n
+    )
+    X = _content_sample(embeddings, sample_n, id_col, vec_col)
+    d = X.shape[1]
+    dsub = d // m
+    for _ in range(n_alt):
+        Xr = X @ R.T
+        # per-subspace deterministic Lloyd + nearest-code reconstruction
+        Y = np.empty_like(Xr)
+        for s in range(m):
+            sub = Xr[:, s * dsub : (s + 1) * dsub]
+            C = _lloyd_deterministic(sub, k, n_lloyd, seed)
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            Y[:, s * dsub : (s + 1) * dsub] = C[d2.argmin(axis=1)]
+        # orthogonal Procrustes: min ||X Rᵀ − Y||_F
+        U, _S, Vt = np.linalg.svd(X.T @ Y)
+        R = (U @ Vt).T
+    return R
+
+
 def apply_rotation(
     df: DataFrame,
     rotation,

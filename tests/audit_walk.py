@@ -173,7 +173,7 @@ def _run_one(spark, q, sf_dir: str):
 
 
 def walk_catalog(
-    spark, sf_dir: str, workers: int = 8
+    spark, sf_dir: str, workers: int = 16
 ) -> tuple[set[str], dict[str, str]]:
     """Run every registered non-eager-io catalog query against
     ``sf_dir``; returns ``(crisp, bad)`` per the module docstring."""

@@ -701,3 +701,60 @@ def test_ivf_large_nlist_uses_matrix_form(embs):
     rows = out.collect()
     assert {r.query_id for r in rows} == set(range(5))
     assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_opq_np_alternation_beats_parametric_floor(spark):
+    """Full OPQ (r15 verdict task 9, Ge et al. OPQ_NP): alternating
+    per-subspace codebook training with an orthogonal-Procrustes
+    rotation update must push clustered-corpus PQ recall ABOVE the
+    OPQ_P parametric baseline's pinned floor. Measured r16 at
+    m=16/k=16 on the clustered fixture (recall@10 vs original-space
+    exact euclidean): OPQ_P 0.328; OPQ_NP 0.428 (n_alt=3), 0.376 (5),
+    0.396 (8), 0.400 (10) — the floor at 0.33 leaves noise margin
+    while sitting above the OPQ_P 0.27 floor. Also pins orthogonality
+    (ADC-distance preservation) and layout-determinism of the trained
+    rotation."""
+    import numpy as np
+
+    from real_time_predictive_maintenance_data_pipeline_spark.sources.generator import (
+        clustered_embeddings,
+    )
+
+    k, nq = 10, 25
+    e = clustered_embeddings(spark).drop("cluster_id").cache()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    truth = {}
+    for qid in range(nq):
+        d = sorted(
+            (float(np.sum((v - vecs[qid]) ** 2)), vid)
+            for vid, v in vecs.items()
+            if vid != qid
+        )
+        truth[qid] = {vid for _, vid in d[:k]}
+    q = e.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    R = S.opq_rotation_np(e, m=16, k=16)
+    assert float(np.abs(R @ R.T - np.eye(R.shape[0])).max()) < 1e-10
+
+    er = S.apply_rotation(e, R).cache()
+    qr = S.apply_rotation(q, R, id_col="query_id")
+    books = S.pq_train_codebooks(er, m=16, k=16)
+    got = {}
+    for r in S.pq_adc_topk(er, books, qr, k=k, m=16).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    rec = sum(len(got.get(i, set()) & truth[i]) / k for i in truth) / len(truth)
+    er.unpersist()
+
+    # layout-determinism: byte-identical rotation on a re-layout
+    R2 = S.opq_rotation_np(
+        e.repartition(13).sortWithinPartitions("vec_id"), m=16, k=16
+    )
+    e.unpersist()
+    assert np.array_equal(R, R2)
+    assert rec >= 0.33, (
+        f"clustered OPQ_NP PQ m=16/k=16 recall@10 fell to {rec:.3f} "
+        "(OPQ_P parametric baseline floor is 0.27 — the alternation "
+        "must stay material)"
+    )

@@ -542,9 +542,11 @@ def test_enrich_stream_static_join(spark, payload_dir):
     _drain_to_memory(enrich_stream(good, dim), "t_enrich")
     rows = spark.table("t_enrich").collect()
     assert len(rows) == N_GOOD
+    # hoisted: a dim.collect() per row made this 50 s of pure Spark-job
+    # latency (r16 suite diet — the dim is one static row)
     thr = dim.collect()[0]
     for r in rows:
-        assert r.site == dim.collect()[0].site
+        assert r.site == thr.site
         assert r.temp_alert_threshold == thr.temp_alert_threshold
         assert r.over_threshold == int(r.temperature > thr.temp_alert_threshold)
 
