@@ -30,12 +30,12 @@ def pytest_configure(config):
 def spark(request):
     from real_time_predictive_maintenance_data_pipeline_spark.session import get_spark
 
-    # 16 of the host's 32 cores (r16 suite diet; was 8): the in-process
-    # session runs the ten whole-catalog walks and every oracle/parity
-    # test, and the subprocess smokes that used to need the headroom
-    # now launch concurrently in their own module fixtures with
-    # explicit per-leg SPARK_GRAFT_CPUS caps.
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
+    # local[8] is the measured sweet spot (r16 suite diet): a local[16]
+    # session made the stateful-streaming tests ~2-4x SLOWER (more
+    # state/shuffle partitions per micro-batch = more task overhead on
+    # tiny data) and did not speed the catalog walks (compute-bound on
+    # their poisoned fixtures), full-suite 32:47 vs ~29 at local[8].
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     s = get_spark("rtpmdp-tests")
     want_calib = os.environ.get("RTPMDP_SUITE_CALIB") == "1" or (
         getattr(request.session, "testscollected", 0) >= _FULL_SUITE_MIN_TESTS
