@@ -1021,14 +1021,28 @@ def pq_adc_topk(
         subs = np.arange(m)[None, :]
         for pdf in it:
             X = np.stack(pdf["codes"].to_numpy())  # (n, m)
+            ids = pdf[id_col].to_numpy().astype("int64")
             # gather: adist[q, i] = sum_s LUT[q, s, X[i, s]] -> (nq, n)
-            ad = LUT[:, subs, X].sum(axis=-1)
+            adr = np.round(LUT[:, subs, X].sum(axis=-1), 4)
             n = len(pdf)
+            # LOSSLESS per-batch prune (r16): only rows at or below the
+            # batch's (k+1)-th smallest rounded distance per query can
+            # reach the global top-k (a dropped row has >= k+1 strictly
+            # closer rows in this batch alone, at most one of them the
+            # self row) — so the Arrow transfer back to the JVM carries
+            # ~nq*(k+1) rows per batch instead of nq*n. The JVM side
+            # already map-side-prunes the rank window (Partial
+            # WindowGroupLimit); this closes the Python-side half.
+            if n > k + 1:
+                kth = np.partition(adr, k, axis=1)[:, k]
+                qrow, col = np.nonzero(adr <= kth[:, None])
+            else:
+                qrow, col = np.nonzero(np.ones_like(adr, dtype=bool))
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids, n),
-                    "vec_id": np.tile(pdf[id_col].to_numpy().astype("int64"), len(qids)),
-                    "adist": np.round(ad.reshape(-1), 4),
+                    "query_id": qids[qrow],
+                    "vec_id": ids[col],
+                    "adist": adr[qrow, col],
                 }
             )
 
@@ -1194,14 +1208,29 @@ def ivf_pq_topk(
             ids = pdf[id_col].to_numpy().astype("int64")
             out_q, out_v, out_d = [], [], []
             for qid, cell_luts in luts.items():
+                # candidates for THIS query in THIS batch, across its
+                # probed cells, then the same lossless (k+1)-th-smallest
+                # prune as pq_adc_topk: the Arrow transfer carries
+                # ~(k+1) rows per (query, batch) instead of every
+                # probed-cell member.
+                q_v, q_d = [], []
                 for cell, lut in cell_luts.items():
                     mask = cells_arr == cell
                     if not mask.any():
                         continue
                     ad = lut[subs, X[mask]].sum(axis=-1)
-                    out_q.append(np.full(mask.sum(), qid, dtype="int64"))
-                    out_v.append(ids[mask])
-                    out_d.append(np.round(ad, 4))
+                    q_v.append(ids[mask])
+                    q_d.append(np.round(ad, 4))
+                if not q_v:
+                    continue
+                v = np.concatenate(q_v)
+                d = np.concatenate(q_d)
+                if len(d) > k + 1:
+                    keep = d <= np.partition(d, k)[k]
+                    v, d = v[keep], d[keep]
+                out_q.append(np.full(len(v), qid, dtype="int64"))
+                out_v.append(v)
+                out_d.append(d)
             if not out_q:
                 continue
             yield pd.DataFrame(

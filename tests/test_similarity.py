@@ -758,3 +758,50 @@ def test_opq_np_alternation_beats_parametric_floor(spark):
         "(OPQ_P parametric baseline floor is 0.27 — the alternation "
         "must stay material)"
     )
+
+
+def test_adc_batch_prune_is_lossless(embs):
+    """r16: the per-batch (k+1)-th-smallest prune inside the ADC scans
+    must be LOSSLESS — pq_adc_topk's output equals a driver-side full
+    ADC ranking (same rounded distances, same (adist, vec_id) tie
+    order) computed with no pruning at all, over a multi-partition
+    corpus so batch boundaries actually exercise the prune."""
+    import numpy as np
+
+    k, m = 7, 8
+    e = embs.repartition(11)
+    books = S.pq_train_codebooks(embs, m=m, k=16)
+    q = embs.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.adist)
+        for r in S.pq_adc_topk(e, books, q, k=k, m=m).collect()
+    }
+
+    # driver-side full ranking from the same codes + codebooks
+    rows = books.collect()
+    kk = max(r.code for r in rows) + 1
+    dsub = len(rows[0].centroid)
+    C = np.zeros((m, kk, dsub))
+    for r in rows:
+        C[r.sub, r.code] = r.centroid
+    codes = {
+        r.vec_id: np.array(r.codes)
+        for r in S.pq_encode(embs, books, m=m).collect()
+    }
+    qv = {
+        r.query_id: np.array(r.embedding, dtype=np.float64).reshape(m, dsub)
+        for r in q.collect()
+    }
+    for qid, Q in qv.items():
+        lut = ((Q[:, None, :] - C) ** 2).sum(axis=2)  # (m, kk)
+        scored = sorted(
+            (round(float(lut[np.arange(m), c].sum()), 4), vid)
+            for vid, c in codes.items()
+            if vid != qid
+        )
+        for rank, (ad, vid) in enumerate(scored[:k], start=1):
+            assert got[(qid, rank)] == (vid, ad), (
+                qid, rank, got[(qid, rank)], (vid, ad)
+            )
