@@ -31,6 +31,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _java_regex_escape(s: str) -> str:
+    """Escape a literal for a Java regex pattern: every
+    non-alphanumeric char gets a backslash (Java accepts escaped
+    punctuation; escaping alphabetics would be an error there, so this
+    mirrors what ``re.escape`` produces for ASCII and escapes nothing
+    alphanumeric)."""
+    return "".join(c if c.isalnum() else "\\" + c for c in s)
+
+
+def _fold_pair_regex(a: str, b: str, merged: str):
+    """Left-to-right single-pair collapse over a symbol array as ONE
+    linear JVM expression (r16): symbols join on a space (words are
+    whitespace-split upstream, so no symbol can contain one), then
+    ``regexp_replace`` rewrites every `` a b`` occurrence followed by a
+    space to `` merged`` — Java's replaceAll scans left to right and
+    resumes AFTER each match, and the trailing space is matched by
+    LOOKAHEAD (not consumed), so an ``a a a a`` run collapses to
+    ``(aa)(aa)`` exactly like ``reference_bpe``'s sequential fold while
+    ``a a a`` leaves the trailing odd ``a``.
+
+    Why not the old ``F.aggregate`` fold: Catalyst arrays are
+    immutable, so the per-element concat built a fresh copy per symbol
+    — O(len²) per word per round; a single 20k-symbol garbage token
+    (base64 blob, minified JS — routine at crawl scale) cost ~400M
+    element copies per merge and made the degenerate-text audit's BPE
+    entries ~100 s. Why not a pandas UDF: the linear Python fold fixes
+    the monster token but pays an Arrow+worker round-trip per merge
+    round — measured 2.4× slower than the JVM on a normal corpus
+    (7.5 s → 18.2 s for 30 rounds at sf0.001). The regex form is
+    linear AND stays inside whole-stage codegen."""
+    pat = f" {_java_regex_escape(a)} {_java_regex_escape(b)}(?= )"
+    rep = " " + merged.replace("\\", "\\\\").replace("$", "\\$")
+
+    def fold(symbols):
+        joined = F.concat(F.lit(" "), F.array_join(symbols, " "), F.lit(" "))
+        out = F.regexp_replace(joined, pat, rep)
+        # strip exactly the sentinel spaces (NOT trim: a symbol can BE
+        # whitespace, e.g. a '\t' character of a control-char token,
+        # and trim would eat it)
+        return F.split(F.regexp_replace(out, "^ | $", ""), " ")
+
+    return fold
+
+
 def train_bpe(
     docs: DataFrame,
     text_col: str = "text",
@@ -88,11 +132,19 @@ def train_bpe(
             break
         merges.append((a, b, cnt))
         merged = a + b
-        # left-to-right pair collapse, exactly the sequential reference
-        # semantics: fold the symbol array; when the accumulated tail is
-        # `a` and the incoming symbol is `b`, replace the tail with the
-        # merged symbol (a freshly-merged tail no longer equals `a`, so
-        # overlapping runs collapse left-to-right)
+        # Left-to-right pair collapse, exactly the sequential reference
+        # semantics: the accumulated tail is `a` and the incoming symbol
+        # is `b` → replace the tail with the merged symbol (a freshly-
+        # merged tail no longer equals `a`, so overlapping runs collapse
+        # left-to-right). Per-row HYBRID, both branches JVM (r16):
+        # ordinary words take the array fold — O(len²) in Catalyst's
+        # immutable arrays, but at len ≤ 64 that's a few thousand
+        # in-register copies and it beats string building; pathological
+        # symbol runs (a 20k-char crawl token: base64, minified JS)
+        # take the LINEAR regex rewrite (_fold_pair_regex), which
+        # replaced a measured ~100 s/entry on the degenerate-text
+        # audit. when() evaluates lazily per row, so the cheap path
+        # never pays for the rare one.
         fold = F.aggregate(
             "symbols",
             F.array().cast("array<string>"),
@@ -105,7 +157,13 @@ def train_bpe(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        hist = hist.select("word", "n", fold.alias("symbols"))
+        hist = hist.select(
+            "word",
+            "n",
+            F.when(F.size("symbols") <= 64, fold)
+            .otherwise(_fold_pair_regex(a, b, merged)("symbols"))
+            .alias("symbols"),
+        )
         if (it + 1) % checkpoint_every == 0:
             hist = hist.localCheckpoint(eager=True)
     return merges, hist

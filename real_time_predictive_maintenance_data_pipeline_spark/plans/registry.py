@@ -101,7 +101,14 @@ _RECHECK_FIRST: tuple[str, ...] = (
     #   recheck of the behavior-unchanged claim.
     # - sim_pq_adc_topk: digest-BLIND max_queries bound added to the
     #   driver-side query collect — deliberate recheck.
-    # Then the 41 oldest aged names (r08/r10 evidence) per the
+    # - doc_bpe_vocab / doc_bpe_encode: digest-BLIND hybrid merge fold
+    #   (train_bpe's per-iteration collapse now takes a linear regex
+    #   rewrite for words > 64 symbols; localCheckpoint truncates the
+    #   lineage so PLAN_DIGESTS cannot see it) — deliberate recheck of
+    #   the results-unchanged claim; the two youngest aged names
+    #   (mm_phash_neardup, q10_returned_items) rotate to the front of
+    #   the r17 window to make room.
+    # Then the 39 oldest aged names (r08/r10 evidence) per the
     # steady-state least-recently-checked rotation.
     "rel_approx_distinct",
     "rel_approx_quantile",
@@ -112,6 +119,8 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "sim_ivf_topk",
     "emb_pq_codes",
     "sim_pq_adc_topk",
+    "doc_bpe_vocab",
+    "doc_bpe_encode",
     "doc_winnow",
     "mm_audio_rms",
     "q1_pricing_summary",
@@ -151,8 +160,6 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "mm_resize",
     "dedup_clusters",
     "sim_hard_negatives",
-    "mm_phash_neardup",
-    "q10_returned_items",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -205,10 +212,10 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_proportions_ztest",
     "events_error_rate_wilson",
     "ts_week_over_week",
-    "doc_bpe_vocab",
+    "mm_phash_neardup",
     "ml_quality_classifier",
     "ml_als_recommend",
-    "doc_bpe_encode",
+    "q10_returned_items",
     "ml_isotonic_calibration",
     "ml_cv_model_selection",
     "dedup_minhash_lsh",

@@ -344,6 +344,52 @@ def test_distributed_bpe_matches_reference(spark):
     assert n_syms < n_chars
 
 
+def test_bpe_long_word_regex_fold_matches_reference(spark):
+    """Pins the r16 hybrid fold: words longer than 64 symbols take the
+    linear ``_fold_pair_regex`` rewrite instead of the quadratic array
+    fold, and the two paths must be indistinguishable — same merge
+    sequence AND same final symbol arrays as the sequential reference,
+    on a corpus whose long words carry regex metacharacters, backslash/
+    dollar (replacement escapes), and odd/even same-symbol runs (the
+    left-to-right overlap cases)."""
+    from collections import Counter
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.bpe import (
+        encode_word,
+        reference_bpe,
+        train_bpe,
+    )
+
+    long_meta = ".*+?($)[\\]{}|^" * 8  # 112 chars of pure metacharacters
+    long_run_even = "z" * 80  # even same-char run: collapses fully
+    long_run_odd = "z" * 81  # odd run: trailing singleton survives
+    corpus = [
+        (long_meta + " " + long_run_even) * 2,
+        long_run_odd + " " + long_run_odd,
+        "the quick brown fox " * 5,
+        "ab" * 50 + " " + "ab" * 50,  # long alternation, repeats pair (a,b)
+        "a\\b$c a\\b$c a\\b$c",  # short words w/ escape-sensitive chars
+    ]
+    docs = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    merges, hist = train_bpe(docs, n_merges=20)
+
+    wc = Counter()
+    for t in corpus:
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    assert merges == reference_bpe(dict(wc), n_merges=20)
+
+    # final histogram must equal the sequential replay for EVERY word —
+    # this is what distinguishes a wrong fold that still produces the
+    # right pair counts early on
+    merge_seq = [(a, b) for a, b, _ in merges]
+    got = {r["word"]: list(r["symbols"]) for r in hist.collect()}
+    assert set(got) == set(wc)
+    for w in wc:
+        assert got[w] == encode_word(w, merge_seq), w
+
+
 # ---------------------------------------------------------------------------
 # Round-4 governance ops — pure-Python mirrors, many examples
 # ---------------------------------------------------------------------------
