@@ -32,6 +32,25 @@ def distinct_tokens(text: Column | str) -> Column:
     return F.array_distinct(tokens(text))
 
 
+def has_min_tokens(text: Column | str, n: int) -> Column:
+    """Cheap equivalent of ``size(tokens(text)) >= n`` for filters.
+
+    A single-space split always yields (#spaces + 1) tokens — empty
+    tokens included — so the predicate is a character count, not a
+    split. Why it matters (r16): a ``size(split(...)) >= n`` filter is
+    pushed below the ``spread`` repartition, where it evaluates the
+    whole split (an interpreted higher-order tree) on the under-split
+    scan partitions — serialized on 1-2 cores — and the split is then
+    recomputed after the exchange. This form keeps the pre-exchange
+    filter to string scans. NULL text yields NULL → dropped, exactly
+    like size()'s -1/NULL under either sizeOfNull setting."""
+    if n <= 1:
+        return F.col(text).isNotNull() if isinstance(text, str) else text.isNotNull()
+    if n == 2:
+        return F.instr(text, " ") >= 1
+    return F.length(text) - F.length(F.replace(text, F.lit(" "))) >= n - 1
+
+
 def avg_token_len(text: Column | str) -> Column:
     """Mean token length, 4-decimal rounded."""
     words = tokens(text)

@@ -190,20 +190,42 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("a.__words"), F.col("b.__words")))
     union = (F.col("a.__n") + F.col("b.__n") - inter).cast("double")
     jac = F.round(inter.cast("double") / union, 4)
+    # The jaccard threshold lives IN the join condition, in this order
+    # (r16): as a separate post-join filter the optimizer pushes it into
+    # the condition PREPENDED — the plan then evaluated the two-
+    # intersect round() predicate FIRST for every bucket-adjacent pair,
+    # before the cheap id< / size-ratio predicates it was supposed to hide
+    # behind (join conditions get no codegen subexpression elimination,
+    # so each evaluation pays array_intersect twice). Stated explicitly,
+    # conjunct order is preserved: id< and the int size-ratio prune
+    # first, then a SINGLE-intersect conservative prefilter (jac >= t ⟺
+    # inter·(1+t) >= t·(na+nb), evaluated at t' = t − 1e-4 so it is a
+    # necessary condition for round(·,4) >= t — never drops a
+    # qualifying pair), and the exact two-intersect predicate only for
+    # the ~survivors. Measured 1.11 → 0.86 s steady-state on the sf0.1
+    # cross branch with bit-identical output (237,452 pairs).
+    tp = threshold - 1e-4
+    prefilter = (
+        inter.cast("double") * (1.0 + tp)
+        >= F.lit(tp) * (F.col("a.__n") + F.col("b.__n")).cast("double")
+        if threshold > 0.0
+        else F.lit(True)
+    )
     cross = (
         a.join(
             b,
             (F.col("a.__blk") == F.col("b.__blk"))
             & (F.col("a.__pk") == F.col("b.__bk"))
             & (F.col("a.__id") < F.col("b.__id"))
-            & size_prune,
+            & size_prune
+            & prefilter
+            & (jac >= threshold),
         )
         .select(
             F.col("a.__mem").alias("__ma"),
             F.col("b.__mem").alias("__mb"),
             jac.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
         .select(F.explode("__ma").alias("__da"), "__mb", "jaccard")
         .select("__da", F.explode("__mb").alias("__db"), "jaccard")
         .select(
@@ -281,8 +303,16 @@ def minhash_lsh_pairs(
     # scan partitions, which would otherwise serialize all of that
     # compute; the shuffle moves raw (id, text) rows — paid once, and
     # only when the scan under-splits.
+    # Null-text docs are excluded on the RAW column (r16): the previous
+    # ``.filter(F.size("__h") > 0)`` is pushed below the spread exchange
+    # as a Filter that evaluates the WHOLE tokenize+hash+sort tree on
+    # the under-split scan (1-2 partitions — measured 0.56 s single-core
+    # at sf0.1) and the tree is then recomputed after the shuffle.
+    # ``split`` never returns an empty array, so size(__h) > 0 is
+    # exactly "text is not null" — which reaches the parquet scan as a
+    # PushedFilter instead (same fix ngram_jaccard_pairs documents).
     d = (
-        spread(df)
+        spread(df.filter(F.col(text_col).isNotNull()))
         .select(
             F.col(id_col).alias("__id"),
             # single distinct AFTER hashing — distinct-then-hash-then-
@@ -298,7 +328,6 @@ def minhash_lsh_pairs(
                 )
             ).alias("__h"),
         )
-        .filter(F.size("__h") > 0)
     )
     # EXACT-DUP COLLAPSE: real corpora are dense in byte-identical /
     # token-identical documents (this fixture: 5000 docs -> 3935
@@ -436,6 +465,23 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("__ha", "__hb"))
     union = (F.col("__na") + F.col("__nb") - inter).cast("double")
     jac = F.round(inter.cast("double") / union, 4)
+    if 0.0 < jaccard_threshold:
+        # Single-intersect conservative prefilter (r16): the exact
+        # round(inter/union, 4) >= t predicate references the
+        # O(|A|+|B|) array_intersect TWICE (numerator + union) and join
+        # conditions get no codegen subexpression elimination, so every
+        # size-passing candidate paid two intersections. jac >= t ⟺
+        # inter·(1+t) >= t·(na+nb); evaluated at t' = t − 1e-4 it is a
+        # NECESSARY condition for round(·,4) >= t (round moves a value
+        # by ≤ 5e-5; the double error of int-valued products is ~1e-12)
+        # — one intersection per candidate, the exact two-intersect
+        # predicate now runs only on the ~survivor set. Never drops a
+        # qualifying pair, so output is bit-identical.
+        tp = jaccard_threshold - 1e-4
+        verified = verified.filter(
+            inter.cast("double") * (1.0 + tp)
+            >= F.lit(tp) * (F.col("__na") + F.col("__nb")).cast("double")
+        )
     # Cross-set pairs: verify once per representative pair, then expand
     # to every member combination (same exact jaccard by set identity).
     # Member ids interleave across sets, so re-orient with

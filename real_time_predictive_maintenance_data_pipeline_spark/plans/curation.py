@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import has_min_tokens
 from ..operators.spread import spread
 from ..sources.tables import load_table
 from .registry import register
@@ -144,7 +145,7 @@ def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — never a full sort."""
     d = _docs(spark, sf_dir)
     words = F.split("text", " ")
-    spans = d.filter(F.size(words) >= 10).select(
+    spans = d.filter(has_min_tokens("text", 10)).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -313,7 +314,7 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(words, i), F.element_at(words, i + 1)
         ),
     )
-    g = d.filter(F.size(words) >= 2).select(
+    g = d.filter(has_min_tokens("text", 2)).select(
         "doc_id", F.explode(grams).alias("gram")
     )
     c2 = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n2"))
@@ -429,9 +430,8 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (T.quality_score / doc_decontaminate) — raw-double thresholds
     # would disagree with them exactly at the 0.5 boundary
     q = uniq.filter(T.quality_score("text") >= 0.5)
-    words = F.split("text", " ")
     g = (
-        q.filter(F.size(words) >= 2)
+        q.filter(has_min_tokens("text", 2))
         .select("doc_id", T.word_bigrams("text").alias("grams"))
         .persist()
     )

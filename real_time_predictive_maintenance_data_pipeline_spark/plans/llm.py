@@ -678,7 +678,10 @@ def doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
     )
     return (
-        d.filter(F.size(words) >= 2)
+        # cheap space-count predicate — the size(split) form is pushed
+        # below the spread exchange and splits every doc single-core
+        # there (functions.text.has_min_tokens)
+        d.filter(T.has_min_tokens("text", 2))
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -722,12 +725,15 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregate on doc_id. No all-pairs stage anywhere — cost is
     linear in training-corpus gram volume even at 100 TB."""
     d = _docs(spark, sf_dir)
-    words = F.split("text", " ")
     grams = T.word_bigrams("text")
     # g feeds BOTH the benchmark-gram build and the training explode;
     # persist so the bigram construction (the dominant cost) runs once
     # (measured 3x at sf0.1).
-    g = d.filter(F.size(words) >= 2).select("doc_id", grams.alias("grams")).persist()
+    g = (
+        d.filter(T.has_min_tokens("text", 2))
+        .select("doc_id", grams.alias("grams"))
+        .persist()
+    )
     bench = (
         g.filter(F.col("doc_id") % 20 == 0)
         .select(F.explode("grams").alias("gram"))
@@ -860,7 +866,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size(words) - 1),
         lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
     )
-    g = d.filter(F.size(words) >= 2).select(
+    g = d.filter(T.has_min_tokens("text", 2)).select(
         "doc_id",
         F.size(words).alias("n_words"),
         F.size(F.array_distinct(words)).alias("n_uniq_words"),
@@ -1005,7 +1011,7 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ah = F.transform(
         words, lambda t: (F.ascii(t) * 31 + F.length(t)).cast("long")
     )
-    d2 = d.filter(F.size(words) >= 5).select(
+    d2 = d.filter(T.has_min_tokens("text", 5)).select(
         "doc_id", ah.alias("__ah"), F.size(words).alias("__nw")
     )
     hs = F.transform(
@@ -1621,7 +1627,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = (
-        d.filter(F.size(words) >= 3)
+        d.filter(T.has_min_tokens("text", 3))
         .select("doc_id", F.explode(grams).alias("gram"))
     )
     f = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))

@@ -207,7 +207,24 @@ def run_rate(
                 .start()
             )
         try:
-            time.sleep(secs)
+            # Fixed measurement window first; then, if the warmup hasn't
+            # produced a single steady batch yet (batchId >= 3 with rows
+            # — happens when a loaded host stretches the first triggers
+            # past the window), extend up to +60 s until one exists. On
+            # a quiet host this is exactly the old fixed sleep; the
+            # extension only rescues the "no steady batches" case, it
+            # never trims the window.
+            deadline = time.time() + secs
+            hard_deadline = deadline + 60
+            while time.time() < deadline:
+                time.sleep(min(1.0, max(0.0, deadline - time.time())))
+            def _steady_seen() -> bool:
+                return any(
+                    p.batchId >= 3 and p.numInputRows > 0
+                    for p in q.recentProgress
+                )
+            while not _steady_seen() and time.time() < hard_deadline:
+                time.sleep(1.0)
             progress = [json.loads(p.json) for p in q.recentProgress]
         finally:
             q.stop()
