@@ -74,3 +74,40 @@ def test_load_table_normalizes_nanos_and_micros_identically(spark, tmp_path):
         got[label] = [r.us for r in rows]
 
     assert got["nanos"] == got["micros"] == _US_TRUNC
+
+
+def test_load_table_schema_memo_invalidates_on_rewrite(spark, tmp_path):
+    """The r16 schema memo caches INFERRED SCHEMAS per (path, mtime,
+    size): repeated loads must skip footer inference (same DataFrame
+    schema from the memo), and rewriting the file — the driver
+    regenerates fixtures between rounds — must re-infer, never serve
+    the stale schema."""
+    import time as _time
+
+    from real_time_predictive_maintenance_data_pipeline_spark.sources import (
+        tables as TB,
+    )
+
+    d = tmp_path / "memo"
+    d.mkdir()
+    _write_events(d, pa.array(_US_TRUNC, pa.timestamp("us")))
+    first = load_table(spark, str(d), "events")
+    memo_size = len(TB._SCHEMA_MEMO)
+    again = load_table(spark, str(d), "events")
+    assert again.schema == first.schema
+    assert len(TB._SCHEMA_MEMO) == memo_size  # served from the memo
+
+    # rewrite the SAME path with a different physical type (the round-2
+    # nanos -> micros drift in miniature, reversed); ensure a distinct
+    # mtime even on coarse filesystem clocks
+    _time.sleep(0.01)
+    _write_events(d, pa.array(_NS, pa.timestamp("ns")))
+    rewritten = load_table(spark, str(d), "events")
+    # a stale memo hit would mis-read the nanos file through the micros
+    # schema; the stat-keyed memo must re-infer and still normalize
+    rows = (
+        rewritten.select("event_id", epoch_us("ts").alias("us"))
+        .orderBy("event_id")
+        .collect()
+    )
+    assert [r.us for r in rows] == _US_TRUNC
