@@ -115,7 +115,26 @@ _RECHECK_FIRST: tuple[str, ...] = (
     #   the results-unchanged claim; the two youngest aged names
     #   (mm_phash_neardup, q10_returned_items) rotate to the front of
     #   the r17 window to make room.
-    # Then the 39 oldest aged names (r08/r10 evidence) per the
+    # OPTIMIZATION-ROUND ADDITIONS (r16, PLAN CHANGED — digest diff at
+    # the optimization commits): the filter-below-spread rewrites
+    # (size(split)>=n → cheap space-count predicates; minhash head
+    # isNotNull(text)), the jaccard verify-join restructure
+    # (single-intersect prefilter + explicit conjunct order), and the
+    # brute-force corpus spread. Outputs proven bit-identical (pair-set
+    # equality at sf0.01/sf0.1) and every oracled name swept hash-green
+    # at all three SFs pre-commit:
+    #   dedup_minhash_lsh, dedup_ngram_jaccard, doc_decontaminate,
+    #   doc_repetition, doc_bigrams, doc_bigram_lm, doc_curation_funnel,
+    #   doc_ngram_novelty, doc_span_dedup (swapped in here), plus
+    #   doc_winnow / sim_knn_batch / sim_topk_bruteforce /
+    #   dedup_clusters (digest-blind via minhash, localCheckpoint root)
+    #   which were already in this window's aged section. The nine
+    #   youngest unchanged aged names (sim_hard_negatives, mm_resize,
+    #   mm_feature_extract, sim_ann_lsh, dedup_embedding_pairs,
+    #   telemetry_mqtt_wildcard, q6_forecast_revenue, rel_asof_join,
+    #   rel_except) rotate to the front of the r17 aged queue to make
+    #   room.
+    # Then the oldest aged names (r08/r10 evidence) per the
     # steady-state least-recently-checked rotation.
     "rel_approx_distinct",
     "rel_approx_quantile",
@@ -128,6 +147,15 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "sim_pq_adc_topk",
     "doc_bpe_vocab",
     "doc_bpe_encode",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_decontaminate",
+    "doc_repetition",
+    "doc_bigrams",
+    "doc_bigram_lm",
+    "doc_curation_funnel",
+    "doc_ngram_novelty",
+    "doc_span_dedup",
     "doc_winnow",
     "mm_audio_rms",
     "q1_pricing_summary",
@@ -155,18 +183,9 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "rel_topk_per_group",
     "rel_union",
     "rel_intersect",
-    "rel_except",
-    "rel_asof_join",
-    "q6_forecast_revenue",
-    "telemetry_mqtt_wildcard",
-    "dedup_embedding_pairs",
     "sim_topk_bruteforce",
     "sim_knn_batch",
-    "sim_ann_lsh",
-    "mm_feature_extract",
-    "mm_resize",
     "dedup_clusters",
-    "sim_hard_negatives",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -207,6 +226,15 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     # rounds), MINUS the 50 names rotated into the r16 recheck window
     # above. Under the steady-state policy this list tracks
     # "not in the current recheck window".
+    "sim_hard_negatives",
+    "mm_resize",
+    "mm_feature_extract",
+    "sim_ann_lsh",
+    "dedup_embedding_pairs",
+    "telemetry_mqtt_wildcard",
+    "q6_forecast_revenue",
+    "rel_asof_join",
+    "rel_except",
     "telemetry_buffered_sink",
     "telemetry_historical_stats",
     "telemetry_stream_roundtrip",
@@ -225,7 +253,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "q10_returned_items",
     "ml_isotonic_calibration",
     "ml_cv_model_selection",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "doc_stratified_sample",
     "dedup_simhash_banded",
@@ -235,21 +262,16 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "doc_langid",
     "doc_fingerprint",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "mm_binary_stats",
     "mm_frame_sample",
     "doc_token_regex",
     "doc_punct_ratio",
     "doc_top_terms",
-    "doc_bigrams",
-    "doc_decontaminate",
     "doc_chunk",
     "doc_pii_redact",
-    "doc_repetition",
     "emb_quantize_int8",
     "emb_label_centroids",
     "lake_replay_audit",
-    "doc_ngram_novelty",
     "emb_coreset_per_label",
     "doc_vocab_growth",
     "doc_stable_sample",
@@ -310,11 +332,8 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_cuped_adjustment",
     "rel_experiment_mde",
     "doc_chunk_dedup",
-    "doc_span_dedup",
     "doc_char_entropy",
     "doc_compression_ratio",
-    "doc_bigram_lm",
-    "doc_curation_funnel",
     "doc_bm25_search",
     "sem_dedup",
     "ts_interpolate_linear",
