@@ -797,20 +797,27 @@ def min_label_components(
         if not require_convergence and i >= max_iters:
             break
         # neighbor minimum: for each dst, the smallest label seen on any
-        # incident src (incl. its own current label via the self-loop)
-        neighbor_min = (
+        # incident src (incl. its own current label via the self-loop).
+        # The convergence check rides INSIDE the same checkpointed plan
+        # (r16): the old shape ran a SECOND join+shuffle job per round
+        # (neighbor_min ⋈ labels → count) just to count changed labels;
+        # joining the old label into the round's own job makes the
+        # check a filter+count SCAN of the checkpointed rows. One
+        # shuffle join per round removed; labels and counts unchanged
+        # (the self-loops guarantee both frames cover every node, so
+        # the inner join is total either way).
+        stepped = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "lbl")
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+            .join(
+                labels.select("node", F.col("lbl").alias("__old")), "node"
+            )
+            .select("node", "lbl", (F.col("lbl") != F.col("__old")).alias("__chg"))
         ).localCheckpoint(eager=True)
-        changed = (
-            neighbor_min.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = neighbor_min
+        changed = stepped.filter("__chg").count()
+        labels = stepped.select("node", "lbl")
         if changed == 0:
             converged = True
             break
