@@ -105,7 +105,9 @@ def train_bpe(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str, int]] = []
-    for it in range(n_merges):
+    since_ckpt = 0
+    topk = 16
+    while len(merges) < n_merges:
         pairs = hist.filter(F.size("symbols") >= 2).select(
             "n",
             F.explode(
@@ -122,50 +124,105 @@ def train_bpe(
             pairs.groupBy("p.a", "p.b")
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.desc("cnt"), "a", "b")
-            .limit(1)
+            .limit(topk)
             .collect()
         )
-        if not top:
+        if not top or top[0].cnt < 2:
             break
-        a, b, cnt = top[0].a, top[0].b, top[0].cnt
-        if cnt < 2:
-            break
-        merges.append((a, b, cnt))
-        merged = a + b
-        # Left-to-right pair collapse, exactly the sequential reference
-        # semantics: the accumulated tail is `a` and the incoming symbol
-        # is `b` → replace the tail with the merged symbol (a freshly-
-        # merged tail no longer equals `a`, so overlapping runs collapse
-        # left-to-right). Per-row HYBRID, both branches JVM (r16):
-        # ordinary words take the array fold — O(len²) in Catalyst's
-        # immutable arrays, but at len ≤ 64 that's a few thousand
-        # in-register copies and it beats string building; pathological
-        # symbol runs (a 20k-char crawl token: base64, minified JS)
-        # take the LINEAR regex rewrite (_fold_pair_regex), which
-        # replaced a measured ~100 s/entry on the degenerate-text
-        # audit. when() evaluates lazily per row, so the cheap path
-        # never pays for the rare one.
-        fold = F.aggregate(
-            "symbols",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == a)
-                & (x == b),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        hist = hist.select(
-            "word",
-            "n",
-            F.when(F.size("symbols") <= 64, fold)
-            .otherwise(_fold_pair_regex(a, b, merged)("symbols"))
-            .alias("symbols"),
-        )
-        if (it + 1) % checkpoint_every == 0:
+        # MULTI-MERGE BATCH (r17): accept a prefix of the ranked top-k
+        # whose sequential application provably equals one-merge-at-a-
+        # time training, so k merges share ONE pair-count shuffle and
+        # ONE collect. Safety argument (each accepted candidate i is
+        # exactly the top-1 the sequential algorithm would pick after
+        # merges 1..i-1):
+        # - merging (a, b) removes every " a b " adjacency and never
+        #   increases any old pair's count, so accepted pairs vanish
+        #   and every other OLD pair keeps or lowers its count — the
+        #   pre-batch (cnt desc, a, b) rank order (identical to the
+        #   reference tie-break, including at post-decrease count
+        #   ties) remains valid for old pairs;
+        # - candidates overlapping an accepted symbol stop the scan
+        #   (their own count may have changed, so their rank is no
+        #   longer trustworthy);
+        # - NEW pairs involve a merged symbol and their counts are
+        #   bounded by the old counts of the overlapping pairs they
+        #   came from ((x,ab) ≤ (x,a); (ab,y) ≤ (b,y); (ab,cd) ≤
+        #   (b,c)); those live either later in the top-k (known
+        #   counts) or below it (≤ the k-th count), so candidate i is
+        #   accepted only when its count STRICTLY exceeds that bound
+        #   (ties are unsafe: a new pair's lexicographic name is
+        #   arbitrary);
+        # - EXCEPT a same-symbol merge (a == b): a run "a a a a"
+        #   collapses to "(aa)(aa)", so the new pair (aa,aa) is bounded
+        #   only by the ACCEPTED pair's own count — no later candidate
+        #   can dominate it (caught by the metacharacter-run test:
+        #   after (z,z) the true next merge is (zz,zz)). A run merge
+        #   therefore always ENDS its batch. Worst case the batch is
+        #   one merge — exactly the old behavior.
+        full_tail = top[-1].cnt if len(top) == topk else 0
+        batch: list[tuple[str, str, int]] = []
+        syms: set[str] = set()
+        for i, row in enumerate(top):
+            a, b, cnt = row.a, row.b, row.cnt
+            if cnt < 2 or len(merges) + len(batch) >= n_merges:
+                break
+            if batch:
+                if a in syms or b in syms:
+                    break
+                bound = full_tail
+                for later in top[i + 1 :]:
+                    if later.a in syms or later.b in syms:
+                        bound = max(bound, later.cnt)
+                if cnt <= bound:
+                    break
+            batch.append((a, b, cnt))
+            syms.add(a)
+            syms.add(b)
+            if a == b:
+                break
+        for a, b, cnt in batch:
+            merges.append((a, b, cnt))
+            merged = a + b
+            # Left-to-right pair collapse, exactly the sequential
+            # reference semantics: the accumulated tail is `a` and the
+            # incoming symbol is `b` → replace the tail with the merged
+            # symbol (a freshly-merged tail no longer equals `a`, so
+            # overlapping runs collapse left-to-right). Per-row HYBRID,
+            # both branches JVM (r16): ordinary words take the array
+            # fold — O(len²) in Catalyst's immutable arrays, but at
+            # len ≤ 64 that's a few thousand in-register copies and it
+            # beats string building; pathological symbol runs (a
+            # 20k-char crawl token: base64, minified JS) take the
+            # LINEAR regex rewrite (_fold_pair_regex), which replaced a
+            # measured ~100 s/entry on the degenerate-text audit.
+            # when() evaluates lazily per row, so the cheap path never
+            # pays for the rare one.
+            fold = F.aggregate(
+                "symbols",
+                F.array().cast("array<string>"),
+                # plain closure capture is safe: F.aggregate invokes the
+                # lambda synchronously while building the expression, so
+                # each batch member's (a, b, merged) is read immediately
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == a)
+                    & (x == b),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+            hist = hist.select(
+                "word",
+                "n",
+                F.when(F.size("symbols") <= 64, fold)
+                .otherwise(_fold_pair_regex(a, b, merged)("symbols"))
+                .alias("symbols"),
+            )
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every:
             hist = hist.localCheckpoint(eager=True)
+            since_ckpt = 0
     return merges, hist
 
 

@@ -793,29 +793,39 @@ def min_label_components(
     )
     hard_cap = max_iters * 8 if require_convergence else max_iters
     converged = False
-    for i in range(hard_cap):
-        if not require_convergence and i >= max_iters:
-            break
+    done = 0
+    while done < hard_cap:
         # neighbor minimum: for each dst, the smallest label seen on any
         # incident src (incl. its own current label via the self-loop).
+        # TWO propagation steps share one checkpointed job (r17): the
+        # convergence count is the only action per round, so batching
+        # halves the job barriers (and the checkpoint materializations)
+        # without changing the result — min-label propagation is
+        # monotone non-increasing, so a batch that changes nothing
+        # proves the same fixed point a single no-change round does,
+        # and steps past convergence are identities. The hard cap
+        # counts STEPS, so a non-converged run still stops after
+        # exactly the same number of propagations as the per-round
+        # loop did (identical labels).
         # The convergence check rides INSIDE the same checkpointed plan
-        # (r16): the old shape ran a SECOND join+shuffle job per round
-        # (neighbor_min ⋈ labels → count) just to count changed labels;
-        # joining the old label into the round's own job makes the
-        # check a filter+count SCAN of the checkpointed rows. One
-        # shuffle join per round removed; labels and counts unchanged
-        # (the self-loops guarantee both frames cover every node, so
-        # the inner join is total either way).
-        stepped = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "lbl")
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .join(
-                labels.select("node", F.col("lbl").alias("__old")), "node"
+        # (r16): joining the pre-batch label in makes the check a
+        # filter+count SCAN of the checkpointed rows — no second
+        # shuffle job (the self-loops guarantee both frames cover
+        # every node, so the inner join is total either way).
+        n_steps = min(2, hard_cap - done)
+        cur = labels
+        for _ in range(n_steps):
+            cur = (
+                edges.join(cur, edges.src == cur.node)
+                .select(F.col("dst").alias("node"), "lbl")
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
             )
+        stepped = (
+            cur.join(labels.select("node", F.col("lbl").alias("__old")), "node")
             .select("node", "lbl", (F.col("lbl") != F.col("__old")).alias("__chg"))
         ).localCheckpoint(eager=True)
+        done += n_steps
         changed = stepped.filter("__chg").count()
         labels = stepped.select("node", "lbl")
         if changed == 0:
@@ -889,13 +899,21 @@ def pagerank(
     duplication neighborhood (the canonical pick, or the boilerplate
     hub to drop).
 
-    Spark shape: edges are symmetrized once; each iteration is one
-    shuffle — contributions = ranks ⋈ out-degree-normalized edges,
-    then a groupBy sum. Ranks localCheckpoint every few iterations to
-    truncate the lineage (the classic iterative-DataFrame pattern; at
-    scale, persist ranks partitioned on the node key so every
-    iteration's join co-locates). Dangling nodes (none in a
-    symmetrized graph) would redistribute uniformly.
+    Spark shape: edges are symmetrized once and the degree-weighted
+    edge frame is CHECKPOINTED once up front (r17) — it sits inside
+    every iteration's join, so without the checkpoint the entire
+    upstream pair pipeline (e.g. the banded-SimHash candidate
+    generation feeding doc_dup_pagerank) was re-planned and re-executed
+    by every iteration that crossed a materialization point (measured:
+    26.3 s / 265 jobs -> one upstream pass). Each iteration is then one
+    shuffle — contributions = ranks ⋈ out-degree-normalized edges, then
+    a groupBy sum. Ranks localCheckpoint every few iterations with
+    ``eager=False``: the plan is truncated immediately (Catalyst cost
+    stays bounded) but materialization rides inside the next real job
+    instead of paying a mid-loop barrier. Dangling nodes (none in a
+    symmetrized graph) would redistribute uniformly. At scale, persist
+    ranks partitioned on the node key so every iteration's join
+    co-locates.
 
     Returns (doc_id, rank) summing to ~n_nodes.
     """
@@ -905,8 +923,11 @@ def pagerank(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    out = sym.join(deg, "src")
-    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    out = sym.join(deg, "src").localCheckpoint(eager=True)
+    # distinct src of sym == deg's group keys, already inside `out` —
+    # derive nodes from the checkpointed frame so the upstream pair
+    # pipeline is never re-entered.
+    nodes = out.select(F.col("src").alias("doc_id")).distinct()
     ranks = nodes.select("doc_id", F.lit(1.0).alias("rank"))
     for i in range(n_iter):
         contribs = (
@@ -926,7 +947,7 @@ def pagerank(
             )
         )
         if (i + 1) % 4 == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
 
 

@@ -344,6 +344,32 @@ def test_distributed_bpe_matches_reference(spark):
     assert n_syms < n_chars
 
 
+def test_bpe_batched_merges_match_reference_on_tie_heavy_corpora(spark):
+    """Adversarial gate for the r17 multi-merge batching: a 3-letter
+    alphabet makes count ties, overlapping candidates, and same-symbol
+    runs (the (z,z)->(zz,zz) cascade the batching must refuse to jump
+    over) rampant, so any unsound acceptance rule diverges from the
+    sequential reference within a few merges."""
+    import random
+    from collections import Counter
+
+    from real_time_predictive_maintenance_data_pipeline_spark.operators.bpe import (
+        reference_bpe,
+        train_bpe,
+    )
+
+    for seed in (1, 4, 7):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(40)
+        ]
+        docs = spark.createDataFrame([(" ".join(words),)], ["text"])
+        got, _ = train_bpe(docs, n_merges=12)
+        want = reference_bpe(dict(Counter(words)), n_merges=12)
+        assert got == want, (seed, got[:5], want[:5])
+
+
 def test_bpe_long_word_regex_fold_matches_reference(spark):
     """Pins the r16 hybrid fold: words longer than 64 symbols take the
     linear ``_fold_pair_regex`` rewrite instead of the quadratic array
