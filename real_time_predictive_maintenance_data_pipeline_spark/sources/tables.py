@@ -75,6 +75,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     try:
         st = os.stat(path)
         key = (path, st.st_mtime_ns, st.st_size, spark.conf.get(_NANOS_CONF, "false"))
+        if os.path.isdir(path):
+            # Directory-layout table (r17 hardening, ADVICE r16): an
+            # in-place part-file rewrite need not touch the directory's
+            # own mtime/size, so fold every child's (name, mtime, size)
+            # into the key — a stale schema can then never be served
+            # for a re-written part file. Fixtures are single files
+            # today; this keeps the memo correct if that ever changes.
+            key = key + tuple(
+                sorted(
+                    (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in os.scandir(path)
+                )
+            )
     except OSError:
         key = None  # let spark.read surface the missing-path error
     schema = _SCHEMA_MEMO.get(key) if key is not None else None

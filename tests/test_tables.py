@@ -111,3 +111,50 @@ def test_load_table_schema_memo_invalidates_on_rewrite(spark, tmp_path):
         .collect()
     )
     assert [r.us for r in rows] == _US_TRUNC
+
+
+def test_load_table_schema_memo_invalidates_on_dir_part_rewrite(spark, tmp_path):
+    """Directory-layout hardening (r17, ADVICE r16): rewriting a part
+    file IN PLACE does not change the directory's own mtime/size, so a
+    memo keyed only on the directory stat would serve the stale schema.
+    The key now folds every child's (name, mtime, size) in — the
+    rewritten part must re-infer."""
+    import time as _time
+
+    d = tmp_path / "dirtbl"
+    d.mkdir()
+    tbl = d / "events.parquet"
+    tbl.mkdir()  # the TABLE PATH is a directory of part files
+    part_dir = str(tbl)
+
+    def write_part(ts_array):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        t = _pa.table(
+            {
+                "event_id": _pa.array([1, 2, 3], _pa.int64()),
+                "ts": ts_array,
+                "user_id": _pa.array([10, 11, 12], _pa.int64()),
+                "event_type": _pa.array(["a", "b", "c"]),
+                "value": _pa.array([1.0, 2.0, 3.0]),
+                "props": _pa.array(["{}", "{}", "{}"]),
+            }
+        )
+        _pq.write_table(t, f"{part_dir}/part-00000.parquet")
+
+    write_part(pa.array(_US_TRUNC, pa.timestamp("us")))
+    first = load_table(spark, str(d), "events")
+    assert first.schema["ts"].dataType.typeName().startswith("timestamp")
+
+    # in-place rewrite: same file name (no dir entry added/removed, so
+    # the directory stat alone cannot see it), different physical type
+    _time.sleep(0.01)
+    write_part(pa.array(_NS, pa.timestamp("ns")))
+    rewritten = load_table(spark, str(d), "events")
+    rows = (
+        rewritten.select("event_id", epoch_us("ts").alias("us"))
+        .orderBy("event_id")
+        .collect()
+    )
+    assert [r.us for r in rows] == _US_TRUNC

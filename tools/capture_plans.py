@@ -33,9 +33,19 @@ def main() -> int:
     picked = names or sorted(n for n, q in queries.items() if q.bench)
     for name in picked:
         df = queries[name].spark(spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        # Both forms use private PySpark internals (ADVICE r16); try the
+        # queryExecution-native one first and fall back, so a pyspark
+        # upgrade that drops either keeps this dev tool alive.
+        try:
+            jvm = df._sc._jvm
+            mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception:
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
