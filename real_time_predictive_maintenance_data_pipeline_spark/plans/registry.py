@@ -75,117 +75,81 @@ _REGISTRY: dict[str, Query] = {}
 # the previous round's CORRECTNESS names are rotated — the guard that
 # the round-2 and round-3 verdicts asked for after two forgotten
 # rotations.
-_ROTATED_FOR_ROUND = 16
+_ROTATED_FOR_ROUND = 17
 
 _RECHECK_FIRST: tuple[str, ...] = (
-    # ROUND-16 WINDOW (regenerated via tools/plan_next_window.py;
-    # PLAN_DIGESTS regenerated pre-rotation). Mandatory section:
-    # - rel_approx_distinct / rel_approx_quantile /
-    #   rel_hll_partial_merge: PLAN + ORACLE TEXT CHANGED (r15 verdict
-    #   task 4) — rows-only → in-plan ε-gated hash-green (the
-    #   lake_replay_audit_approx pattern).
-    # - sim_ivf_pq_topk: PLAN CHANGED at the r15 boundary (pinned
-    #   coarse quantizer, landed late r15) — the deferred mandatory
-    #   recheck the r15 ADVICE flagged (it was listed in the r15
-    #   window comment but left in _DRIVER_VERIFIED); also rewired
-    #   through trainer_key + assign_cells this round.
-    # - telemetry_mqtt_roundtrip: ORACLE TEXT CHANGED (ADVICE r15) —
-    #   pinned to mqtt_spool.jsonl + ignore_errors so wire truncation
-    #   surfaces as a diff, not an oracle crash.
-    # - emb_opq_rotation: BEHAVIOR CHANGED with an unchanged digest —
-    #   the pinned key now carries the trainer version (opq_m8_t1_*),
-    #   so the artifact re-pins under a new key; deliberate recheck.
-    # - sim_ivf_topk / emb_pq_codes: digest-BLIND rewire through
-    #   ml.artifact.trainer_key + operators.similarity.assign_cells
-    #   (literal path at nlist=16, plan identical) — deliberate
-    #   recheck of the behavior-unchanged claim.
-    # - sim_pq_adc_topk: digest-BLIND max_queries bound added to the
-    #   driver-side query collect — deliberate recheck.
-    # - sim_ivf_topk / sim_pq_adc_topk / sim_ivf_pq_topk (again, later
-    #   in r16): PLAN + ORACLE TEXT CHANGED — rows-only → recall-ε-
-    #   gated hash-green (exact top-k recomputed by DuckDB + in-plan
-    #   mean-recall floor, plans/llm._recall_gated); sim_pq_adc_topk's
-    #   codebooks additionally pinned (the last in-query trained
-    #   structure). All three were already in this window's mandatory
-    #   section, so no further swaps were needed.
-    # - doc_bpe_vocab / doc_bpe_encode: digest-BLIND hybrid merge fold
-    #   (train_bpe's per-iteration collapse now takes a linear regex
-    #   rewrite for words > 64 symbols; localCheckpoint truncates the
-    #   lineage so PLAN_DIGESTS cannot see it) — deliberate recheck of
-    #   the results-unchanged claim; the two youngest aged names
-    #   (mm_phash_neardup, q10_returned_items) rotate to the front of
-    #   the r17 window to make room.
-    # OPTIMIZATION-ROUND ADDITIONS (r16, PLAN CHANGED — digest diff at
-    # the optimization commits): the filter-below-spread rewrites
-    # (size(split)>=n → cheap space-count predicates; minhash head
-    # isNotNull(text)), the jaccard verify-join restructure
-    # (single-intersect prefilter + explicit conjunct order), and the
-    # brute-force corpus spread. Outputs proven bit-identical (pair-set
-    # equality at sf0.01/sf0.1) and every oracled name swept hash-green
-    # at all three SFs pre-commit:
-    #   dedup_minhash_lsh, dedup_ngram_jaccard, doc_decontaminate,
-    #   doc_repetition, doc_bigrams, doc_bigram_lm, doc_curation_funnel,
-    #   doc_ngram_novelty, doc_span_dedup (swapped in here), plus
-    #   doc_winnow / sim_knn_batch / sim_topk_bruteforce /
-    #   dedup_clusters (digest-blind via minhash, localCheckpoint root)
-    #   which were already in this window's aged section. The nine
-    #   youngest unchanged aged names (sim_hard_negatives, mm_resize,
-    #   mm_feature_extract, sim_ann_lsh, dedup_embedding_pairs,
-    #   telemetry_mqtt_wildcard, q6_forecast_revenue, rel_asof_join,
-    #   rel_except) rotate to the front of the r17 aged queue to make
-    #   room.
+    # ROUND-17 WINDOW (regenerated via tools/plan_next_window.py;
+    # PLAN_DIGESTS regenerated pre-rotation). Mandatory section — every
+    # plan-digest change from the r17 optimization commits plus the
+    # digest-blind ones:
+    # - q21_sole_returner: PLAN CHANGED — single orderkey exchange
+    #   shared by grain agg + orders join + window (F-join moved below
+    #   the windows). Oracle hash-green at 3 SFs pre-commit.
+    # - q8_market_share: PLAN CHANGED — orders⋈customer moved off the
+    #   fact path (custkey shuffle now dim-sized). Hash-green at 3 SFs.
+    # - dedup_clusters / sem_dedup: digest change via
+    #   min_label_components' batched (2-steps-per-job) propagation;
+    #   outputs proven identical (old-vs-new row equality at sf0.1;
+    #   chain-graph + union-find tests).
+    # - doc_dup_pagerank: digest change via pagerank's checkpointed
+    #   edge frame + lazy rank checkpoints; rows identical old-vs-new,
+    #   numpy power-iteration parity test green.
+    # - doc_bpe_vocab / doc_bpe_encode: digest-BLIND multi-merge
+    #   batching in train_bpe (localCheckpoint roots hide it) —
+    #   deliberate recheck; merge sequences equal the sequential
+    #   reference on the corpora + a new tie-heavy fuzz gate.
     # Then the oldest aged names (r08/r10 evidence) per the
-    # steady-state least-recently-checked rotation.
-    "rel_approx_distinct",
-    "rel_approx_quantile",
-    "rel_hll_partial_merge",
-    "sim_ivf_pq_topk",
-    "telemetry_mqtt_roundtrip",
-    "emb_opq_rotation",
-    "sim_ivf_topk",
-    "emb_pq_codes",
-    "sim_pq_adc_topk",
+    # steady-state least-recently-checked rotation (43 slots).
+    "q21_sole_returner",
+    "q8_market_share",
+    "dedup_clusters",
+    "doc_dup_pagerank",
+    "sem_dedup",
     "doc_bpe_vocab",
     "doc_bpe_encode",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "doc_decontaminate",
-    "doc_repetition",
-    "doc_bigrams",
-    "doc_bigram_lm",
-    "doc_curation_funnel",
-    "doc_ngram_novelty",
-    "doc_span_dedup",
-    "doc_winnow",
-    "mm_audio_rms",
-    "q1_pricing_summary",
-    "rel_agg_stats",
-    "rel_agg_distinct",
-    "rel_having",
-    "rel_rollup",
-    "rel_cube",
-    "rel_grouping_sets",
-    "rel_pivot_status",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "rel_join_inner",
-    "rel_join_left",
-    "rel_join_full",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_join_cross",
-    "rel_range_join",
-    "rel_scalar_subquery",
-    "rel_window_rank",
-    "rel_window_running",
-    "rel_window_moving_avg",
-    "rel_topk_global",
-    "rel_topk_per_group",
-    "rel_union",
-    "rel_intersect",
-    "sim_topk_bruteforce",
-    "sim_knn_batch",
-    "dedup_clusters",
+    "rel_except",
+    "rel_asof_join",
+    "q6_forecast_revenue",
+    "telemetry_mqtt_wildcard",
+    "dedup_embedding_pairs",
+    "sim_ann_lsh",
+    "mm_feature_extract",
+    "mm_resize",
+    "sim_hard_negatives",
+    "mm_phash_neardup",
+    "q10_returned_items",
+    "q18_large_orders",
+    "rel_except_all",
+    "rel_intersect_all",
+    "src_csv_roundtrip",
+    "src_partitioned_pruned",
+    "src_json_roundtrip",
+    "rel_sql_api",
+    "rel_salted_join",
+    "rel_window_distribution",
+    "rel_window_range_frame",
+    "q14_promo_revenue",
+    "q19_disjunctive",
+    "src_orc_roundtrip",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q17_small_quantity",
+    "rel_join_right",
+    "src_text_roundtrip",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q22_global_sales_opportunity",
+    "q2_best_supplier",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q20_heavy_suppliers",
+    "rel_recursive_cte",
+    "telemetry_score_500k",
+    "telemetry_scored_alerts",
+    "telemetry_train_metrics",
+    "telemetry_pysource_stats",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -222,19 +186,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
 )
 
 _DRIVER_VERIFIED: tuple[str, ...] = (
-    # Cumulative r01-r15 green names (zero failures across fifteen
-    # rounds), MINUS the 50 names rotated into the r16 recheck window
+    # Cumulative r01-r16 green names (zero failures across sixteen
+    # rounds), MINUS the 50 names rotated into the r17 recheck window
     # above. Under the steady-state policy this list tracks
     # "not in the current recheck window".
-    "sim_hard_negatives",
-    "mm_resize",
-    "mm_feature_extract",
-    "sim_ann_lsh",
-    "dedup_embedding_pairs",
-    "telemetry_mqtt_wildcard",
-    "q6_forecast_revenue",
-    "rel_asof_join",
-    "rel_except",
     "telemetry_buffered_sink",
     "telemetry_historical_stats",
     "telemetry_stream_roundtrip",
@@ -247,16 +202,13 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_proportions_ztest",
     "events_error_rate_wilson",
     "ts_week_over_week",
-    "mm_phash_neardup",
     "ml_quality_classifier",
     "ml_als_recommend",
-    "q10_returned_items",
     "ml_isotonic_calibration",
     "ml_cv_model_selection",
     "dedup_simhash",
     "doc_stratified_sample",
     "dedup_simhash_banded",
-    "doc_dup_pagerank",
     "doc_token_stats",
     "doc_quality",
     "doc_langid",
@@ -335,7 +287,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "doc_char_entropy",
     "doc_compression_ratio",
     "doc_bm25_search",
-    "sem_dedup",
     "ts_interpolate_linear",
     "ts_cusum_changepoint",
     "ml_survival_aft",
@@ -382,30 +333,14 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_events_hourly",
     "rel_sessionize",
     "rel_distinct_rows",
-    "q18_large_orders",
     "rel_array_funcs",
     "rel_percentiles",
-    "rel_except_all",
-    "rel_intersect_all",
-    "src_csv_roundtrip",
-    "src_partitioned_pruned",
-    "src_json_roundtrip",
     "rel_exists_subquery",
     "rel_not_in_subquery",
-    "rel_sql_api",
-    "rel_salted_join",
-    "rel_window_distribution",
-    "rel_window_range_frame",
     "rel_interval_arith",
     "rel_levenshtein",
     "rel_grouped_regression",
     "rel_map_funcs",
-    "q14_promo_revenue",
-    "q19_disjunctive",
-    "src_orc_roundtrip",
-    "q7_nation_volume",
-    "q13_customer_distribution",
-    "q17_small_quantity",
     "rel_profile_columns",
     "rel_rollup_reuse",
     "ts_gap_fill_hourly",
@@ -416,27 +351,13 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_unpivot",
     "rel_histogram",
     "rel_try_arith",
-    "rel_join_right",
     "rel_explode",
     "rel_latest_by_key",
-    "src_text_roundtrip",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "q22_global_sales_opportunity",
     "rel_grouped_median_pandas",
     "rel_interval_join_banded",
     "rel_rolling_zscore",
     "rel_skew_kurtosis",
-    "q2_best_supplier",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q20_heavy_suppliers",
-    "q21_sole_returner",
     "rel_variant_semistructured",
-    "q8_market_share",
-    "rel_recursive_cte",
     "rel_lateral_topk",
     "src_xml_roundtrip",
     "rel_python_udtf",
@@ -446,11 +367,7 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_observe_metrics",
     "rel_heavy_hitters",
     "ts_ewma_last",
-    "telemetry_score_500k",
-    "telemetry_scored_alerts",
-    "telemetry_train_metrics",
     "telemetry_artifact_score",
-    "telemetry_pysource_stats",
     "lake_replay_audit_approx",
     "rel_parameterized_sql",
     "doc_dsir_importance",
@@ -498,6 +415,53 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_abc_prefix2",
     "rel_rfm_bucketed",
     "rel_srm_check",
+    "rel_approx_distinct",
+    "rel_approx_quantile",
+    "rel_hll_partial_merge",
+    "sim_ivf_pq_topk",
+    "telemetry_mqtt_roundtrip",
+    "emb_opq_rotation",
+    "sim_ivf_topk",
+    "emb_pq_codes",
+    "sim_pq_adc_topk",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_decontaminate",
+    "doc_repetition",
+    "doc_bigrams",
+    "doc_bigram_lm",
+    "doc_curation_funnel",
+    "doc_ngram_novelty",
+    "doc_span_dedup",
+    "doc_winnow",
+    "mm_audio_rms",
+    "q1_pricing_summary",
+    "rel_agg_stats",
+    "rel_agg_distinct",
+    "rel_having",
+    "rel_rollup",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_pivot_status",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "rel_join_inner",
+    "rel_join_left",
+    "rel_join_full",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_join_cross",
+    "rel_range_join",
+    "rel_scalar_subquery",
+    "rel_window_rank",
+    "rel_window_running",
+    "rel_window_moving_avg",
+    "rel_topk_global",
+    "rel_topk_per_group",
+    "rel_union",
+    "rel_intersect",
+    "sim_topk_bruteforce",
+    "sim_knn_batch",
 )
 
 
