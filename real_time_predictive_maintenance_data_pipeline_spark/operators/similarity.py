@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from ..functions.vectors import as_double, cosine, dot, l2_norm, sq_l2
 from ..ml.fitguard import fit_nonempty
+from .spread import spread
 
 
 def _lloyd_deterministic(X, k: int, n_iter: int, seed: int):
@@ -499,10 +500,19 @@ def cosine_pairs(
         .withColumn("__norm", l2_norm(F.col("__v")))
         .filter(F.col("__norm") > 0.0)
     )
-    a = d.select(
-        F.col(id_col).alias("vec_a"),
-        F.col("__v").alias("__va"),
-        F.col("__norm").alias("__na"),
+    # Spread the STREAMED side of the nested-loop pair join (r17, the
+    # cosine_pairs twin of brute_force_topk's r16 fix): vec_a < vec_b
+    # is non-equi, so this plans as BroadcastNestedLoopJoin — the b
+    # side broadcasts and every pair's O(d) interpreted cosine fold
+    # runs on the a side's scan partitions, which is 1-2 partitions
+    # for a local fixture (measured: 24.5 s single-core at sf0.1,
+    # ~2 s spread). No-op at real scale where the scan already splits.
+    a = spread(
+        d.select(
+            F.col(id_col).alias("vec_a"),
+            F.col("__v").alias("__va"),
+            F.col("__norm").alias("__na"),
+        )
     )
     b = d.select(
         F.col(id_col).alias("vec_b"),

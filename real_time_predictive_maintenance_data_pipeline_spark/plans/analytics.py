@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.spread import spread
 from ..sources.tables import load_table
 from .registry import register
 
@@ -3297,8 +3298,13 @@ def rel_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     that replaces resampling-with-replacement at 100 TB (no per-row
     RNG, no shuffle of the raw table; replicate count bounds state)."""
     o = _t(spark, sf_dir, "orders")
+    # Spread before the ×100 explode (r17): the explode+md5 membership
+    # test is map-side work on the scan partitions — 15M md5s ran on
+    # one core for a 1-partition local fixture (measured 8.2 s at
+    # sf0.1; ~1 s spread). No-op at real scale; the full-mean branch
+    # keeps the raw narrow scan.
     draws = (
-        o.select(
+        spread(o.select("o_orderkey", "o_totalprice")).select(
             F.explode(F.sequence(F.lit(1), F.lit(100))).alias("b"),
             F.col("o_orderkey"),
             _cents("o_totalprice").alias("cents"),

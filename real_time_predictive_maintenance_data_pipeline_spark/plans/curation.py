@@ -1983,10 +1983,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
+    # The edge list feeds FOUR consumers (degrees, the orientation
+    # join, n_edges, and — oriented — all three legs of the wedge
+    # join); without materialization every branch re-ran the distinct
+    # self-join pipeline (r17: measured 18 jobs / 7.5 s at sf0.1).
+    # localCheckpoint (not persist) so the AQE broadcast futures of
+    # the wedge join can't race on an unmaterialized cache block (the
+    # r12 minhash finding). Same below for the oriented frame.
     e = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("x"))
@@ -2005,7 +2013,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.t") == F.col("e2.s"))

@@ -94,6 +94,12 @@ _RECHECK_FIRST: tuple[str, ...] = (
     # - doc_dup_pagerank: digest change via pagerank's checkpointed
     #   edge frame + lazy rank checkpoints; rows identical old-vs-new,
     #   numpy power-iteration parity test green.
+    # - dedup_embedding_pairs / rel_record_linkage / rel_bootstrap_ci:
+    #   PLAN CHANGED — spread of the streamed/exploded side of an
+    #   under-split local scan (24.5→1.9 s, 6.1→0.6 s, 8.2→1.4 s at
+    #   sf0.1); hash-green at 3 SFs pre-commit.
+    # - graph_triangle_count: PLAN CHANGED — edge frames checkpointed
+    #   once for the four consumers; count identical, hash-green.
     # - doc_bpe_vocab / doc_bpe_encode: digest-BLIND multi-merge
     #   batching in train_bpe (localCheckpoint roots hide it) —
     #   deliberate recheck; merge sequences equal the sequential
@@ -107,11 +113,14 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "sem_dedup",
     "doc_bpe_vocab",
     "doc_bpe_encode",
+    "dedup_embedding_pairs",
+    "rel_record_linkage",
+    "rel_bootstrap_ci",
+    "graph_triangle_count",
     "rel_except",
     "rel_asof_join",
     "q6_forecast_revenue",
     "telemetry_mqtt_wildcard",
-    "dedup_embedding_pairs",
     "sim_ann_lsh",
     "mm_feature_extract",
     "mm_resize",
@@ -147,9 +156,6 @@ _RECHECK_FIRST: tuple[str, ...] = (
     "q20_heavy_suppliers",
     "rel_recursive_cte",
     "telemetry_score_500k",
-    "telemetry_scored_alerts",
-    "telemetry_train_metrics",
-    "telemetry_pysource_stats",
 )
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
@@ -193,7 +199,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "telemetry_buffered_sink",
     "telemetry_historical_stats",
     "telemetry_stream_roundtrip",
-    "rel_bootstrap_ci",
     "rel_skew_report",
     "rel_join_explosion_estimate",
     "rel_offset_fetch_pagination",
@@ -261,7 +266,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_cms_freq_estimate",
     "rel_weighted_median",
     "rel_spatial_grid_join",
-    "rel_record_linkage",
     "events_last_touch_attribution",
     "rel_capped_running_balance",
     "rel_fifo_allocation",
@@ -306,7 +310,6 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "src_dynamic_overwrite",
     "src_schema_evolution",
     "src_csv_quarantine",
-    "graph_triangle_count",
     "rel_ab_ttest",
     "ts_holt_linear",
     "events_ks_two_sample",
@@ -462,6 +465,9 @@ _DRIVER_VERIFIED: tuple[str, ...] = (
     "rel_intersect",
     "sim_topk_bruteforce",
     "sim_knn_batch",
+    "telemetry_scored_alerts",
+    "telemetry_train_metrics",
+    "telemetry_pysource_stats",
 )
 
 
